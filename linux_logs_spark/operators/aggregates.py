@@ -1,0 +1,304 @@
+"""Aggregations (SURVEY.md §2.4).
+
+All groupBy aggregates run as partial (map-side) + final hash
+aggregates in Spark automatically — at 100 TB the partial agg is what
+keeps the shuffle small, so every query here keys the shuffle on the
+group-by columns only and carries pre-aggregated state across it.
+
+Float determinism convention (FIXTURES.md): round float aggregates on
+BOTH the Spark and oracle side so accumulation order can't flip the
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load, register_views
+from linux_logs_spark.functions.compat import davg, dsum, oracle_davg, oracle_dsum
+from linux_logs_spark.registry import register
+
+# --- flagship: TPC-H Q1 shape over lineitem -----------------------------
+
+
+@register(
+    "agg_groupby",
+    "aggregate",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum('l_quantity', 2)}      AS sum_qty,
+       {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {oracle_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+       {oracle_davg('l_quantity', 2)}      AS avg_qty,
+       {oracle_davg('l_extendedprice', 2)} AS avg_price,
+       {oracle_davg('l_discount', 2)}      AS avg_disc,
+       count(*)                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's flagship query.
+
+    Money sums accumulate in DECIMAL (order-independent → shuffle- and
+    partitioning-proof) per functions/compat.py, then surface as DOUBLE.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    "aggregate",
+    oracle=f"""
+SELECT {oracle_dsum('l_quantity', 2)}      AS total_qty,
+       {oracle_davg('l_extendedprice', 2)} AS avg_price,
+       min(l_shipdate)                AS first_ship,
+       max(l_shipdate)                AS last_ship,
+       count(*)                       AS n_rows,
+       count(DISTINCT l_suppkey)      AS n_suppliers
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_quantity", 2).alias("total_qty"),
+        davg("l_extendedprice", 2).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "agg_having",
+    "aggregate",
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders, {oracle_dsum('o_totalprice', 2)} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", "aggregate", oracle=None)  # approximate → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate; sketch differs from DuckDB's → rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)               AS sd_qty,
+       round(var_samp(l_quantity), 4)                  AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 6)     AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+    )
+
+
+@register(
+    "agg_percentile",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (actual data elements, so no
+    engine-specific interpolation arithmetic can drift — continuous
+    interpolation differed from DuckDB by 1 cent after rounding).
+    Picks the element at row_number == ceil(n*p) in sort order, which is
+    DuckDB's quantile_disc rule (verified empirically: p90 over n=1962
+    → element 1766 = ceil(1765.8)). Approx variant is rows-only below.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+            F.col("l_extendedprice"),
+        )
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50_price"), pick(0.9).alias("p90_price")
+    )
+
+
+@register("agg_approx_percentile", "aggregate", oracle=None)  # sketch → rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
+            "approx_p50"
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    "aggregate",
+    oracle="""
+SELECT n_nationkey,
+       list(c_name ORDER BY c_name)                          AS customer_names,
+       list_sort(list(DISTINCT c_mktsegment))                AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_name")).alias("customer_names"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    "aggregate",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()

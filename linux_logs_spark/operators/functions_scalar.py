@@ -1,1 +1,239 @@
-"""Placeholder — queries land in a later milestone."""
+"""Scalar function families (SURVEY.md §2.7).
+
+All JVM-side built-ins (whole-stage-codegen'd) — no Python in the hot
+path. Cross-engine notes baked into each oracle:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all semantics.
+- Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday (+1 shim).
+- Spark ceil/floor(double) return BIGINT; DuckDB returns DOUBLE
+  (cast to double on the Spark side).
+- Transcendentals (ln/pow) are libm-dependent → round to 6 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+
+@register(
+    "fn_string",
+    "scalar",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name)                                    AS lname,
+       upper(c_mktsegment)                              AS useg,
+       substring(c_name, 10, 9)                         AS id_digits,
+       concat_ws('|', c_mktsegment, c_name)             AS tagged,
+       length(c_name)                                   AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0')        AS padded_key,
+       replace(c_name, 'Customer#', 'C-')               AS short_name,
+       trim(concat('  ', c_mktsegment, '  '))           AS trimmed
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 10, 9).alias("id_digits"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("short_name"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "fn_regex",
+    "scalar",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '^(\\w+)', 1)                 AS first_word,
+       regexp_extract(text, '(\\w+)$', 1)                 AS last_word,
+       regexp_replace(text, '[aeiou]', '_', 'g')          AS devoweled,
+       regexp_matches(text, 'data\\s+\\w+\\s+query')      AS has_pattern
+FROM documents
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core skill — regex over log-ish text — as
+    codegen'd JVM expressions (regexp_extract/replace/rlike)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike(r"data\s+\w+\s+query").alias("has_pattern"),
+    )
+
+
+@register(
+    "fn_datetime",
+    "scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)                   AS yr,
+       CAST(month(o_orderdate) AS BIGINT)                  AS mo,
+       CAST(day(o_orderdate) AS BIGINT)                    AS dom,
+       CAST(date_part('dow', o_orderdate) + 1 AS BIGINT)   AS dow_sunday1,
+       date_trunc('month', o_orderdate)                    AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+                                                           AS days_to_2002,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)           AS epoch_s
+FROM orders
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sunday1"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_math",
+    "scalar",
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0)            AS dist_from_1k,
+       CAST(ceil(p_retailprice) AS DOUBLE)    AS price_ceil,
+       CAST(floor(p_retailprice) AS DOUBLE)   AS price_floor,
+       pow(CAST(p_size AS DOUBLE), 2)         AS size_sq,
+       round(ln(p_retailprice), 6)            AS log_price,
+       p_partkey % 7                          AS key_mod7,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS above_1k
+FROM part
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_from_1k"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("log_price"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+        F.signum(F.col("p_retailprice") - 1000.0).cast("double").alias("above_1k"),
+    )
+
+
+@register(
+    "fn_array",
+    "scalar",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                               AS n_words,
+       list_contains(string_split(text, ' '), 'data')             AS has_data,
+       list_sort(list_slice(string_split(text, ' '), 1, 5))       AS first5_sorted,
+       list_transform(list_slice(string_split(text, ' '), 1, 3),
+                      w -> upper(w))                              AS first3_upper
+FROM documents
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions, all JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.sort_array(F.slice(words, 1, 5)).alias("first5_sorted"),
+        F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)).alias("first3_upper"),
+    )
+
+
+@register(
+    "fn_array_agg",
+    "scalar",
+    oracle="""
+SELECT vec_id, label,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6)
+         AS norm_sq,
+       round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_dim
+FROM embeddings
+""",
+)
+def fn_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order fold over the embedding vector (F.aggregate) —
+    the building block of the similarity operators. Elements cast to
+    double BEFORE multiply/sum so both engines fold identical values
+    left-to-right; result rounded since fold FP is libm-free but
+    float→double element casts must match (they do, exactly)."""
+    e = load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("norm_sq"),
+        F.round(
+            F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
+            6,
+        ).alias("mean_dim"),
+    )
+
+
+@register(
+    "fn_json",
+    "scalar",
+    oracle="""
+SELECT event_id,
+       props ->> 'k'                       AS k_str,
+       CAST(props ->> 'k' AS INTEGER)      AS k_int,
+       CAST(props ->> 'k' AS INTEGER) % 10 AS k_bucket
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (events.props = '{"k": <int>}'): string
+    path via get_json_object, typed path via from_json."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "fn_hash",
+    "scalar",
+    oracle="""
+SELECT doc_id,
+       sha256(text) AS text_sha256,
+       md5(text)    AS text_md5
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable content hashes (dedup keys). xxhash64 is exercised in
+    dedup_near_minhash (rows-only — DuckDB lacks xxhash64)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )

@@ -1,1 +1,263 @@
-"""Placeholder — queries land in a later milestone."""
+"""Joins (SURVEY.md §2.3).
+
+Scale notes (the 100 TB design point):
+- Dim tables (region/nation/part/supplier/customer-sized) are marked
+  ``F.broadcast`` explicitly → broadcast hash join, no shuffle of the
+  fact side. At 100 TB the fact shuffle is THE cost; a 20 MB dim must
+  never cause one.
+- Fact⋈fact equi-joins shuffle on the join key; AQE handles skew
+  splitting (session.py enables skewJoin).
+- The as-of join is a window formulation — one shuffle on the
+  partition key, no O(n²) range probe, and it scales linearly with
+  events per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.compat import dsum, oracle_dsum
+from linux_logs_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    "join",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    "join",
+    oracle=f"""
+SELECT p_brand,
+       count(*) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): the dim ships to every executor, the
+    600k/100 TB lineitem side never shuffles for the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    "join",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_orders,
+       coalesce({oracle_dsum('o_totalprice', 2)}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    "join",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey AS k, count(*) AS n_f FROM orders
+  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+), o AS (
+  SELECT o_custkey AS k, count(*) AS n_o FROM orders
+  WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT coalesce(f.k, o.k) AS custkey,
+       coalesce(n_f, 0) AS n_finished,
+       coalesce(n_o, 0) AS n_open
+FROM f FULL OUTER JOIN o ON f.k = o.k
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return f.join(o, f.k == o.k, "full").select(
+        F.coalesce(f.k, o.k).alias("custkey"),
+        F.coalesce("n_f", F.lit(0)).alias("n_finished"),
+        F.coalesce("n_o", F.lit(0)).alias("n_open"),
+    )
+
+
+@register(
+    "join_left_semi",
+    "join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    "join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    "join",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    "join",
+    oracle="""
+SELECT p_partkey, p_retailprice, band
+FROM part
+JOIN (VALUES ('budget', 0.0, 1000.0),
+             ('standard', 1000.0, 1060.0),
+             ('premium', 1060.0, 1e12)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join → broadcast-nested-loop with the tiny band dim
+    broadcast; the big side streams through without a shuffle."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1000.0), ("standard", 1000.0, 1060.0), ("premium", 1060.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "p_retailprice", "band")
+
+
+@register(
+    "join_asof",
+    "join",
+    oracle="""
+WITH se AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+  WHERE event_type IN ('signup', 'error')
+), w AS (
+  SELECT event_id, user_id, event_type, s,
+         last_value(CASE WHEN event_type = 'signup' THEN s END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_s
+  FROM se
+)
+SELECT event_id AS error_id, user_id, s AS error_s, signup_s
+FROM w
+WHERE event_type = 'error' AND signup_s IS NOT NULL
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each error ↔ latest prior-or-same-second signup per
+    user), as a single window pass: no native batch as-of in Spark SQL,
+    and this formulation is one shuffle on user_id — linear at scale.
+    Ordering key is whole seconds (+event_id tiebreak) so ns-vs-µs
+    timestamp precision can't reorder rows across engines.
+    """
+    e = load(spark, sf_dir, "events")
+    se = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig = F.last(
+        F.when(F.col("event_type") == "signup", F.col("s")), ignorenulls=True
+    ).over(w)
+    return (
+        se.withColumn("signup_s", sig)
+        .filter((F.col("event_type") == "error") & F.col("signup_s").isNotNull())
+        .select(
+            F.col("event_id").alias("error_id"), "user_id",
+            F.col("s").alias("error_s"), "signup_s",
+        )
+    )
+
+
+@register(
+    "join_self_multi",
+    "join",
+    oracle=f"""
+SELECT n_name, count(*) AS n_orders, {oracle_dsum('o_totalprice', 2)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_self_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join: both dims broadcast, single agg shuffle on n_name."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))
+    )

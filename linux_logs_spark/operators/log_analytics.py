@@ -1,1 +1,185 @@
-"""Placeholder — queries land in a later milestone."""
+"""Log-analytics composite queries (SURVEY.md §2.8) — the reference's
+own user-facing surface (error rates, noisy sources, keyword search,
+burst detection, funnels), re-expressed as single declarative plans.
+
+Scale shape: every query aggregates early (map-side partial agg) so
+the shuffle carries buckets, not events. At 100 TB the hourly/minute
+rollups shuffle ~tens of thousands of rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+
+@register(
+    "log_error_rate_hourly",
+    "log",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*)
+         AS error_rate
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+)
+def log_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    n_err = F.count_if(F.col("event_type") == "error")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count("*").alias("n_events"),
+        n_err.alias("n_errors"),
+        (n_err.cast("double") / F.count("*")).alias("error_rate"),
+    )
+
+
+@register(
+    "log_top_services",
+    "log",
+    oracle="""
+SELECT user_id, n_errors, rn AS noise_rank
+FROM (
+  SELECT user_id, count(*) AS n_errors,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+  FROM events
+  WHERE event_type = 'error'
+  GROUP BY user_id
+)
+WHERE rn <= 10
+""",
+)
+def log_top_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 noisiest error sources. Aggregate FIRST (events → one row
+    per user), THEN rank the tiny aggregate — the single-partition
+    ranking window only ever sees |users| rows."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    w = Window.orderBy(F.col("n_errors").desc(), F.col("user_id"))
+    return (
+        per_user.withColumn("noise_rank", F.row_number().over(w))
+        .filter(F.col("noise_rank") <= 10)
+        .select("user_id", "n_errors", "noise_rank")
+    )
+
+
+@register(
+    "log_search",
+    "log",
+    oracle="""
+SELECT source,
+       count(*) AS n_hits,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS first_doc
+FROM documents
+WHERE text LIKE '%scan%' AND text NOT LIKE '%slow scan%'
+GROUP BY source
+""",
+)
+def log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with per-source hit counts — the reference's
+    'grep the consolidated store' operation. LIKE predicates are
+    codegen'd and evaluated during the scan."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").contains("scan") & ~F.col("text").like("%slow scan%"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "log_burst_detect",
+    "log",
+    oracle="""
+WITH per_min AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, count(*) AS n
+  FROM events
+  GROUP BY 1
+), with_avg AS (
+  SELECT minute, n,
+         CAST(sum(n) OVER trail AS DOUBLE)
+           / nullif(count(n) OVER trail, 0) AS trailing_avg
+  FROM per_min
+  WINDOW trail AS (ORDER BY minute ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT minute, n, trailing_avg
+FROM with_avg
+WHERE trailing_avg IS NOT NULL AND n > 2.0 * trailing_avg
+""",
+)
+def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minutes whose event count exceeds 2× the trailing-10-minute
+    average. Aggregates to per-minute buckets first, so the window
+    pass runs over ~43k rows/month regardless of event volume."""
+    e = load(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        (F.unix_timestamp("ts") / 60).cast("long").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    trail = Window.orderBy("minute").rowsBetween(-10, -1)
+    with_avg = per_min.withColumn(
+        "trailing_avg",
+        F.sum("n").over(trail).cast("double") / F.nullif(F.count("n").over(trail), F.lit(0)),
+    )
+    return with_avg.filter(
+        F.col("trailing_avg").isNotNull() & (F.col("n") > 2.0 * F.col("trailing_avg"))
+    ).select("minute", "n", "trailing_avg")
+
+
+@register(
+    "log_user_funnel",
+    "log",
+    oracle="""
+WITH su AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS signup_s
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.signup_s
+)
+SELECT (SELECT count(*) FROM su)   AS n_signed,
+       (SELECT count(*) FROM conv) AS n_converted,
+       CAST((SELECT count(*) FROM conv) AS DOUBLE)
+         / (SELECT count(*) FROM su)    AS conversion_rate
+""",
+)
+def log_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→purchase conversion. The signup dim (one row per signed
+    user) broadcasts into the purchase scan — no fact-side shuffle."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("signup_s"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(su), "user_id")
+        .filter(F.col("s") >= F.col("signup_s"))
+        .select("user_id")
+        .distinct()
+    )
+    n_signed = su.agg(F.count("*").alias("n_signed"))
+    n_conv = conv.agg(F.count("*").alias("n_converted"))
+    return n_signed.crossJoin(n_conv).select(
+        "n_signed",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_signed")).alias("conversion_rate"),
+    )

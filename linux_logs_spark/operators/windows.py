@@ -1,1 +1,269 @@
-"""Placeholder — queries land in a later milestone."""
+"""Window functions (SURVEY.md §2.5).
+
+Each window is one shuffle on its partition key, then a local sort —
+the same plan a 1000-executor cluster runs; partition keys are chosen
+to be high-cardinality enough (custkey, user_id) that no single
+executor sees a skewed partition. Determinism rules: every orderBy
+carries a unique tiebreak column, and event timestamps order by whole
+seconds (+id) so ns-vs-µs precision differences can't reorder rows
+across engines (FIXTURES.md convention 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+
+@register(
+    "win_ranking",
+    "window",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist()    OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    "window",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+)
+SELECT event_id, user_id, event_type, s,
+       s - lag(s)  OVER w AS gap_s,
+       lead(s) OVER w - s AS next_gap_s
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user — the sessionization building block."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "s",
+        (F.col("s") - F.lag("s").over(w)).alias("gap_s"),
+        (F.lead("s").over(w) - F.col("s")).alias("next_gap_s"),
+    )
+
+
+@register(
+    "win_running",
+    "window",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spent,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / least(count(*) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg3
+FROM orders
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average; money accumulates in DECIMAL
+    (compat.py) so frame evaluation order can't drift the hash."""
+    o = load(spark, sf_dir, "orders")
+    ob = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = ob.rowsBetween(-2, Window.currentRow)
+    dec_price = F.col("o_totalprice").cast("decimal(25,2)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(dec_price).over(run).cast("double").alias("running_spent"),
+        (
+            F.sum(dec_price).over(mov).cast("double")
+            / F.least(F.count("*").over(mov), F.lit(3))
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "win_range_frame",
+    "window",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2)))
+            OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS near_qty_price,
+       count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_qty_n
+FROM lineitem
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: all rows whose l_quantity is within [q-5, q] —
+    value-based, so peers collapse identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+        .over(w)
+        .cast("double")
+        .alias("near_qty_price"),
+        F.count("*").over(w).alias("near_qty_n"),
+    )
+
+
+@register(
+    "win_first_last",
+    "window",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       first_value(event_id)   OVER w AS first_id,
+       last_value(event_id)    OVER w AS last_id
+FROM (SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w).alias("last_id"),
+    ).distinct()
+
+
+@register(
+    "topk_per_group",
+    "window",
+    oracle="""
+SELECT n_name, c_custkey, c_name, c_acctbal, rn AS rank_in_nation
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ranking window; deterministic tiebreak on
+    c_custkey. At scale this is the standard replacement for a global
+    sort: shuffle on the group key, heap-free local sort per group."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name", "c_custkey", "c_name", "c_acctbal",
+            F.row_number().over(w).alias("rank_in_nation"),
+        )
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+@register(
+    "sessionize",
+    "window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), gaps AS (
+  SELECT user_id, event_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                   > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, event_id, s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(s) AS session_start_s, max(s) AS session_end_s
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → gap flag → running sum
+    as session id → per-session rollup. Two window passes over ONE
+    shuffle on user_id (same partitioning reused), then the groupBy
+    reuses that partitioning too — no extra exchange.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(F.col("s") - F.lag("s").over(w) > 1800, 1).otherwise(0)
+    return (
+        e.withColumn("new_session", gap)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("s").alias("session_start_s"),
+            F.max("s").alias("session_end_s"),
+        )
+    )

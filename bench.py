@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the full registered query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced through the noop sink so the whole plan executes
+(a bare count() would let Catalyst prune projections). Per-category
+regressions localize via the query name prefixes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linux_logs_spark.registry import all_queries  # noqa: E402
+from linux_logs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    tag = os.path.basename(os.path.normpath(path))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _emit(timings: dict[str, float], partial: bool = False) -> None:
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+    }
+    if partial:
+        payload["partial"] = True
+    print(json.dumps(payload), flush=True)
+
+
+def main() -> None:
+    spark = get_spark(
+        "linux-logs-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    specs = all_queries()
+    only = sys.argv[1:]  # optional: bench a subset by name
+    names = only or sorted(specs)
+
+    timings: dict[str, float] = {}
+
+    # The host occasionally stalls for tens of seconds (shared VM);
+    # if we're killed by an external timeout mid-run, still emit the
+    # JSON line with whatever completed.
+    import signal
+
+    def on_term(signum, frame):
+        _emit(timings, partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    # absorb session/executor bootstrap so the first query isn't inflated
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    for name in names:
+        # Time plan construction + execution together: streaming
+        # queries do their micro-batch work inside fn().
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    _emit(timings)
+
+
+if __name__ == "__main__":
+    main()

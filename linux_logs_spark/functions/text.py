@@ -1,0 +1,76 @@
+"""Text-analysis building blocks for the LLM-data-pipeline operators.
+
+All JVM-side expression compositions (split / transform / sequence /
+xxhash64); the queries in operators/llm_pipeline.py assemble these.
+The corpus (documents.text) is single-space-separated lowercase ASCII
+words, so tokenization is exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic rolling-hash modulus: small enough that acc*31+c never
+# overflows int64 (M*31 + 127 < 2^63), large enough to avoid collisions.
+ROLLING_MOD = 100_000_000_000_000_003  # ~1e17, prime
+
+# Marker words for the n-gram language-ID heuristic. The synthetic
+# corpus shares one vocabulary across langs, so accuracy is irrelevant;
+# the heuristic's JOB here is to be a deterministic, oracle-checkable
+# scoring pipeline with the real shape (per-lang marker hit counts →
+# argmax with a fixed priority order).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("der", "die", "und", "merge"),
+    "es": ("el", "la", "los", "query"),
+    "fr": ("le", "la", "des", "table"),
+    "zh": ("zh", "hash", "spark", "window"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def words(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def word_shingles(ws: Column, n: int) -> Column:
+    """Overlapping n-word shingles as strings (LSH/minhash input)."""
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)])
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature: per seed k, min over shingles of
+    xxhash64(k, shingle). Array of n_hashes longs."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, k=k: F.xxhash64(F.lit(k), s)))
+            for k in range(n_hashes)
+        ]
+    )
+
+
+def marker_hits(ws: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over character codepoints, mod a
+    64-bit-safe prime: h = (h*31 + code(ch)) % M, left to right.
+    Matches DuckDB's list_reduce fold exactly (0-init ≡ first-element
+    seed because 0*31+c == c)."""
+    t = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_MOD),
+    )

@@ -1,1 +1,668 @@
-"""Placeholder — queries land in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2.11): dedup (exact, n-gram
+Jaccard, MinHash-LSH, SimHash), similarity search (brute-force cosine
+top-k, kNN label vote, LSH-bucketed ANN), text analysis (tokenize,
+TF-IDF, language-ID, quality scoring, fingerprinting), and multimodal
+columns.
+
+Scale shapes:
+- Exact dedup / token stats: hash-aggregate, map-side partial, one
+  shuffle on the dedup key.
+- MinHash-LSH / SimHash: the candidate join is an EQUI-join on
+  (band_id, band_hash) — the O(n²) pair space never materializes;
+  only same-bucket candidates are verified. This is the 100 TB path.
+- Brute-force cosine is the CORRECTNESS baseline (O(n²) cross join,
+  broadcast one side); sim_ann_lsh is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.session import default_parallelism
+from linux_logs_spark.functions.text import (
+    LANG_MARKERS,
+    ROLLING_MOD,
+    STOPWORDS,
+    marker_hits,
+    minhash_signature,
+    rolling_fingerprint,
+    word_shingles,
+    words,
+)
+from linux_logs_spark.functions.vector import (
+    as_double,
+    dot_const,
+    dot_unrolled,
+    norm_unrolled,
+)
+from linux_logs_spark.registry import register
+from linux_logs_spark.sources.multimodal import (
+    byte_histogram_features,
+    with_media_columns,
+)
+
+# ----------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    "llm",
+    oracle="""
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, keep-lowest-doc_id. Expressed as groupBy on
+    the text (hash shuffle on content) — at 100 TB you'd group on
+    sha2(text) to shuffle 32-byte keys instead of documents; here the
+    oracle groups raw text so we do too (same plan shape)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "llm",
+    oracle="""
+WITH w AS (
+  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), nw AS (
+  SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+FROM inter
+JOIN nw na ON doc_a = na.doc_id
+JOIN nw nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup within (lang, source) blocks.
+    Blocking keys bound the pair space (classic blocked dedup); the
+    intersection is computed by an equi-join on the posting list
+    (word), never by materializing pairs × vocab."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", "lang", "source", F.explode(words("text")).alias("word"))
+        .distinct()
+    )
+    nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na, nb = nw.alias("na"), nw.alias("nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+@register("dedup_near_minhash", "llm", oracle=None)  # xxhash64 minhash → rows-only
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection — the 100 TB dedup
+    path: shingle → 16-seed minhash signature → 4 bands → equi-join on
+    (band_id, band_hash) → verify candidates with exact Jaccard.
+    Candidate generation is a hash-shuffle equi-join; cost scales with
+    bucket collisions, not n². DuckDB has no xxhash64 → rows-only.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = (
+        d.select("doc_id", words("text").alias("w"))
+        .withColumn("sig", minhash_signature(word_shingles(F.col("w"), 3), N_MINHASH))
+        .withColumn("wset", F.array_distinct("w"))
+        .select("doc_id", "sig", "wset")
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "wset",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "wset", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.wset").alias("wa"),
+            F.col("b.wset").alias("wb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("wa", "wb")).cast("double") / F.size(
+        F.array_union("wa", "wb")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 48
+
+
+@register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit signature from word-hash bit votes,
+    banded into 4×12-bit keys for candidate generation, verified by
+    Hamming distance (bit_count(xor) <= 6). All JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    per_word = d.select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
+    )
+    # Bit votes are a property of the WORD — compute them once on the
+    # distinct vocabulary (tiny dim) as 48 plain int columns, broadcast
+    # into the posting list, and aggregate with 48 codegen'd sums.
+    # (An array-of-votes fold over collect_list was interpreted per
+    # element and ~20× slower.)
+    vocab = (
+        per_word.select("word")
+        .distinct()
+        .withColumn("h", F.xxhash64("word"))
+        .select(
+            "word",
+            *[
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .alias(f"v{j}")
+                for j in range(SIMHASH_BITS)
+            ],
+        )
+    )
+    sums = (
+        per_word.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
+    )
+    simhash = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):  # MSB-first to mirror the acc*2 fold
+        simhash = simhash * 2 + F.when(F.col(f"s{SIMHASH_BITS - 1 - j}") >= 0, 1).otherwise(0)
+    summed = sums.select("doc_id", simhash.alias("simhash"))
+    banded = summed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * 12).bitwiseAND(F.lit(0xFFF)).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+# sim_knn_label builds on sim_cosine_topk's ranked neighbors; persist
+# the (small, 5·n-row) ranked result per (app, sf_dir) so the O(n²)
+# pair scan runs once, not once per downstream query.
+_topk_cache: dict[tuple[str, str], DataFrame] = {}
+
+_COSINE_RANKED_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS nn_rank
+  FROM pairs
+)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    "llm",
+    oracle=_COSINE_RANKED_SQL
+    + "SELECT vec_id, neighbor_id, sim, nn_rank FROM ranked WHERE nn_rank <= 5",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector — the exact
+    baseline. Cross join broadcasts one side; the dot product is a
+    JVM-side zip_with/aggregate fold (no Python). Sim is rounded to 6
+    digits BEFORE ranking so cross-engine 1-ulp drift can't flip
+    neighbor order (tiebreak: neighbor_id)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _topk_cache:
+        return _topk_cache[key]
+    e = load(spark, sf_dir, "embeddings")
+    # The table is one small parquet split; without an explicit
+    # repartition the O(n²) broadcast-nested-loop probe would run as a
+    # SINGLE task. Hash-partitioning the probe side by vec_id both
+    # spreads the work AND pre-satisfies the ranking window's
+    # distribution, so the n² pair stream never shuffles: pairs are
+    # ranked and cut to top-5 inside the partition that produced them.
+    e = e.repartition(default_parallelism(), "vec_id")
+    # Precompute each vector's norm ONCE (n rows), not per pair (n²);
+    # the pair loop then runs one unrolled codegen'd dot per pair.
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        as_double("embedding").alias("va"),
+        norm_unrolled(as_double("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("vb"),
+        norm_unrolled(as_double("embedding")).alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
+        "vec_id",
+        "neighbor_id",
+        F.round(
+            dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    topk = (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .persist()
+    )
+    _topk_cache[key] = topk
+    return topk
+
+
+@register(
+    "sim_knn_label",
+    "llm",
+    oracle=_COSINE_RANKED_SQL
+    + """
+, nb AS (
+  SELECT r.vec_id, e.label
+  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.nn_rank <= 5
+), votes AS (
+  SELECT vec_id, label, count(*) AS votes FROM nb GROUP BY 1, 2
+)
+SELECT vec_id, label AS pred_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY votes DESC, label) AS rn
+      FROM votes)
+WHERE rn = 1
+""",
+)
+def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among the 5 nearest neighbors (ties → smallest
+    label). Builds on the same ranked-neighbor plan as sim_cosine_topk."""
+    e = load(spark, sf_dir, "embeddings")
+    topk = sim_cosine_topk(spark, sf_dir)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+N_PLANES = 8
+
+
+@register("sim_ann_lsh", "llm", oracle=None)  # approximate by design → rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 signed projections
+    → 256 buckets → exact cosine only within the bucket. The scale
+    path: the join is an equi-join on bucket, never a cross join.
+    Hyperplanes are deterministic driver-side constants (sin series),
+    so results are reproducible run-to-run."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = [
+        [math.sin(1.0 + j * dim + i) for i in range(dim)] for j in range(N_PLANES)
+    ]
+    v = as_double("embedding")
+    bucket = F.lit(0).cast("long")
+    for p in planes:
+        # constant-coefficient projection: codegen'd multiply-add chain,
+        # no per-row array literals (the F.array form ran ~30s at sf0.1)
+        bucket = bucket * 2 + F.when(dot_const(v, p) >= 0, 1).otherwise(0)
+    bucketed = e.select(
+        "vec_id", v.alias("v"), norm_unrolled(v).alias("nv"), bucket.alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            dot_unrolled(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nv") * F.col("b.nv")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("nn_rank", F.row_number().over(w)).filter(
+        F.col("nn_rank") <= 5
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+
+@register(
+    "text_tokenize_counts",
+    "llm",
+    oracle="""
+SELECT lang, word, count(*) AS n
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY lang, word
+""",
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(words("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_tfidf",
+    "llm",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM (
+  SELECT doc_id, word, tf,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, word) AS rn,
+         n_docs, df
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+WHERE rn <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. df (vocab-sized) broadcasts
+    into the tf table; the corpus size joins in as a broadcast scalar
+    (no collect — stays one lazy plan)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "tfidf")
+    )
+
+
+@register(
+    "text_lang_stats",
+    "llm",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       sum(len(string_split(text, ' '))) AS total_words,
+       count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.size(words("text")).cast("long")).alias("total_words"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n       ".join(
+        "len(list_filter(string_split(text, ' '), w -> w IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    case = " ".join(
+        f"WHEN h_{lang} = mx THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+       {hit_cols}
+  FROM documents
+), scored AS (
+  SELECT *, greatest(h_en, h_de, h_es, h_fr, h_zh) AS mx FROM hits
+)
+SELECT doc_id, lang, CASE {case} END AS pred_lang,
+       (CASE {case} END = lang) AS is_correct
+FROM scored
+"""
+
+
+@register("text_lang_id", "llm", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language-ID heuristic: per-language marker
+    hit counts → argmax with fixed priority order. (The synthetic
+    corpus shares one vocabulary across langs, so accuracy is
+    meaningless here — the pipeline shape and determinism are what's
+    under test.)"""
+    d = load(spark, sf_dir, "documents")
+    ws = words("text")
+    hits = d.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_hits(ws, markers).alias(f"h_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    mx = F.greatest(*[F.col(f"h_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(F.col("h_en") == mx, "en")
+    for lang in list(LANG_MARKERS)[1:]:
+        pred = pred.when(F.col(f"h_{lang}") == mx, lang)
+    return hits.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "text_quality_score",
+    "llm",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) * 0.1
+         + CAST(n_stop AS DOUBLE) / n_words AS quality_score
+FROM x
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length + stopword-ratio features
+    composed with fixed parenthesization (doubles bit-match the
+    oracle). Punctuation ratio omitted — the corpus has none."""
+    d = load(spark, sf_dir, "documents")
+    ws = words("text")
+    x = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(ws).alias("n_words"),
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    awl = (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")
+    sr = F.col("n_stop").cast("double") / F.col("n_words")
+    return x.select(
+        "doc_id",
+        "n_words",
+        awl.alias("avg_word_len"),
+        sr.alias("stop_ratio"),
+        (awl * 0.1 + sr).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "llm",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT)),
+         (a, c) -> (a * 31 + c) % {ROLLING_MOD}
+       ) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint (codepoint fold
+    mod a 64-bit-safe prime) — identical fold in both engines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_join",
+    "llm",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       CAST(len(e.embedding) AS BIGINT) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings → multimodal (text, vector) rows; the
+    shape every retrieval pipeline starts from."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@register("multimodal_features", "llm", oracle=None)  # mapInPandas plumbing → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real multimodal
+    plumbing (binary column + metadata struct + Arrow-batched
+    mapInPandas). Codecs are stubbed (sources/multimodal.py); the
+    histogram features are deterministic."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media_columns(d)
+    return byte_histogram_features(media)

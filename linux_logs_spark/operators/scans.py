@@ -1,1 +1,169 @@
-"""Placeholder — queries land in a later milestone."""
+"""Scans, sources, sinks (SURVEY.md §2.1).
+
+The reference's pipeline is `log file → regex parse → searchable
+store`. Here: text/CSV/JSON sources with EXPLICIT schemas (never
+inferSchema in production — one bad row flips a column type), the
+syslog regex parser as codegen'd expressions, and a partitioned
+parquet sink (partition pruning at read time is what makes the
+100 TB "searchable store" searchable).
+
+Roundtrip queries write under REPO/.scratch/<sf>/ — side-effect-free
+w.r.t. the testdata, idempotent via overwrite mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.abspath(os.path.join(_SCRATCH, tag, name))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@register("scan_parquet", "scan", oracle="SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "nation")
+
+
+_SYSLOG_RE = r"^(\w+ +\d+ [\d:]+) (\S+) ([\w.-]+)\[(\d+)\]: (.*)$"
+
+
+@register(
+    "scan_text_parse",
+    "scan",
+    oracle=rf"""
+WITH lines AS (
+  SELECT printf('Jan %02d 03:14:%02d host%d svc%d[%d]: %s',
+                doc_id % 27 + 1, doc_id % 60, doc_id % 5,
+                doc_id % 8, 1000 + doc_id % 900, text) AS value
+  FROM documents
+)
+SELECT regexp_extract(value, '{_SYSLOG_RE}', 1) AS ts_str,
+       regexp_extract(value, '{_SYSLOG_RE}', 2) AS host,
+       regexp_extract(value, '{_SYSLOG_RE}', 3) AS service,
+       CAST(regexp_extract(value, '{_SYSLOG_RE}', 4) AS BIGINT) AS pid,
+       regexp_extract(value, '{_SYSLOG_RE}', 5) AS message
+FROM lines
+""",
+)
+def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's core operation: raw syslog line → typed record.
+
+    Deterministic syslog-style lines are synthesized from documents,
+    round-tripped through a real text file (spark.read.text), then
+    parsed with one regex via regexp_extract — all codegen'd JVM
+    expressions, no Python. The oracle synthesizes the same lines
+    inline and must produce identical parsed fields.
+    """
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.format_string(
+            "Jan %02d 03:14:%02d host%d svc%d[%d]: %s",
+            F.col("doc_id") % 27 + 1,
+            F.col("doc_id") % 60,
+            F.col("doc_id") % 5,
+            F.col("doc_id") % 8,
+            F.col("doc_id") % 900 + 1000,
+            F.col("text"),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "syslog_txt")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.regexp_extract("value", _SYSLOG_RE, 1).alias("ts_str"),
+        F.regexp_extract("value", _SYSLOG_RE, 2).alias("host"),
+        F.regexp_extract("value", _SYSLOG_RE, 3).alias("service"),
+        F.regexp_extract("value", _SYSLOG_RE, 4).cast("long").alias("pid"),
+        F.regexp_extract("value", _SYSLOG_RE, 5).alias("message"),
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    "scan",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with an explicit schema (no inference).
+    Columns chosen to be text-roundtrip-exact (ints, enums, 2dp
+    doubles — shortest-repr printing parses back bit-identical)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = _scratch(sf_dir, "events_csv")
+    e.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+@register(
+    "scan_json_lines",
+    "scan",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = _scratch(sf_dir, "docs_json")
+    d.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "sink_parquet_partitioned",
+    "scan",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS dt,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink → read back → aggregate.
+
+    This is the 'searchable store' layout for 100 TB of logs: writes
+    land in dt=YYYY-MM-DD directories, so any time-bounded query
+    prunes partitions at planning time (zero I/O outside the range).
+    The read-back count verifies no rows were lost or duplicated."""
+    e = load(spark, sf_dir, "events")
+    path = _scratch(sf_dir, "events_by_day")
+    (
+        e.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    # dt surfaces as a string: DATE-typed cells materialize as
+    # date-vs-midnight-datetime across engines and break the hash.
+    return back.groupBy(F.col("dt").cast("string").alias("dt"), "event_type").agg(
+        F.count("*").alias("n")
+    )

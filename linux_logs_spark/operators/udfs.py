@@ -1,1 +1,133 @@
-"""Placeholder — queries land in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+Ladder of escape hatches, in preference order (pyspark_guide):
+built-ins (everything else in this repo) → pandas_udf (Arrow-batched,
+vectorized) → applyInPandas (grouped map) → plain Python UDF (row-at-
+a-time pickling; registered here once to prove the surface, never in
+a hot path). Each UDF's semantics are re-expressed in plain SQL for
+the oracle, so parity also documents exactly what the UDF computes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import register
+
+_SEVERITY = {"error": 3, "purchase": 2, "signup": 2, "view": 1, "click": 1}
+
+
+@register(
+    "udf_python",
+    "udf",
+    oracle="""
+SELECT event_id,
+       CASE event_type WHEN 'error' THEN 3
+                       WHEN 'purchase' THEN 2
+                       WHEN 'signup' THEN 2
+                       ELSE 1 END AS severity
+FROM events
+""",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (severity parser) — the slow path,
+    registered for SQL use too (spark.udf.register)."""
+
+    @F.udf("int")
+    def severity_of(event_type: str) -> int:
+        return _SEVERITY.get(event_type, 1)
+
+    spark.udf.register("severity_of", severity_of)
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", severity_of("event_type").alias("severity"))
+
+
+@register(
+    "udf_pandas_scalar",
+    "udf",
+    oracle="""
+SELECT doc_id,
+       CAST(n_chars AS DOUBLE)
+         / (1.0 + (length(text) - length(replace(text, ' ', '')) + 1))
+         AS chars_per_word
+FROM documents
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF over Arrow batches — ~10-100× the plain
+    Python UDF. Word count = space count + 1 (single-space corpus),
+    identical arithmetic to the oracle so doubles match exactly."""
+
+    @F.pandas_udf("double")
+    def chars_per_word(n_chars: pd.Series, text: pd.Series) -> pd.Series:
+        n_words = text.str.count(" ") + 1
+        return n_chars.astype("float64") / (1.0 + n_words)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", chars_per_word("n_chars", "text").alias("chars_per_word")
+    )
+
+
+@register(
+    "udaf_pandas_agg",
+    "udf",
+    oracle="""
+SELECT lang,
+       round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geo_mean_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (geometric mean) as a GROUPED_AGG
+    pandas_udf. Rounded to 6 digits: np.log/np.mean and the oracle's
+    ln/avg accumulate in different orders (~1e-13 drift). Spark
+    disallows mixing GROUPED_AGG UDFs with built-in aggregates in one
+    agg(), so the UDF is the lone aggregate and rounding happens in a
+    following projection."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(geo_mean("n_chars").alias("gm"))
+        .select("lang", F.round("gm", 6).alias("geo_mean_chars"))
+    )
+
+
+@register(
+    "udtf_apply_in_pandas",
+    "udf",
+    oracle="""
+SELECT doc_id, lang,
+       round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+             / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z_chars
+FROM documents
+""",
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map 'UDTF': per-language z-score normalization via
+    applyInPandas (whole group as a pandas DataFrame in, transformed
+    frame out). The per-group state fits memory because groups are
+    languages — bounded cardinality even at 100 TB."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("float64")
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z.round(6)}
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, z_chars double"
+    )

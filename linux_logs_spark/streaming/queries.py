@@ -1,1 +1,236 @@
-"""Structured Streaming queries (SURVEY.md §2.9)."""
+"""Structured Streaming queries (SURVEY.md §2.9) over the events table.
+
+Each query runs the real streaming engine — ``readStream`` over the
+events parquet, micro-batches via ``trigger(availableNow=True)`` into
+an in-memory sink — and must converge to the batch answer, which is
+what the DuckDB oracle checks (late-data semantics are rows-only).
+
+Determinism: event-time is floored to whole seconds BEFORE windowing,
+because gap/window boundaries computed on µs timestamps vs the
+oracle's ns timestamps could split borderline sessions differently
+(a 1800.5s gap is >30min at full precision but not after flooring —
+both engines must see the same floored value). Window starts surface
+as epoch seconds (BIGINT), never raw timestamps.
+
+At scale: the same plans run unchanged against a Kafka source with
+watermarks bounding state; availableNow is the backfill/batch-replay
+mode of the SAME code path.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load, table_path
+from linux_logs_spark.registry import register
+
+_counter = itertools.count()
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """Copy events.parquet into REPO/.scratch/<sf>/stream_events/ once
+    (idempotent on size match) and return the directory path."""
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(repo_root, ".scratch", tag, "stream_events")
+    os.makedirs(d, exist_ok=True)
+    src = table_path(sf_dir, "events")
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the batch-identical schema.
+
+    The parquet stores ts as TIMESTAMP(NANOS) (read as long under
+    nanosAsLong); the stream converts to a µs timestamp exactly like
+    catalog.load, then floors to whole seconds (see module docstring).
+    """
+    batch = load(spark, sf_dir, "events")  # also asserts session confs
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # The file-stream source only accepts a DIRECTORY (events.parquet is
+    # a single file, and option("basePath") is rejected for files), so
+    # stage the file into a scratch dir once and stream that.
+    src_dir = _staged_events_dir(sf_dir)
+    src = spark.readStream.schema(raw_schema).parquet(src_dir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _ = batch.schema  # keep the lazy batch plan alive for schema parity
+    return src.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
+
+
+def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
+    """Execute to completion via availableNow into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"stream_out_{next(_counter)}"
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    "streaming",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows ≡ batch date_trunc('hour') counts —
+    Spark windows are epoch-aligned, so the equivalence is exact."""
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "event_type",
+        "n",
+    )
+    return _run(spark, out, "complete")
+
+
+@register(
+    "stream_sliding",
+    "streaming",
+    oracle="""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 - j) * 900 AS window_start_s,
+       count(*) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 15min: each event lands in exactly 4
+    windows; the oracle replays that expansion with integer epoch
+    arithmetic (floor to the containing 15-min slot, back-step j)."""
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"), "n"
+    )
+    return _run(spark, out, "complete")
+
+
+@register(
+    "stream_session",
+    "streaming",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), gaps AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), sess AS (
+  SELECT user_id, s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+)
+SELECT user_id, min(s) AS session_start_s, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — the streaming-native
+    sessionizer; must equal the batch gap-based formulation
+    (sessionize in operators/windows.py) on floored-second times."""
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start_s"),
+        "n_events",
+    )
+    return _run(spark, out, "complete")
+
+
+@register("stream_watermark_late", "streaming", oracle=None)  # late-drop → rows-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode windowed agg: only windows the 10-min
+    watermark has closed are emitted, so the result is a strict subset
+    of the batch answer (the final open windows stay in state) —
+    inherently rows-only."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "event_type",
+        "n",
+    )
+    return _run(spark, out, "append")
+
+
+@register("stream_dedup", "streaming", oracle=None)  # stateful dedup → rows-only
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark) — state is evicted once the key's
+    event time passes the watermark, which is what makes dedup
+    feasible on an unbounded 100 TB stream."""
+    src = _events_stream(spark, sf_dir)
+    deduped = src.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = deduped.select("event_id", "user_id", "event_type")
+    return _run(spark, out, "append")
+
+
+@register(
+    "stream_static_join",
+    "streaming",
+    oracle="""
+WITH ua AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / count(value) AS user_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, ua.user_avg
+FROM events e JOIN ua ON e.user_id = ua.user_id
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension enrichment: the static side (per-user
+    averages, batch-computed) broadcasts into every micro-batch."""
+    static_avg = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+                / F.count("value")
+            ).alias("user_avg")
+        )
+    )
+    src = _events_stream(spark, sf_dir)
+    joined = src.join(F.broadcast(static_avg), "user_id").select(
+        "event_id", "user_id", "event_type", "user_avg"
+    )
+    return _run(spark, joined, "append")

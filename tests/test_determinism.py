@@ -1,0 +1,58 @@
+"""Property checks for the cross-engine determinism conventions
+(functions/compat.py): the values the driver hashes must be invariant
+to partitioning/accumulation order, because a 1000-executor cluster
+will accumulate in a different order than local[8] or DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.compat import dsum
+from linux_logs_spark.functions.text import ROLLING_MOD, rolling_fingerprint
+
+
+def test_decimal_sum_invariant_under_repartition(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    results = set()
+    for n in (1, 7, 32):
+        row = (
+            li.repartition(n)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .collect()[0][0]
+        )
+        results.add(row)
+    assert len(results) == 1, f"decimal sum drifted across partitionings: {results}"
+
+
+def test_double_sum_is_why_we_need_decimal(spark, sf_dir):
+    """Documents the failure mode: raw double sums DO drift with
+    partitioning (if this ever starts passing for all n, the decimal
+    convention could be revisited)."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = {
+        li.repartition(n)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .collect()[0][0]
+        for n in (1, 7, 32)
+    }
+    # not asserting drift (it's possible but not guaranteed); assert the
+    # decimal path at least matches the single-partition double sum to 2dp
+    one = round(sorted(vals)[0], 2)
+    dec = round(
+        li.agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .collect()[0][0],
+        2,
+    )
+    assert abs(one - dec) < 0.02
+
+
+def test_rolling_fingerprint_matches_python(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(20)
+    rows = d.select("text", rolling_fingerprint("text").alias("fp")).collect()
+    for r in rows:
+        h = 0
+        for ch in r["text"]:
+            h = (h * 31 + ord(ch)) % ROLLING_MOD
+        assert h == r["fp"], r["text"][:40]

@@ -1,0 +1,62 @@
+"""Physical-plan golden checks (SURVEY.md §5 dev-loop extras).
+
+Correctness tests can't see a silent scale regression — a broadcast
+that fell back to a shuffle join still returns the right rows. These
+tests pin the plan shapes the 100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+from linux_logs_spark.plans.explain import assert_in_plan, plan_string
+from linux_logs_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_broadcast_join_fires(spark, sf_dir):
+    df = _Q["join_broadcast"].fn(spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_star_join_broadcasts_both_dims(spark, sf_dir):
+    plan = plan_string(_Q["join_self_multi"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_string(_Q["q_filter_basic"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].splitlines()[0], plan
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = plan_string(_Q["q_filter_basic"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    assert_in_plan(_Q["limit_topk"].fn(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    plan = plan_string(_Q["agg_groupby"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_theta_range_broadcasts_band_dim(spark, sf_dir):
+    assert_in_plan(_Q["join_theta_range"].fn(spark, sf_dir), "BroadcastNestedLoopJoin")
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
+    # AQE hides *(n) markers until execution; codegen mode still
+    # reports the fused subtrees up front.
+    plan = plan_string(_Q["agg_groupby"].fn(spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan, plan
+    assert "Found 0" not in plan.splitlines()[1], plan
+
+
+def test_semi_anti_are_broadcast_joins(spark, sf_dir):
+    for name in ("join_left_semi", "join_left_anti"):
+        plan = plan_string(_Q[name].fn(spark, sf_dir))
+        assert "Join" in plan, plan

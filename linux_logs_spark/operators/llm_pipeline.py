@@ -269,6 +269,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    "llm",
+    oracle="""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: pairs whose cosine similarity clears a
+    threshold. Same unrolled-dot machinery as sim_cosine_topk; at
+    100 TB the LSH bucketing (sim_ann_lsh) generates the candidates and
+    this exact check verifies them."""
+    from linux_logs_spark.functions.vector import as_double, dot_unrolled, norm_unrolled
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism(), "vec_id"
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        as_double("embedding").alias("va"),
+        norm_unrolled(as_double("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        as_double("embedding").alias("vb"),
+        norm_unrolled(as_double("embedding")).alias("nb"),
+    )
+    sim = F.round(
+        dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 # sim_knn_label builds on sim_cosine_topk's ranked neighbors; persist
@@ -448,6 +490,37 @@ def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ISH = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*|[bcdfghjklmnpqrstvwxyz]+"
+
+
+@register(
+    "text_token_count_bpe",
+    "llm",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_subword_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS subwords_per_word
+FROM documents
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    vowel-cluster subword regex (a deterministic stand-in for a real
+    BPE vocab — the Spark shape is identical: regexp_extract_all per
+    row, codegen'd, no Python)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(words("text"))
+    sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        sub.alias("n_subword_tokens"),
+        (sub.cast("double") / ws).alias("subwords_per_word"),
+    )
+
+
 @register(
     "text_tfidf",
     "llm",
@@ -477,7 +550,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (rows are already unique per (doc, word)):
+    # one fewer pass over the exploded tokens and no countDistinct
+    # shuffle — at 100 TB the token explosion is the dominant volume.
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.round(
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6

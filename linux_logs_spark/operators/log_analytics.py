@@ -143,43 +143,44 @@ def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log_user_funnel",
     "log",
     oracle="""
-WITH su AS (
-  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS signup_s
-  FROM events WHERE event_type = 'signup' GROUP BY user_id
-), conv AS (
-  SELECT DISTINCT e.user_id
-  FROM events e JOIN su ON e.user_id = su.user_id
-  WHERE e.event_type = 'purchase'
-    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.signup_s
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS signup_s,
+         max(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS last_purchase_s
+  FROM events
+  GROUP BY user_id
 )
-SELECT (SELECT count(*) FROM su)   AS n_signed,
-       (SELECT count(*) FROM conv) AS n_converted,
-       CAST((SELECT count(*) FROM conv) AS DOUBLE)
-         / (SELECT count(*) FROM su)    AS conversion_rate
+SELECT count(signup_s) AS n_signed,
+       count(CASE WHEN last_purchase_s >= signup_s THEN 1 END) AS n_converted,
+       CAST(count(CASE WHEN last_purchase_s >= signup_s THEN 1 END) AS DOUBLE)
+         / count(signup_s) AS conversion_rate
+FROM per_user
 """,
 )
 def log_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """signup→purchase conversion. The signup dim (one row per signed
-    user) broadcasts into the purchase scan — no fact-side shuffle."""
+    """signup→purchase conversion in a SINGLE pass over events: a user
+    converted iff max(purchase_s) >= min(signup_s) (some purchase at or
+    after the first signup), so one groupBy(user) + one global agg —
+    no join, no second scan. The earlier join formulation cost 7
+    exchanges; this costs 2."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("s")
     )
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("s").alias("signup_s"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("s"))).alias("signup_s"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s"))).alias(
+            "last_purchase_s"
+        ),
     )
-    conv = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(su), "user_id")
-        .filter(F.col("s") >= F.col("signup_s"))
-        .select("user_id")
-        .distinct()
+    converted = F.when(
+        F.col("last_purchase_s") >= F.col("signup_s"), F.lit(1)
     )
-    n_signed = su.agg(F.count("*").alias("n_signed"))
-    n_conv = conv.agg(F.count("*").alias("n_converted"))
-    return n_signed.crossJoin(n_conv).select(
-        "n_signed",
-        "n_converted",
-        (F.col("n_converted").cast("double") / F.col("n_signed")).alias("conversion_rate"),
+    return per_user.agg(
+        F.count("signup_s").alias("n_signed"),
+        F.count(converted).alias("n_converted"),
+        (F.count(converted).cast("double") / F.count("signup_s")).alias(
+            "conversion_rate"
+        ),
     )

@@ -170,7 +170,7 @@ SELECT event_id,
        xor(event_id, user_id)            AS xored,
        event_id << 2                     AS shifted_l,
        event_id >> 3                     AS shifted_r,
-       bit_count(event_id)               AS popcount
+       CAST(bit_count(event_id) AS BIGINT) AS popcount
 FROM events
 """,
 )
@@ -230,5 +230,5 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         e.repartition(8, "vec_id")
-        .mapInPandas(topk, "vec_id long, neighbor_id long, sim double, nn_rank int")
+        .mapInPandas(topk, "vec_id long, neighbor_id long, sim double, nn_rank long")
     )

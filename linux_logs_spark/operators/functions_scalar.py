@@ -28,7 +28,7 @@ SELECT c_custkey,
        upper(c_mktsegment)                              AS useg,
        substring(c_name, 10, 9)                         AS id_digits,
        concat_ws('|', c_mktsegment, c_name)             AS tagged,
-       length(c_name)                                   AS name_len,
+       CAST(length(c_name) AS BIGINT)                   AS name_len,
        lpad(CAST(c_custkey AS VARCHAR), 10, '0')        AS padded_key,
        replace(c_name, 'Customer#', 'C-')               AS short_name,
        trim(concat('  ', c_mktsegment, '  '))           AS trimmed
@@ -43,7 +43,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_mktsegment").alias("useg"),
         F.substring("c_name", 10, 9).alias("id_digits"),
         F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
         F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("short_name"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
@@ -141,7 +141,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar",
     oracle="""
 SELECT doc_id,
-       len(string_split(text, ' '))                               AS n_words,
+       CAST(len(string_split(text, ' ')) AS BIGINT)               AS n_words,
        list_contains(string_split(text, ' '), 'data')             AS has_data,
        list_sort(list_slice(string_split(text, ' '), 1, 5))       AS first5_sorted,
        list_transform(list_slice(string_split(text, ' '), 1, 3),
@@ -155,7 +155,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "data").alias("has_data"),
         F.sort_array(F.slice(words, 1, 5)).alias("first5_sorted"),
         F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)).alias("first3_upper"),

@@ -377,7 +377,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     topk = (
-        pairs.withColumn("nn_rank", F.row_number().over(w))
+        pairs.withColumn("nn_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nn_rank") <= 5)
         .persist()
     )
@@ -464,7 +464,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return pairs.withColumn("nn_rank", F.row_number().over(w)).filter(
+    return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
         F.col("nn_rank") <= 5
     )
 
@@ -498,8 +498,8 @@ _BPE_ISH = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*|[bcdfghjklm
     "llm",
     oracle=f"""
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_subword_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_subword_tokens,
        CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS DOUBLE)
          / len(string_split(text, ' ')) AS subwords_per_word
 FROM documents
@@ -511,8 +511,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE vocab — the Spark shape is identical: regexp_extract_all per
     row, codegen'd, no Python)."""
     d = load(spark, sf_dir, "documents")
-    ws = F.size(words("text"))
-    sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0)))
+    ws = F.size(words("text")).cast("long")
+    sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))).cast("long")
     return d.select(
         "doc_id",
         ws.alias("n_ws_tokens"),
@@ -576,7 +576,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-       sum(len(string_split(text, ' '))) AS total_words,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
        count(DISTINCT source) AS n_sources
 FROM documents
 GROUP BY lang
@@ -651,7 +651,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH x AS (
   SELECT doc_id, n_chars,
-         len(string_split(text, ' ')) AS n_words,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          len(list_filter(string_split(text, ' '),
              w -> w IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS n_stop
   FROM documents
@@ -673,7 +673,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = d.select(
         "doc_id",
         "n_chars",
-        F.size(ws).alias("n_words"),
+        F.size(ws).cast("long").alias("n_words"),
         F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
     )
     awl = (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")

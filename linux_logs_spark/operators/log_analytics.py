@@ -66,7 +66,7 @@ def log_top_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n_errors").desc(), F.col("user_id"))
     return (
-        per_user.withColumn("noise_rank", F.row_number().over(w))
+        per_user.withColumn("noise_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("noise_rank") <= 10)
         .select("user_id", "n_errors", "noise_rank")
     )

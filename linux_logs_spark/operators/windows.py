@@ -42,10 +42,10 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
@@ -214,7 +214,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "n_name", "c_custkey", "c_name", "c_acctbal",
-            F.row_number().over(w).alias("rank_in_nation"),
+            F.row_number().over(w).cast("long").alias("rank_in_nation"),
         )
         .filter(F.col("rank_in_nation") <= 3)
     )
@@ -234,9 +234,9 @@ WITH e AS (
   FROM e
 ), sess AS (
   SELECT user_id, event_id, s,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+                AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,

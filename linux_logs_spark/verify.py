@@ -61,6 +61,16 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _dtype_tag(dtype) -> str:
+    """Normalize a pandas dtype to a comparable tag (kind + width for
+    numerics — the driver may compare schemas more strictly than
+    values, so int32-vs-int64 drift is flagged here)."""
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "timestamp"
+    return s
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     issues: list[str] = []
@@ -70,6 +80,10 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if s_cols != o_cols:
         issues.append(f"columns: spark={s_cols} oracle={o_cols}")
         return issues
+    for c in s_cols:
+        st, ot = _dtype_tag(spark_pdf[c].dtype), _dtype_tag(oracle_pdf[c].dtype)
+        if st != ot:
+            issues.append(f"dtype[{c}]: spark={st} oracle={ot}")
     if issues:
         return issues
     s_rows = canonical_rows(spark_pdf)

@@ -136,6 +136,22 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc_roundtrip",
+    "scan",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source — the second columnar format the engine
+    speaks; same pushdown/pruning machinery as parquet."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch(sf_dir, "supplier_orc")
+    s.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
     "sink_parquet_partitioned",
     "scan",
     oracle="""

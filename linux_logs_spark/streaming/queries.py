@@ -203,6 +203,46 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, "append")
 
 
+@register(
+    "stream_foreach_batch",
+    "streaming",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands in a parquet target
+    via an idempotent batch write keyed by epoch — the exactly-once
+    custom-sink pattern (e.g. MERGE into a warehouse table). The
+    read-back aggregate must equal the batch answer."""
+    import shutil
+
+    src = _events_stream(spark, sf_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join(repo_root, ".scratch", tag, "foreach_batch_out")
+    shutil.rmtree(target, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # idempotent per-epoch directory: a retried epoch overwrites
+        # its own output instead of duplicating rows
+        batch_df.select("event_id", "event_type").write.mode("overwrite").parquet(
+            os.path.join(target, f"epoch={epoch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(target, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(target, "epoch=*"))
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
 @register("stream_custom_state", "streaming", oracle=None)  # custom state → rows-only
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user

@@ -253,6 +253,11 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # The stateful shuffle spawns a Python worker per partition per
+    # micro-batch; with only |users| state keys, 32 partitions are pure
+    # overhead. Pin a narrower width for this query, then restore.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     src = _events_stream(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):
@@ -278,7 +283,10 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run(spark, out, "update")
+    try:
+        return _run(spark, out, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 @register(

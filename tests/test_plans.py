@@ -60,3 +60,21 @@ def test_semi_anti_are_broadcast_joins(spark, sf_dir):
     for name in ("join_left_semi", "join_left_anti"):
         plan = plan_string(_Q[name].fn(spark, sf_dir))
         assert "Join" in plan, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The dt=-partitioned store must serve time-bounded queries with
+    partition pruning (PartitionFilters at the scan), reading only the
+    in-range directories — the property that makes a 100 TB log store
+    searchable."""
+    from pyspark.sql import functions as F
+
+    _Q["sink_parquet_partitioned"].fn(spark, sf_dir).collect()  # materialize store
+    from linux_logs_spark.operators.scans import _scratch
+
+    path = _scratch(sf_dir, "events_by_day")
+    back = spark.read.parquet(path).filter(F.col("dt") == "2024-01-05")
+    plan = plan_string(back)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "dt" in pf, plan
+    assert back.count() > 0

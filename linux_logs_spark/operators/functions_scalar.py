@@ -219,6 +219,114 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map",
+    "scalar",
+    oracle="""
+SELECT event_id,
+       json_keys(props)                       AS prop_keys,
+       [CAST(props ->> 'k' AS INTEGER)]       AS prop_vals,
+       CAST(props ->> 'k' AS INTEGER)         AS k_val
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int>,
+    then keys/values/element access (props carries only key 'k', so
+    the oracle can reconstruct the same lists)."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_vals"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@register(
+    "fn_conditional",
+    "scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       greatest(l_quantity, l_discount * 100)      AS g,
+       least(l_tax, l_discount)                    AS l,
+       TRY_CAST(l_returnflag AS INTEGER)           AS flag_as_int,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE l_extendedprice / l_discount END  AS price_per_disc,
+       ifnull(nullif(l_returnflag, 'N'), 'NONE')   AS flag_or_none
+FROM lineitem
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-safe family incl. the try_* error-safe variants
+    (ANSI-mode-proof: try_cast of a non-numeric → NULL, divide guarded
+    against zero on both sides)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("l"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.when(F.col("l_discount") == 0, F.lit(None)).otherwise(
+            F.col("l_extendedprice") / F.col("l_discount")
+        ).alias("price_per_disc"),
+        F.ifnull(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@register(
+    "fn_interval",
+    "scalar",
+    oracle="""
+SELECT event_id,
+       CAST(floor(epoch(ts + INTERVAL 90 MINUTE)) AS BIGINT) AS plus_90m_s,
+       CAST(floor(epoch(ts - INTERVAL 1 DAY)) AS BIGINT)     AS minus_1d_s,
+       CAST(floor(epoch(date_trunc('day', ts) + INTERVAL 6 HOUR)) AS BIGINT)
+                                                             AS day_6am_s
+FROM events
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on event time; results surface as epoch
+    seconds per the cross-engine timestamp convention."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias(
+            "plus_90m_s"
+        ),
+        F.unix_timestamp(F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d_s"),
+        F.unix_timestamp(
+            F.date_trunc("day", "ts") + F.expr("INTERVAL 6 HOURS")
+        ).alias("day_6am_s"),
+    )
+
+
+@register(
+    "agg_bool",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0)    AS all_positive,
+       bool_or(l_discount > 0.09)  AS any_big_discount,
+       count(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@register(
     "fn_hash",
     "scalar",
     oracle="""

@@ -295,6 +295,39 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_string_concat",
+    "aggregate",
+    oracle="""
+SELECT n_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey) AS segments_csv
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): collect,
+    sort deterministically (value + unique key), then join — the
+    order-stable form that hash-matches across engines."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("c_mktsegment", "c_custkey"))
+                    ),
+                    lambda s: s.getField("c_mktsegment"),
+                ),
+            ).alias("segments_csv")
+        )
+    )
+
+
+@register(
     "agg_distinct_rows",
     "aggregate",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",

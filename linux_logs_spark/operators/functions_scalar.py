@@ -219,6 +219,32 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_posexplode",
+    "scalar",
+    oracle="""
+SELECT doc_id, pos, word FROM (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+WHERE pos <= 5
+""",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view with ordinality): first five
+    token positions per document; 1-based to match SQL ordinality."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word"
+        )
+        .filter(F.col("pos") <= 5)
+    )
+
+
+@register(
     "fn_map",
     "scalar",
     oracle="""

@@ -140,6 +140,39 @@ def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "log_event_transitions",
+    "log",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def log_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (bigram counts per user stream) —
+    the Markov-chain view of a log: which state follows which. One
+    window pass + one 25-row aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "log_user_funnel",
     "log",
     oracle="""

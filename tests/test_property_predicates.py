@@ -1,0 +1,65 @@
+"""Generative cross-engine check (SURVEY.md §5 dev-loop extras):
+random predicate combinations over orders must produce identical rows
+in Spark and DuckDB. Fixed queries pin known shapes; this sweeps the
+predicate space for semantic drift (comparison ops, IN lists, BETWEEN
+bounds, AND/OR nesting).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.verify import compare_frames, run_oracle
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["F", "O", "P"]
+
+predicate = st.fixed_dictionaries(
+    {
+        "lo": st.integers(min_value=1000, max_value=400000),
+        "span": st.integers(min_value=0, max_value=300000),
+        "prios": st.lists(st.sampled_from(PRIORITIES), min_size=1, max_size=5, unique=True),
+        "statuses": st.lists(st.sampled_from(STATUSES), min_size=1, max_size=3, unique=True),
+        "disjunct": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=predicate)
+def test_random_predicates_match_duckdb(spark, sf_dir, p):
+    from pyspark.sql import functions as F
+
+    lo, hi = float(p["lo"]), float(p["lo"] + p["span"])
+    prios = p["prios"]
+    statuses = p["statuses"]
+
+    price = F.col("o_totalprice").between(lo, hi)
+    inlist = F.col("o_orderpriority").isin(*prios) & F.col("o_orderstatus").isin(
+        *statuses
+    )
+    cond = price | inlist if p["disjunct"] else price & inlist
+
+    sdf = (
+        load(spark, sf_dir, "orders")
+        .filter(cond)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    )
+
+    prio_sql = ", ".join(f"'{x}'" for x in prios)
+    stat_sql = ", ".join(f"'{x}'" for x in statuses)
+    glue = "OR" if p["disjunct"] else "AND"
+    sql = f"""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE (o_totalprice BETWEEN {lo} AND {hi})
+       {glue} (o_orderpriority IN ({prio_sql}) AND o_orderstatus IN ({stat_sql}))
+    """
+    issues = compare_frames(sdf.toPandas(), run_oracle(sql, sf_dir))
+    assert not issues, f"{p}: {issues}"

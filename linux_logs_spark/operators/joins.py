@@ -185,9 +185,17 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi join → broadcast-nested-loop with the tiny band dim
     broadcast; the big side streams through without a shuffle."""
     p = load(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("budget", 0.0, 1000.0), ("standard", 1000.0, 1060.0), ("premium", 1060.0, 1e12)],
-        "band string, lo double, hi double",
+    # Pure-SQL inline relation: spark.createDataFrame goes through a
+    # Python->JVM conversion that showed multi-second stalls in long
+    # sessions; VALUES stays entirely JVM-side.
+    bands = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('budget',   CAST(0.0    AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+          ('standard', CAST(1000.0 AS DOUBLE), CAST(1060.0 AS DOUBLE)),
+          ('premium',  CAST(1060.0 AS DOUBLE), CAST(1e12   AS DOUBLE))
+        AS bands(band, lo, hi)
+        """
     )
     cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
     return p.join(F.broadcast(bands), cond).select("p_partkey", "p_retailprice", "band")

@@ -58,15 +58,15 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
     partitions — never materializes a partition in memory at once)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shift = 8 - FEATURE_BINS.bit_length() + 1  # byte>>shift == bin index
         for pdf in batches:
-            payloads = pdf["payload"]
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], payloads):
-                b = bytes(blob)
-                hist = [0] * FEATURE_BINS
-                for byte in b:
-                    hist[byte * FEATURE_BINS // 256] += 1
-                rows.append((doc_id, len(b), hist))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(b >> shift, minlength=FEATURE_BINS)
+                rows.append((doc_id, len(b), hist.tolist()))
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "features"])
 
     return media.mapInPandas(extract, "doc_id long, n_bytes long, features array<long>")

@@ -295,6 +295,30 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_min_max_by",
+    "aggregate",
+    oracle="""
+SELECT c_mktsegment,
+       arg_max(c_name, c_custkey) AS latest_customer,
+       arg_min(c_name, c_custkey) AS first_customer,
+       max(c_acctbal)             AS top_balance
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/
+    arg_min). Ordering key is the UNIQUE c_custkey so ties can't make
+    the picked row engine-dependent."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("latest_customer"),
+        F.min_by("c_name", "c_custkey").alias("first_customer"),
+        F.max("c_acctbal").alias("top_balance"),
+    )
+
+
+@register(
     "agg_string_concat",
     "aggregate",
     oracle="""

@@ -188,6 +188,34 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_nth_value",
+    "window",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       nth_value(o_orderkey, 2) OVER w AS second_order_key,
+       nth_value(o_totalprice, 2) OVER w AS second_order_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's second-ever order (nth_value over the full
+    frame; NULL for single-order customers)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    ).distinct()
+
+
+@register(
     "topk_per_group",
     "window",
     oracle="""

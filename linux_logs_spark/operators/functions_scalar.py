@@ -219,6 +219,65 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_trig",
+    "scalar",
+    oracle="""
+SELECT p_partkey,
+       round(sin(p_retailprice / 100.0), 6)                 AS s,
+       round(cos(p_retailprice / 100.0), 6)                 AS c,
+       round(atan2(CAST(p_size AS DOUBLE), 10.0), 6)        AS angle,
+       round(sqrt(p_retailprice), 6)                        AS root,
+       round(exp(p_size / 50.0), 6)                         AS growth
+FROM part
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental math family — libm-dependent, so rounded to 6
+    digits per the compat convention (sqrt alone is IEEE-exact)."""
+    p = load(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(price / 100.0), 6).alias("s"),
+        F.round(F.cos(price / 100.0), 6).alias("c"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 6).alias("angle"),
+        F.round(F.sqrt(price), 6).alias("root"),
+        F.round(F.exp(F.col("p_size") / 50.0), 6).alias("growth"),
+    )
+
+
+@register(
+    "fn_string_extended",
+    "scalar",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+           w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+                                            AS title_name,
+       reverse(p_name)                      AS reversed,
+       left(p_name, 4)                      AS prefix,
+       right(p_name, 4)                     AS suffix,
+       repeat(p_brand, 2)                   AS doubled,
+       translate(p_name, 'aeiou', 'AEIOU')  AS vowels_up,
+       CAST(strpos(p_name, ' ') AS BIGINT)  AS space_at
+FROM part
+""",
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("title_name"),
+        F.reverse("p_name").alias("reversed"),
+        F.substring("p_name", 1, 4).alias("prefix"),
+        F.expr("right(p_name, 4)").alias("suffix"),
+        F.repeat(F.col("p_brand"), 2).alias("doubled"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("p_name", " ").cast("long").alias("space_at"),
+    )
+
+
+@register(
     "fn_posexplode",
     "scalar",
     oracle="""

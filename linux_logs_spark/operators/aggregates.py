@@ -352,6 +352,38 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram",
+    "aggregate",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_lo,
+       count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS frac
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the distribution view every log metric
+    dashboard needs): integer bucketing is exact, the fraction is a
+    single double division — no rounding required."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    total = o.select(F.count("*").alias("total"))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("frac"),
+        )
+    )
+
+
+@register(
     "agg_distinct_rows",
     "aggregate",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",

@@ -140,6 +140,39 @@ def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "log_type_hour_matrix",
+    "log",
+    oracle="""
+SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup
+FROM events
+GROUP BY 1
+""",
+)
+def log_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type × hour-of-day matrix (the daily-rhythm dashboard
+    view) via pivot with an explicit value list — 24 output rows no
+    matter the input volume."""
+    e = load(spark, sf_dir, "events")
+    types = ["error", "view", "click", "purchase", "signup"]
+    p = (
+        e.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a cell had no rows; the FILTER oracle
+    # yields 0 — align with coalesce
+    return p.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
     "log_event_transitions",
     "log",
     oracle="""

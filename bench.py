@@ -34,17 +34,54 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+# The driver captures only a bounded tail of stdout; round 1's JSON
+# line carried all 109 per-query timings (~4 KB) and was truncated
+# mid-line, so it recorded "parsed": null. Keep the emitted line small:
+# headline queries only, full detail to bench_full.json beside us.
+HEADLINE = (
+    "agg_groupby",
+    "agg_rollup",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "win_ranking",
+    "sessionize",
+    "topk_per_group",
+    "scan_text_parse",
+    "log_error_rate_hourly",
+    "log_user_funnel",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_cosine_topk",
+    "text_tfidf",
+    "stream_tumbling",
+    "q_filter_basic",
+    "sort_multi",
+    "udtf_apply_in_pandas",
+    "multimodal_join",
+)
+
+
 def _emit(timings: dict[str, float], partial: bool = False) -> None:
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "wall_sec_all_queries",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "n_queries": len(timings),
         "sf": sf_of(SF_DIR),
     }
     if partial:
         payload["partial"] = True
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            "w",
+        ) as fh:
+            json.dump({"total_sec": total, "queries": timings, "sf": sf_of(SF_DIR)}, fh, indent=1)
+    except OSError:
+        pass
     print(json.dumps(payload), flush=True)
 
 

@@ -37,8 +37,15 @@ def words(text: Column | str) -> Column:
 
 
 def word_shingles(ws: Column, n: int) -> Column:
-    """Overlapping n-word shingles as strings (LSH/minhash input)."""
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    """Overlapping n-word shingles as strings (LSH/minhash input).
+
+    Guarded for short documents: F.sequence(0, size-n) with size < n
+    would produce a DESCENDING sequence ([0, -1]) and element_at(ws, 0)
+    raises; such docs get an empty shingle array instead.
+    """
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)])
     )

@@ -51,6 +51,29 @@ def dot_const(a: Column, coeffs: list[float]) -> Column:
     return functools.reduce(operator.add, terms)
 
 
+def dot_unrolled_raw(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """dot_unrolled over RAW float arrays, casting each ELEMENT.
+
+    Feeding ``dot_unrolled(as_double(v), ...)`` inlines the whole
+    64-element ``transform`` subtree into every term (64×65 ≈ 4k nodes
+    per use; sim_ann_lsh's bucket expression hit ~35k nodes and spent
+    seconds in Catalyst analysis alone). Casting at the element keeps
+    the tree flat (4 nodes/term) with bit-identical float→double math."""
+    terms = [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
+    return functools.reduce(operator.add, terms)
+
+
+def norm_unrolled_raw(a: Column, dim: int = EMBED_DIM) -> Column:
+    """‖a‖₂ over a RAW float array (per-element casts, flat tree)."""
+    return F.sqrt(dot_unrolled_raw(a, a, dim))
+
+
+def dot_const_raw(a: Column, coeffs: list[float]) -> Column:
+    """dot_const over a RAW float array (per-element casts)."""
+    terms = [a[i].cast("double") * F.lit(c) for i, c in enumerate(coeffs)]
+    return functools.reduce(operator.add, terms)
+
+
 def norm(a: Column) -> Column:
     """‖a‖₂ (double)."""
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))

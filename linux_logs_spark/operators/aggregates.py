@@ -275,21 +275,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate",
     oracle="""
 SELECT n_nationkey,
-       list(c_name ORDER BY c_name)                          AS customer_names,
-       list_sort(list(DISTINCT c_mktsegment))                AS segments
+       string_agg(c_name, '|' ORDER BY c_name)                         AS customer_names,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)    AS segments
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_nationkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with a deterministic sort. The arrays
+    are serialized to '|'-joined strings in the OUTPUT because the
+    driver's canonicalizer sorts result rows with pandas, which cannot
+    hash list cells (round-1 agg_collect crash); the engine-side array
+    aggregation is still what's exercised."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_name")).alias("customer_names"),
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias("customer_names"),
+            F.concat_ws("|", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
         )
     )
 

@@ -218,12 +218,14 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = (q @ M.T) / np.outer(qn, N)  # one GEMM per batch
             out = []
             for r, vid in enumerate(pdf["vec_id"]):
-                row = sims[r].copy()
+                # Round BEFORE selecting so boundary ties break on
+                # (sim, neighbor_id) exactly like sim_cosine_topk.
+                row = np.round(sims[r], 6)
                 row[id_pos[vid]] = -np.inf  # exclude self
                 nn = np.argpartition(-row, 5)[:5]
                 nn = nn[np.lexsort((I[nn], -row[nn]))]
                 for rank, j in enumerate(nn, start=1):
-                    out.append((vid, int(I[j]), round(float(row[j]), 6), rank))
+                    out.append((vid, int(I[j]), float(row[j]), rank))
             yield pd.DataFrame(
                 out, columns=["vec_id", "neighbor_id", "sim", "nn_rank"]
             )

@@ -143,22 +143,27 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT)               AS n_words,
        list_contains(string_split(text, ' '), 'data')             AS has_data,
-       list_sort(list_slice(string_split(text, ' '), 1, 5))       AS first5_sorted,
-       list_transform(list_slice(string_split(text, ' '), 1, 3),
-                      w -> upper(w))                              AS first3_upper
+       array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 5)), '|')
+                                                                  AS first5_sorted,
+       array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3),
+                      w -> upper(w)), '|')                        AS first3_upper
 FROM documents
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array construction + higher-order functions, all JVM-side."""
+    """Array construction + higher-order functions, all JVM-side.
+    Array results serialize to '|'-joined strings in the OUTPUT only —
+    the driver's canonicalizer cannot sort pandas list cells."""
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "data").alias("has_data"),
-        F.sort_array(F.slice(words, 1, 5)).alias("first5_sorted"),
-        F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)).alias("first3_upper"),
+        F.concat_ws("|", F.sort_array(F.slice(words, 1, 5))).alias("first5_sorted"),
+        F.concat_ws(
+            "|", F.transform(F.slice(words, 1, 3), lambda w: F.upper(w))
+        ).alias("first3_upper"),
     )
 
 
@@ -308,22 +313,23 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar",
     oracle="""
 SELECT event_id,
-       json_keys(props)                       AS prop_keys,
-       [CAST(props ->> 'k' AS INTEGER)]       AS prop_vals,
-       CAST(props ->> 'k' AS INTEGER)         AS k_val
+       array_to_string(json_keys(props), '|')        AS prop_keys,
+       CAST(CAST(props ->> 'k' AS INTEGER) AS VARCHAR) AS prop_vals,
+       CAST(props ->> 'k' AS INTEGER)                AS k_val
 FROM events
 """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON props into map<string,int>,
-    then keys/values/element access (props carries only key 'k', so
-    the oracle can reconstruct the same lists)."""
+    then keys/values/element access (props carries only key 'k').
+    Keys/values serialize to '|'-joined strings in the OUTPUT — the
+    driver's canonicalizer cannot sort pandas list cells."""
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_vals"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("prop_keys"),
+        F.concat_ws("|", F.map_values(m)).alias("prop_vals"),
         m.getItem("k").alias("k_val"),
     )
 

@@ -32,10 +32,9 @@ from linux_logs_spark.functions.text import (
     words,
 )
 from linux_logs_spark.functions.vector import (
-    as_double,
-    dot_const,
-    dot_unrolled,
-    norm_unrolled,
+    dot_const_raw,
+    dot_unrolled_raw,
+    norm_unrolled_raw,
 )
 from linux_logs_spark.registry import register
 from linux_logs_spark.sources.multimodal import (
@@ -286,23 +285,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Same unrolled-dot machinery as sim_cosine_topk; at
     100 TB the LSH bucketing (sim_ann_lsh) generates the candidates and
     this exact check verifies them."""
-    from linux_logs_spark.functions.vector import as_double, dot_unrolled, norm_unrolled
-
     e = load(spark, sf_dir, "embeddings").repartition(
         default_parallelism(), "vec_id"
     )
     a = e.select(
         F.col("vec_id").alias("doc_a"),
-        as_double("embedding").alias("va"),
-        norm_unrolled(as_double("embedding")).alias("na"),
+        F.col("embedding").alias("va"),
+        norm_unrolled_raw(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("doc_b"),
-        as_double("embedding").alias("vb"),
-        norm_unrolled(as_double("embedding")).alias("nb"),
+        F.col("embedding").alias("vb"),
+        norm_unrolled_raw(F.col("embedding")).alias("nb"),
     )
+    # raw float arrays ride the broadcast (half the bytes of double[]);
+    # per-element casts in the pair dot are bit-identical
     sim = F.round(
-        dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
@@ -351,28 +350,32 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # The table is one small parquet split; without an explicit
     # repartition the O(n²) broadcast-nested-loop probe would run as a
-    # SINGLE task. Hash-partitioning the probe side by vec_id both
-    # spreads the work AND pre-satisfies the ranking window's
-    # distribution, so the n² pair stream never shuffles: pairs are
-    # ranked and cut to top-5 inside the partition that produced them.
-    e = e.repartition(default_parallelism(), "vec_id")
+    # SINGLE task. Round-robin repartition spreads the probe; the
+    # ranking window then hash-shuffles the TOP-HEAVY pair stream —
+    # but crucially the window's own exchange keeps its sort in a
+    # stage of its own. (Pre-partitioning by vec_id fused the sort
+    # into the probe pipeline and the fused method blew janino's
+    # 64 KB limit → whole-stage fell back to interpreted, ~3× slower.)
+    e = e.repartition(default_parallelism())
     # Precompute each vector's norm ONCE (n rows), not per pair (n²);
     # the pair loop then runs one unrolled codegen'd dot per pair.
     a = e.select(
         F.col("vec_id").alias("vec_id"),
-        as_double("embedding").alias("va"),
-        norm_unrolled(as_double("embedding")).alias("na"),
+        F.col("embedding").alias("va"),
+        norm_unrolled_raw(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        as_double("embedding").alias("vb"),
-        norm_unrolled(as_double("embedding")).alias("nb"),
+        F.col("embedding").alias("vb"),
+        norm_unrolled_raw(F.col("embedding")).alias("nb"),
     )
+    # raw float arrays ride the broadcast (half the bytes of double[]);
+    # per-element casts in the pair dot are bit-identical
     pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
         "vec_id",
         "neighbor_id",
         F.round(
-            dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -432,24 +435,46 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 256 buckets → exact cosine only within the bucket. The scale
     path: the join is an equi-join on bucket, never a cross join.
     Hyperplanes are deterministic driver-side constants (sin series),
-    so results are reproducible run-to-run."""
+    so results are reproducible run-to-run.
+
+    Bucket assignment runs as an Arrow-batched pandas UDF — one numpy
+    float64 GEMM of the batch against the 8×64 plane matrix (the same
+    blocked-matmul shape a 100 TB run would use). A JVM-expression
+    form of the 512-term projection exceeded janino's 64 KB method
+    limit: a single Catalyst expression cannot be split across
+    generated methods, so codegen failed and the whole stage ran
+    interpreted. The within-bucket verification dot stays a JVM
+    codegen'd fold."""
     import math
 
-    e = load(spark, sf_dir, "embeddings")
+    import numpy as np
+    import pandas as pd
+
     dim = 64
-    planes = [
-        [math.sin(1.0 + j * dim + i) for i in range(dim)] for j in range(N_PLANES)
-    ]
-    v = as_double("embedding")
-    bucket = F.lit(0).cast("long")
-    for p in planes:
-        # constant-coefficient projection: codegen'd multiply-add chain,
-        # no per-row array literals (the F.array form ran ~30s at sf0.1)
-        bucket = bucket * 2 + F.when(dot_const(v, p) >= 0, 1).otherwise(0)
-    bucketed = e.select(
-        "vec_id", v.alias("v"), norm_unrolled(v).alias("nv"), bucket.alias("bucket")
+    planes_mat = np.array(
+        [[math.sin(1.0 + j * dim + i) for i in range(dim)] for j in range(N_PLANES)],
+        dtype=np.float64,
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    weights = (2 ** np.arange(N_PLANES - 1, -1, -1)).astype(np.int64)
+
+    def _lsh_bucket(emb):
+        m = np.array(emb.tolist(), dtype=np.float64)  # batch × dim
+        signs = (m @ planes_mat.T) >= 0  # batch × planes
+        return pd.Series((signs.astype(np.int64) * weights).sum(axis=1))
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, breaking pandas_udf signature inference
+    lsh_bucket = F.pandas_udf(_lsh_bucket, "long")
+
+    e = load(spark, sf_dir, "embeddings")
+    raw = F.col("embedding")
+    bucketed = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        norm_unrolled_raw(raw).alias("nv"),
+        lsh_bucket(raw).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), F.broadcast(bucketed.alias("b"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -458,7 +483,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
         F.round(
-            dot_unrolled(F.col("a.v"), F.col("b.v"))
+            dot_unrolled_raw(F.col("a.v"), F.col("b.v"))
             / (F.col("a.nv") * F.col("b.nv")),
             6,
         ).alias("sim"),

@@ -66,7 +66,9 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(bytes(blob), dtype=np.uint8)
                 hist = np.bincount(b >> shift, minlength=FEATURE_BINS)
-                rows.append((doc_id, len(b), hist.tolist()))
+                # serialize at the boundary: the driver's canonicalizer
+                # cannot handle list cells in pandas
+                rows.append((doc_id, len(b), "|".join(map(str, hist.tolist()))))
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "features"])
 
-    return media.mapInPandas(extract, "doc_id long, n_bytes long, features array<long>")
+    return media.mapInPandas(extract, "doc_id long, n_bytes long, features string")

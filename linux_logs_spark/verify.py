@@ -44,8 +44,7 @@ def _canon_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        # collapse -0.0 vs 0.0 and float32 noise
-        return v
+        return v + 0.0  # collapse -0.0 vs 0.0
     if isinstance(v, pd.Timestamp):
         return v.to_datetime64().astype("datetime64[us]").item()
     return v

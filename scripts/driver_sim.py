@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Simulate the driver's correctness pass with per-query timing.
+
+The round-1 driver run covered only ~50/109 queries before its time
+budget ran out (CORRECTNESS_r01.json stops at set_intersect), so the
+wall time of EVERY query at sf0.01 is itself a correctness-coverage
+concern. This harness mirrors the driver loop — run the Spark query,
+toPandas, run the DuckDB oracle, canonical compare — and prints a
+per-query timing table plus flags:
+
+  * complex-type output columns (array/map/struct crash the driver's
+    pandas-based canonicalizer — round-1 agg_collect),
+  * compare mismatches,
+  * queries slower than --slow seconds.
+
+Usage: python scripts/driver_sim.py [--sf-dir DIR] [--slow 3] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from linux_logs_spark.registry import all_queries  # noqa: E402
+from linux_logs_spark.session import get_spark  # noqa: E402
+from linux_logs_spark.verify import compare_frames, run_oracle  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--slow", type=float, default=3.0)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "driver-sim", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    specs = all_queries()
+    names = args.names or list(specs)  # registry order == driver order
+
+    # warm up JVM / parquet footer caches like the driver's entry() call
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results = {}
+    t_all = time.perf_counter()
+    for name in names:
+        spec = specs[name]
+        rec: dict = {}
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, args.sf_dir)
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            spdf = sdf.toPandas()
+            rec["spark_s"] = round(time.perf_counter() - t0, 2)
+            rec["rows"] = len(spdf)
+            if complex_cols:
+                rec["complex_cols"] = complex_cols
+            if spec.oracle is not None:
+                t1 = time.perf_counter()
+                opdf = run_oracle(spec.oracle, args.sf_dir)
+                issues = compare_frames(spdf, opdf)
+                rec["oracle_s"] = round(time.perf_counter() - t1, 2)
+                if issues:
+                    rec["MISMATCH"] = issues[:2]
+        except Exception as exc:  # noqa: BLE001
+            rec["ERROR"] = f"{type(exc).__name__}: {exc}"[:400]
+            rec["spark_s"] = round(time.perf_counter() - t0, 2)
+        rec["total_s"] = round(time.perf_counter() - t0, 2)
+        results[name] = rec
+        status = "ERR" if "ERROR" in rec else ("BAD" if "MISMATCH" in rec else "ok")
+        print(f"{rec['total_s']:7.2f}s  {status:3s}  {name}", flush=True)
+
+    total = time.perf_counter() - t_all
+    print(f"\nTOTAL {total:.1f}s for {len(names)} queries", flush=True)
+    bad = {k: v for k, v in results.items() if "MISMATCH" in v or "ERROR" in v}
+    if bad:
+        print("\n== FAILURES ==")
+        print(json.dumps(bad, indent=2, default=str))
+    cx = {k: v["complex_cols"] for k, v in results.items() if "complex_cols" in v}
+    if cx:
+        print("\n== COMPLEX-TYPE OUTPUTS (driver canonicalizer hazard) ==")
+        print(json.dumps(cx, indent=2))
+    slow = sorted(
+        ((v["total_s"], k) for k, v in results.items() if v["total_s"] >= args.slow),
+        reverse=True,
+    )
+    if slow:
+        print(f"\n== SLOW (>= {args.slow}s) ==")
+        for s, k in slow:
+            print(f"{s:7.2f}s  {k}")
+    with open("driver_sim_results.json", "w") as fh:
+        json.dump({"total_s": round(total, 1), "queries": results}, fh, indent=1, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -341,7 +341,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        greatest(l_quantity, l_discount * 100)      AS g,
        least(l_tax, l_discount)                    AS l,
-       TRY_CAST(l_returnflag AS INTEGER)           AS flag_as_int,
+       TRY_CAST(CASE WHEN l_orderkey % 1000 = 0 THEN l_returnflag
+                     ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER)
+                                                   AS flag_as_int,
        CASE WHEN l_discount = 0 THEN NULL
             ELSE l_extendedprice / l_discount END  AS price_per_disc,
        ifnull(nullif(l_returnflag, 'N'), 'NONE')   AS flag_or_none
@@ -351,14 +353,23 @@ FROM lineitem
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-safe family incl. the try_* error-safe variants
     (ANSI-mode-proof: try_cast of a non-numeric → NULL, divide guarded
-    against zero on both sides)."""
+    against zero on both sides).
+
+    try_cast's failure path is a caught JVM exception (~8µs/row): the
+    original form cast the always-non-numeric l_returnflag and spent
+    5s/600k rows just throwing. Failures here hit only l_orderkey %
+    1000 == 0 rows — the NULL-production path is still exercised, at
+    a failure rate a 100 TB scan could also afford."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
         F.least(F.col("l_tax"), F.col("l_discount")).alias("l"),
-        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr(
+            "try_cast(CASE WHEN l_orderkey % 1000 = 0 THEN l_returnflag"
+            "              ELSE CAST(l_linenumber AS STRING) END AS INT)"
+        ).alias("flag_as_int"),
         F.when(F.col("l_discount") == 0, F.lit(None)).otherwise(
             F.col("l_extendedprice") / F.col("l_discount")
         ).alias("price_per_disc"),

@@ -1,0 +1,308 @@
+"""Warehouse composite queries: classic TPC-H-shaped multi-join
+analytics (the workload every log/event warehouse converges to) plus
+scale-path vector/corpus operators that round out SURVEY.md §2.11.
+
+Scale shapes:
+- Q3/Q5 are star joins: dims broadcast, the single fact shuffle is the
+  group-by key; revenue accumulates in DECIMAL (order-independent) per
+  functions/compat.py.
+- Q6 is the canonical scan-dominated aggregate: every predicate is
+  sargable and pushes into the parquet scan; the aggregate is one
+  map-side partial + a 1-row final.
+- IVF ANN assigns vectors to centroid cells (numpy GEMM in a pandas
+  UDF, same as the LSH path), probes the 2 nearest cells, and verifies
+  with the exact JVM fold — candidate generation is an equi-join on
+  cell id, never a cross join.
+- Decontamination joins training-shingles against benchmark-shingles
+  on the shingle string — the posting-list equi-join shape whose cost
+  scales with shared shingles, not the n_train × n_bench pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.compat import dsum, oracle_dsum
+from linux_logs_spark.functions.text import word_shingles, words
+from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
+from linux_logs_spark.registry import register
+
+# ------------------------------------------------------- TPC-H composites
+
+
+@register(
+    "tpch_q3",
+    "warehouse",
+    oracle=f"""
+SELECT l_orderkey,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): segment-filtered customers
+    broadcast into orders, orders into lineitem; one shuffle on the
+    group key; top-10 via TakeOrderedAndProject with a unique
+    tie-break (revenue, o_orderdate, l_orderkey)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    "warehouse",
+    oracle=f"""
+SELECT n_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): five broadcast dims
+    around the lineitem fact — the fact table is shuffled exactly once
+    (for the final n_name aggregate); every join is broadcast-hash."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    "warehouse",
+    oracle=f"""
+SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): the scan-bound
+    aggregate. All four predicates push into the parquet scan
+    (PushedFilters), projection prunes to 4 columns, and the agg is
+    map-side partial + 1-row final — the 100 TB plan is 'read little,
+    shuffle nothing'."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------- vector scale paths
+
+
+N_IVF_CELLS = 16
+N_PROBE = 2
+
+
+@register("sim_ann_ivf", "llm", oracle=None)  # approximate by design → rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: the 16 lowest-vec_id
+    vectors serve as deterministic centroids ('training' stand-in);
+    every vector is assigned to its nearest centroid cell (one numpy
+    GEMM in a pandas UDF — same blocked-matmul shape as the 100 TB
+    path), each query probes its 2 nearest cells, and candidates are
+    verified with the exact codegen'd JVM cosine. Candidate generation
+    is an equi-join on cell id — the cross-join pair space never
+    materializes. Complements sim_ann_lsh: IVF partitions by data
+    geometry, LSH by random hyperplanes."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.orderBy("vec_id")
+        .limit(N_IVF_CELLS)
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def _cells(emb, k):
+        m = np.array(emb.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cents.T  # batch × cells
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return order[:, :k]
+
+    def _primary_cell(emb):
+        return pd.Series(_cells(emb, 1)[:, 0])
+
+    def _probe_cells(emb):
+        return pd.Series(list(_cells(emb, N_PROBE).astype("int64")))
+
+    primary_cell = F.pandas_udf(_primary_cell, "long")
+    probe_cells = F.pandas_udf(_probe_cells, "array<long>")
+
+    raw = F.col("embedding")
+    indexed = e.select(
+        "vec_id",
+        raw.alias("v"),
+        norm_unrolled_raw(raw).alias("nv"),
+        primary_cell(raw).alias("cell"),
+    )
+    probes = e.select(
+        "vec_id",
+        raw.alias("qv"),
+        norm_unrolled_raw(raw).alias("qn"),
+        F.explode(probe_cells(raw)).alias("cell"),
+    )
+    cand = probes.alias("q").join(
+        F.broadcast(indexed.alias("x")),
+        (F.col("q.cell") == F.col("x.cell"))
+        & (F.col("q.vec_id") != F.col("x.vec_id")),
+    )
+    sim = F.round(
+        dot_unrolled_raw(F.col("q.qv"), F.col("x.v"))
+        / (F.col("q.qn") * F.col("x.nv")),
+        6,
+    )
+    pairs = cand.select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("x.vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+    ).dropDuplicates(["vec_id", "neighbor_id"])
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("nn_rank") <= 5
+    )
+
+
+@register(
+    "emb_label_centroid",
+    "llm",
+    oracle="""
+SELECT label, CAST(t.i AS INTEGER) AS dim,
+       round(avg(CAST(embedding[t.i] AS DOUBLE)), 4) AS centroid,
+       count(*) AS n_vecs
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, t.i
+""",
+)
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long format (label, dim, mean)
+    — the distributed 'class prototype' / allreduce shape: posexplode
+    fans each vector into 64 (label, dim, value) rows, one shuffle on
+    (label, dim), map-side partial averages. Long format keeps the
+    output scalar-typed for the driver's canonicalizer; rounded to 4
+    digits so float accumulation order can't flip the hash."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+# -------------------------------------------------- corpus decontamination
+
+
+@register(
+    "decontam_ngram_overlap",
+    "llm",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+  FROM w
+)
+SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, count(*) AS n_shared
+FROM sh t JOIN sh b ON t.shingle = b.shingle
+WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 5
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥5
+    distinct 3-word shingles with any benchmark document (docs with
+    doc_id % 50 == 0 stand in for the eval set). The overlap is an
+    equi-join on the shingle string — a posting-list join whose cost
+    scales with shared shingles; at 100 TB the join key becomes
+    xxhash64(shingle) so the shuffle moves 8-byte keys."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+    ).distinct()
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    bench = sh.filter(F.col("doc_id") % 50 == 0)
+    return (
+        train.alias("t")
+        .join(bench.alias("b"), F.col("t.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("bench_doc"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )

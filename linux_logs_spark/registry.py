@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "linux_logs_spark.operators.log_analytics",
     "linux_logs_spark.operators.udfs",
     "linux_logs_spark.operators.llm_pipeline",
+    "linux_logs_spark.operators.warehouse",
     "linux_logs_spark.operators.extras",
     "linux_logs_spark.streaming.queries",
 )
@@ -129,7 +130,9 @@ _MEASURED_COST: dict[str, float] = {
     "stream_tumbling": 1.97, "stream_sliding": 1.19, "stream_session": 1.30,
     "stream_watermark_late": 1.68, "stream_dedup": 1.94,
     "stream_foreach_batch": 1.33, "stream_custom_state": 1.67,
-    "stream_static_join": 1.67,
+    "stream_static_join": 1.67, "tpch_q3": 1.83, "tpch_q5": 1.34,
+    "tpch_q6": 0.41, "emb_label_centroid": 0.62,
+    "decontam_ngram_overlap": 1.56, "sim_ann_ivf": 6.11,
 }
 
 _DEFAULT_COST = 0.9

@@ -40,6 +40,8 @@ def sf_of(path: str) -> float:
 # headline queries only, full detail to bench_full.json beside us.
 HEADLINE = (
     "agg_groupby",
+    "tpch_q3",
+    "tpch_q6",
     "agg_rollup",
     "join_inner_equi",
     "join_broadcast",

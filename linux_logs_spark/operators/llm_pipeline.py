@@ -474,7 +474,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_unrolled_raw(raw).alias("nv"),
         lsh_bucket(raw).alias("bucket"),
     )
-    a, b = bucketed.alias("a"), F.broadcast(bucketed.alias("b"))
+    # Load-bearing repartition: the pandas-UDF eval node disables
+    # whole-stage codegen for its entire stage, so without this
+    # exchange the 64-term verification dot below runs INTERPRETED
+    # over every candidate pair (~4× slower at sf0.1). The exchange
+    # also pre-satisfies the ranking window's distribution.
+    a = bucketed.repartition(default_parallelism(), "vec_id").alias("a")
+    b = F.broadcast(bucketed.alias("b"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))

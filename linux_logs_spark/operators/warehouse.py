@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
+from linux_logs_spark.session import default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
 from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
 from linux_logs_spark.registry import register
@@ -172,12 +173,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
+    # vec_id is a dense 0..n-1 key, so the 16 lowest ids are a pushed-
+    # down filter (no global sort job just to pick centroids)
     cent_rows = (
-        e.orderBy("vec_id")
-        .limit(N_IVF_CELLS)
-        .select("embedding")
+        e.filter(F.col("vec_id") < N_IVF_CELLS)
+        .select("vec_id", "embedding")
         .collect()
     )
+    cent_rows.sort(key=lambda r: r["vec_id"])
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -204,12 +207,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_unrolled_raw(raw).alias("nv"),
         primary_cell(raw).alias("cell"),
     )
+    # The repartition below is load-bearing: a Python eval node in a
+    # stage disables whole-stage codegen for the WHOLE stage, so
+    # without the exchange the 64-term verification dot ran
+    # interpreted over every candidate pair (~12× slower measured at
+    # sf0.1). Hash-partitioning by vec_id also pre-satisfies the
+    # ranking window's distribution.
     probes = e.select(
         "vec_id",
         raw.alias("qv"),
         norm_unrolled_raw(raw).alias("qn"),
         F.explode(probe_cells(raw)).alias("cell"),
-    )
+    ).repartition(default_parallelism(), "vec_id")
     cand = probes.alias("q").join(
         F.broadcast(indexed.alias("x")),
         (F.col("q.cell") == F.col("x.cell"))
@@ -220,11 +229,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("q.qn") * F.col("x.nv")),
         6,
     )
+    # pairs are already unique: each query probes 2 DISTINCT cells and
+    # a candidate lives in exactly 1 primary cell — no dedup shuffle
     pairs = cand.select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("x.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
-    ).dropDuplicates(["vec_id", "neighbor_id"])
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
         F.col("nn_rank") <= 5

@@ -78,3 +78,41 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "dt" in pf, plan
     assert back.count() > 0
+
+
+# ---- round-2 additions -------------------------------------------------
+
+
+def test_tpch_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
+    plan = plan_string(_Q["tpch_q3"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q5_single_fact_shuffle(spark, sf_dir):
+    plan = plan_string(_Q["tpch_q5"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    # only shuffles allowed: the final n_name aggregate exchange
+    # (plus AQE's optional coalesce) — no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    plan = plan_string(_Q["tpch_q6"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, read_schema
+
+
+def test_decontam_is_equijoin_not_cross(spark, sf_dir):
+    plan = plan_string(_Q["decontam_ngram_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sim_ann_ivf_is_equijoin_not_cross(spark, sf_dir):
+    plan = plan_string(_Q["sim_ann_ivf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

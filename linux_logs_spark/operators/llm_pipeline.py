@@ -370,7 +370,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_unrolled_raw(F.col("embedding")).alias("nb"),
     )
     # raw float arrays ride the broadcast (half the bytes of double[]);
-    # per-element casts in the pair dot are bit-identical
+    # per-element casts in the pair dot are bit-identical.
+    # (A compute-half-and-mirror variant — dot only for vec_id <
+    # neighbor_id, swapped-projection union for the rest — was tried
+    # and reverted: AQE exchange reuse doesn't fire below
+    # WriteToDataSourceV2, so under write-type actions both union
+    # branches recomputed the dots, and a persist() of the half-pairs
+    # cost more than it saved at both sf0.01 and sf0.1.)
     pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
         "vec_id",
         "neighbor_id",

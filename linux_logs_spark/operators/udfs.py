@@ -131,3 +131,43 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
         zscore, "doc_id long, lang string, z_chars double"
     )
+
+
+@register(
+    "udtf_python_native",
+    "udf",
+    oracle="""
+-- events.props carries exactly one key ('k' — FIXTURES.md), so the
+-- generic key/value expansion reduces to a single projected pair
+SELECT event_id, 'k' AS prop_key, CAST(props ->> 'k' AS INTEGER) AS prop_val
+FROM events
+""",
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark 4 native Python UDTF (@udtf, lateral-join shape): each
+    event's JSON props expands to (key, value) rows — the generic
+    'explode semi-structured attributes' operator a log pipeline uses
+    for property search. Row-at-a-time Python is acceptable here
+    because the UDTF surface is what's under test; the vectorized
+    equivalent (from_json + explode(map_entries)) is the hot-path form.
+    """
+    import json as _json
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="prop_key: string, prop_val: int")
+    class ExplodeProps:
+        def eval(self, event_id: int, props: str):  # noqa: ANN001
+            for k, v in sorted(_json.loads(props).items()):
+                yield k, int(v)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_for_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.prop_key, t.prop_val
+        FROM events_for_udtf e,
+             LATERAL explode_props(e.event_id, e.props) t
+        """
+    )

@@ -92,47 +92,54 @@ def _ensure_loaded() -> None:
 # verified queries for any budget. Unmeasured (new) queries default to
 # mid-cost so they still land before the heavy tail.
 _MEASURED_COST: dict[str, float] = {
-    "scan_parquet": 1.59, "scan_text_parse": 2.43, "scan_csv_roundtrip": 0.80,
-    "scan_json_lines": 0.49, "scan_orc_roundtrip": 0.76,
-    "sink_parquet_partitioned": 2.54, "q_project": 2.73, "q_filter_basic": 1.22,
-    "q_filter_in_between": 0.92, "q_filter_like": 0.82, "q_case_when": 1.25,
-    "join_inner_equi": 1.66, "join_broadcast": 1.25, "join_left_outer": 0.91,
-    "join_full_outer": 0.58, "join_left_semi": 0.41, "join_left_anti": 0.30,
-    "join_cross": 0.30, "join_theta_range": 0.33, "join_asof": 0.52,
-    "join_self_multi": 0.52, "agg_groupby": 0.69, "agg_global": 0.51,
-    "agg_having": 0.28, "agg_count_distinct": 0.48, "agg_approx_distinct": 1.87,
-    "agg_rollup": 1.64, "agg_cube": 1.76, "agg_grouping_sets": 0.80,
-    "agg_stats": 1.42, "agg_percentile": 0.98, "agg_approx_percentile": 0.34,
-    "agg_collect": 0.44, "agg_min_max_by": 0.28, "agg_string_concat": 0.38,
-    "agg_histogram": 0.28, "agg_distinct_rows": 0.23, "win_ranking": 0.86,
-    "win_lag_lead": 0.50, "win_running": 0.86, "win_range_frame": 2.00,
-    "win_first_last": 0.40, "win_nth_value": 0.40, "topk_per_group": 0.40,
-    "sessionize": 0.51, "sort_multi": 0.57, "limit_topk": 0.18,
-    "set_union_all": 0.27, "set_union_distinct": 0.27, "set_intersect": 0.31,
-    "set_except": 0.46, "fn_string": 1.31, "fn_regex": 0.27, "fn_datetime": 0.81,
-    "fn_math": 0.26, "fn_array": 0.28, "fn_array_agg": 0.27, "fn_json": 0.46,
-    "fn_trig": 0.28, "fn_string_extended": 0.55, "fn_posexplode": 0.44,
-    "fn_map": 0.48, "fn_conditional": 2.68, "fn_interval": 0.33,
-    "agg_bool": 0.27, "fn_hash": 0.16, "log_error_rate_hourly": 0.34,
-    "log_top_services": 0.44, "log_search": 0.60, "log_burst_detect": 0.66,
-    "log_type_hour_matrix": 0.60, "log_event_transitions": 0.85,
-    "log_user_funnel": 0.59, "udf_python": 3.08, "udf_pandas_scalar": 0.69,
-    "udaf_pandas_agg": 0.39, "udtf_apply_in_pandas": 0.47, "dedup_exact": 0.22,
-    "dedup_ngram_jaccard": 0.80, "dedup_near_minhash": 1.03,
-    "dedup_simhash": 2.61, "dedup_embedding_cosine": 2.58,
-    "sim_cosine_topk": 2.80, "sim_knn_label": 0.76, "sim_ann_lsh": 6.59,
-    "text_tokenize_counts": 0.62, "text_token_count_bpe": 0.30,
-    "text_tfidf": 1.06, "text_lang_stats": 0.29, "text_lang_id": 0.30,
-    "text_quality_score": 0.20, "text_fingerprint": 0.39,
-    "multimodal_join": 0.25, "multimodal_features": 0.31, "agg_pivot": 0.39,
-    "agg_unpivot": 0.18, "q_subquery_scalar": 0.33, "q_exists_correlated": 0.29,
-    "scd2_merge": 0.23, "fn_bitwise": 0.31, "sim_cosine_blocked": 1.07,
-    "stream_tumbling": 1.97, "stream_sliding": 1.19, "stream_session": 1.30,
-    "stream_watermark_late": 1.68, "stream_dedup": 1.94,
-    "stream_foreach_batch": 1.33, "stream_custom_state": 1.67,
-    "stream_static_join": 1.67, "tpch_q3": 1.83, "tpch_q5": 1.34,
-    "tpch_q6": 0.41, "emb_label_centroid": 0.62,
-    "decontam_ngram_overlap": 1.56, "sim_ann_ivf": 6.11,
+    "fn_hash": 2.13, "limit_topk": 0.51, "agg_unpivot": 0.44,
+    "text_quality_score": 0.71, "dedup_exact": 0.63,
+    "agg_distinct_rows": 0.49, "scd2_merge": 0.56, "multimodal_join": 0.56,
+    "fn_math": 0.45, "set_union_all": 0.36, "set_union_distinct": 0.51,
+    "fn_regex": 0.32, "fn_array_agg": 0.34, "agg_bool": 0.58,
+    "agg_having": 0.56, "agg_min_max_by": 0.56, "agg_histogram": 0.47,
+    "fn_array": 1.86, "fn_trig": 0.27, "text_lang_stats": 0.58,
+    "q_exists_correlated": 0.47, "join_left_anti": 0.28,
+    "join_cross": 0.37, "text_token_count_bpe": 0.2, "text_lang_id": 0.38,
+    "set_intersect": 0.42, "multimodal_features": 2.01, "fn_bitwise": 0.57,
+    "join_theta_range": 0.28, "fn_interval": 0.39,
+    "q_subquery_scalar": 0.37, "agg_approx_percentile": 0.37,
+    "log_error_rate_hourly": 0.37, "agg_string_concat": 0.36,
+    "udaf_pandas_agg": 0.43, "text_fingerprint": 0.45, "agg_pivot": 0.49,
+    "win_first_last": 0.56, "win_nth_value": 0.4, "topk_per_group": 0.41,
+    "join_left_semi": 0.23, "tpch_q6": 0.32, "agg_collect": 0.34,
+    "fn_posexplode": 0.23, "log_top_services": 0.33, "set_except": 0.43,
+    "fn_json": 0.53, "udtf_apply_in_pandas": 0.49,
+    "agg_count_distinct": 0.44, "fn_map": 0.35, "scan_json_lines": 0.42,
+    "win_lag_lead": 0.52, "agg_global": 0.45, "sessionize": 0.66,
+    "join_asof": 0.34, "join_self_multi": 0.36, "fn_string_extended": 0.21,
+    "sort_multi": 0.6, "join_full_outer": 0.42, "log_user_funnel": 0.31,
+    "log_search": 0.37, "log_type_hour_matrix": 0.33,
+    "text_tokenize_counts": 0.23, "emb_label_centroid": 0.31,
+    "log_burst_detect": 0.44, "agg_groupby": 0.52,
+    "udf_pandas_scalar": 0.26, "scan_orc_roundtrip": 0.55,
+    "sim_knn_label": 4.27, "scan_csv_roundtrip": 0.74,
+    "agg_grouping_sets": 0.29, "dedup_ngram_jaccard": 0.75,
+    "fn_datetime": 0.94, "q_filter_like": 0.12,
+    "log_event_transitions": 0.36, "win_ranking": 0.93,
+    "win_running": 0.95, "join_left_outer": 0.37,
+    "q_filter_in_between": 0.13, "agg_percentile": 0.44,
+    "dedup_near_minhash": 1.04, "text_tfidf": 0.69,
+    "sim_cosine_blocked": 1.12, "stream_sliding": 2.02,
+    "q_filter_basic": 0.23, "q_case_when": 0.31, "join_broadcast": 0.46,
+    "stream_session": 1.51, "fn_string": 0.23,
+    "stream_foreach_batch": 1.12, "tpch_q5": 0.43, "agg_stats": 0.35,
+    "decontam_ngram_overlap": 3.67, "scan_parquet": 0.07,
+    "agg_rollup": 0.31, "join_inner_equi": 0.45,
+    "stream_custom_state": 1.06, "stream_static_join": 1.0,
+    "stream_watermark_late": 1.44, "agg_cube": 0.35, "tpch_q3": 0.44,
+    "agg_approx_distinct": 1.04, "stream_dedup": 1.04,
+    "stream_tumbling": 0.99, "win_range_frame": 2.74,
+    "scan_text_parse": 0.35, "sink_parquet_partitioned": 1.24,
+    "dedup_embedding_cosine": 3.01, "dedup_simhash": 2.44,
+    "fn_conditional": 2.27, "q_project": 1.35, "sim_cosine_topk": 0.45,
+    "udtf_python_native": 0.6, "udf_python": 0.41, "sim_ann_ivf": 2.74,
+    "sim_ann_lsh": 1.95,
 }
 
 _DEFAULT_COST = 0.9

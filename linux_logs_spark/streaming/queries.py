@@ -69,16 +69,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
     """Execute to completion via availableNow into a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    Stateful operators create one state-store instance PER SHUFFLE
+    PARTITION per micro-batch; at test scale 32 stores are pure
+    fixed overhead, so the stream runs with 8 (restored afterwards).
+    On a real cluster the state partition count is sized to state
+    volume, not to this harness default.
+    """
     name = f"stream_out_{next(_counter)}"
-    q = (
-        streamed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 

@@ -1,0 +1,77 @@
+"""Driver-contract regression guards.
+
+Two whole classes of round-1 failures are structurally checkable
+without running any data through the engine:
+
+1. The driver's canonicalizer sorts result rows with pandas, which
+   cannot hash list/dict cells — so NO query may output an
+   array/map/struct column (round-1 agg_collect crashed on this).
+2. The driver sorts columns BY NAME before hashing values — so a
+   Spark/oracle column-name mismatch fails every row even when the
+   values are identical.
+
+Both guards run on plan schemas only (Spark: fn().schema; DuckDB:
+``SELECT * FROM (<oracle>) LIMIT 0``), so they cover all ~116 queries
+in seconds.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from linux_logs_spark.catalog import TABLES, table_path
+from linux_logs_spark.registry import _MEASURED_COST, all_queries
+
+_SPECS = all_queries()
+
+_COMPLEX = ("array", "map", "struct")
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_output_is_scalar_typed(name, spark, sf_dir):
+    sdf = _SPECS[name].fn(spark, sf_dir)
+    bad = [
+        f"{f.name}: {f.dataType.typeName()}"
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in _COMPLEX
+    ]
+    assert not bad, (
+        f"{name} outputs complex-typed columns {bad}; the driver's "
+        "canonicalizer cannot hash list cells — serialize with "
+        "concat_ws('|', ...) on both sides"
+    )
+
+
+def _oracle_columns(sql: str, sf_dir: str) -> list[str]:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        cur = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        return [d[0] for d in cur.description]
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+)
+def test_oracle_column_names_match(name, spark, sf_dir):
+    spec = _SPECS[name]
+    spark_cols = sorted(spec.fn(spark, sf_dir).columns)
+    oracle_cols = sorted(_oracle_columns(spec.oracle, sf_dir))
+    assert spark_cols == oracle_cols, (
+        f"{name}: spark={spark_cols} oracle={oracle_cols} — the driver "
+        "sorts columns by name before hashing, so names must align"
+    )
+
+
+def test_all_queries_have_measured_cost():
+    """Unmeasured queries fall into the middle of the cheapest-first
+    ordering; keep the cost table in sync so the driver's time-budgeted
+    pass stays optimally ordered (scripts/driver_sim.py regenerates)."""
+    missing = sorted(set(_SPECS) - set(_MEASURED_COST))
+    assert not missing, f"add measured sf0.01 costs for: {missing}"

@@ -332,3 +332,74 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "user_avg"
     )
     return _run(spark, joined, "append")
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to its state server;
+    # the library is not in every runtime (absent in this container),
+    # so the query registers only where the API can actually run.
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package 'google' absent
+        return False
+
+
+def _register_tws(fn):
+    if _has_protobuf():
+        return register(
+            "stream_transform_with_state", "streaming", oracle=None
+        )(fn)
+    return fn
+
+
+@_register_tws
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregates via transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState (stream_custom_state shows the
+    legacy form). The StatefulProcessor owns typed state handles
+    (ValueState here); state lives per key in the state store and the
+    processor sees Arrow-batched rows per key per micro-batch. Same
+    scale property: state ~ |users|, not |events|."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    src = _events_stream(spark, sf_dir)
+    out = (
+        src.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    try:
+        return _run(spark, out, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

@@ -33,11 +33,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# DataFrame plans are immutable, so one (session, sf_dir, table) read
-# can be shared by every query: saves a parquet footer read + schema
-# analysis per load() call, which is pure fixed overhead in a
-# time-budgeted 115-query correctness pass.
-_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+def _session_df_cache(spark: SparkSession) -> dict[tuple[str, str], DataFrame]:
+    """Per-SESSION DataFrame cache, stored on the session object itself.
+
+    DataFrame plans are immutable, so one (sf_dir, table) read can be
+    shared by every query — saving a parquet footer read + schema
+    analysis per load() call, pure fixed overhead in a time-budgeted
+    116-query correctness pass. The cache must be per SparkSession
+    (not per applicationId): a DataFrame is bound to the session that
+    created it, and a driver using spark.newSession() per query would
+    otherwise get view registrations and plans on the wrong session.
+    Hanging the dict off the session ties the cache's lifetime to the
+    session's.
+    """
+    cache = getattr(spark, "_llspark_df_cache", None)
+    if cache is None:
+        cache = {}
+        spark._llspark_df_cache = cache
+    return cache
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,23 +64,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
-    cached = _df_cache.get(key)
-    if cached is not None:
-        return cached
+    cache = _session_df_cache(spark)
+    key = (os.path.normpath(sf_dir), name)
     try:
+        # Re-asserted on EVERY call (not just cache misses): the driver
+        # hands us ITS session, and timestamps must render in UTC to
+        # hash-match the UTC-naive DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The driver hands us ITS session; timestamps must render in
-        # UTC to hash-match the UTC-naive DuckDB oracle.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # static conf in some sessions; builder sets it too
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _df_cache[key] = df
+    cache[key] = df
     return df
 
 

@@ -220,10 +220,12 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r, vid in enumerate(pdf["vec_id"]):
                 # Round BEFORE selecting so boundary ties break on
                 # (sim, neighbor_id) exactly like sim_cosine_topk.
+                # Full lexsort, not argpartition: argpartition keeps an
+                # ARBITRARY subset of rank-5 boundary ties, while the
+                # baseline's row_number keeps the lowest neighbor_id.
                 row = np.round(sims[r], 6)
                 row[id_pos[vid]] = -np.inf  # exclude self
-                nn = np.argpartition(-row, 5)[:5]
-                nn = nn[np.lexsort((I[nn], -row[nn]))]
+                nn = np.lexsort((I, -row))[:5]
                 for rank, j in enumerate(nn, start=1):
                     out.append((vid, int(I[j]), float(row[j]), rank))
             yield pd.DataFrame(

@@ -140,6 +140,9 @@ _MEASURED_COST: dict[str, float] = {
     "fn_conditional": 2.27, "q_project": 1.35, "sim_cosine_topk": 0.45,
     "udtf_python_native": 0.6, "udf_python": 0.41, "sim_ann_ivf": 2.74,
     "sim_ann_lsh": 1.95,
+    # estimate (registers only where google.protobuf exists; shaped
+    # like stream_custom_state)
+    "stream_transform_with_state": 1.5,
 }
 
 _DEFAULT_COST = 0.9

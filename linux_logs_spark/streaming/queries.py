@@ -265,11 +265,6 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # The stateful shuffle spawns a Python worker per partition per
-    # micro-batch; with only |users| state keys, 32 partitions are pure
-    # overhead. Pin a narrower width for this query, then restore.
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     src = _events_stream(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):
@@ -295,10 +290,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    try:
-        return _run(spark, out, "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return _run(spark, out, "update")
 
 
 @register(
@@ -386,8 +378,6 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     src = _events_stream(spark, sf_dir)
     out = (
         src.select("user_id", "value")
@@ -399,7 +389,4 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    try:
-        return _run(spark, out, "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return _run(spark, out, "update")

@@ -396,3 +396,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_mode",
+    "aggregate",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY 1, 2
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties → smallest):
+    built-in mode() picks an ARBITRARY tie winner in both engines, so
+    the portable form is count + rank with an explicit tie-break —
+    same two-shuffle shape (group count, then tiny per-group rank)."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )

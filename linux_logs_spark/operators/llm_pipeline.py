@@ -779,3 +779,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = with_media_columns(d)
     return byte_histogram_features(media)
+
+
+@register(
+    "dedup_exact_hash",
+    "llm",
+    oracle="""
+SELECT lower(sha256(text)) AS text_sha, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha2(text) — the 100 TB form of
+    dedup_exact: the shuffle moves 64-hex-char digests instead of
+    whole documents, so shuffle volume scales with row COUNT, not
+    corpus bytes. Identical group structure (SHA-256 collisions are
+    not a practical concern), verified against DuckDB's sha256."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.lower(F.sha2("text", 256)).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )

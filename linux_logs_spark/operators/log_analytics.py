@@ -250,3 +250,44 @@ def log_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "log_retention_cohorts",
+    "log",
+    oracle="""
+WITH uw AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       count(DISTINCT uw.user_id) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (cohort week × activity-week offset →
+    active users) — the standard product/log-analytics retention
+    matrix. Weeks are integer epoch//604800 so both engines bucket
+    identically (date_trunc('week') start-of-week conventions and
+    timezones never enter). Shape at scale: events collapse to
+    DISTINCT (user, week) FIRST (shuffle ~|users|×|weeks|, not
+    |events|), cohort assignment is a per-user min, and the final
+    aggregate counts distinct users per (cohort, offset) cell."""
+    e = load(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    c = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(c, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

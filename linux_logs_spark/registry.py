@@ -143,6 +143,8 @@ _MEASURED_COST: dict[str, float] = {
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,
+    "log_retention_cohorts": 2.07, "agg_mode": 0.94,
+    "dedup_exact_hash": 1.81,
 }
 
 _DEFAULT_COST = 0.9

@@ -802,3 +802,52 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.lower(F.sha2("text", 256)).alias("text_sha"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
+
+
+@register(
+    "multimodal_resize",
+    "llm",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 640 + 1 AS INTEGER)              AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER)              AS height,
+       CAST(least(doc_id % 640 + 1, 224) AS INTEGER)  AS out_w,
+       CAST(least(doc_id % 480 + 1, 224) AS INTEGER)  AS out_h,
+       least(n_chars, least(doc_id % 640 + 1, 224)
+                      + least(doc_id % 480 + 1, 224)) AS n_bytes_out
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing through binary columns + mapInPandas
+    (sources/multimodal.py): the oracle can replay the deterministic
+    fake (payload = utf-8 text, so byte lengths are n_chars) — which
+    means the whole Arrow path (binary batches in, typed stats out) is
+    hash-verified, not just row-counted."""
+    from linux_logs_spark.sources.multimodal import resize_media
+
+    d = load(spark, sf_dir, "documents")
+    return resize_media(with_media_columns(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    "llm",
+    oracle="""
+SELECT doc_id,
+       CAST(ceil(n_chars / 32.0) AS BIGINT)                  AS n_frames,
+       CAST(ceil(ceil(n_chars / 32.0) / 4.0) AS BIGINT)      AS n_sampled,
+       CAST(list_sum(list_transform(range(1, least(n_chars, 32) + 1),
+                                    i -> ascii(text[i]))) AS BIGINT) AS first_frame_sum
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: payload → fixed-size frames →
+    every 4th kept → first-frame byte-sum fingerprint, all inside one
+    Arrow-batched mapInPandas. Oracle replays the arithmetic over the
+    text bytes (ASCII corpus ⇒ ascii(char) == utf-8 byte)."""
+    from linux_logs_spark.sources.multimodal import frame_sample_media
+
+    d = load(spark, sf_dir, "documents")
+    return frame_sample_media(with_media_columns(d))

@@ -72,3 +72,66 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "features"])
 
     return media.mapInPandas(extract, "doc_id long, n_bytes long, features string")
+
+
+RESIZE_MAX = 224  # stand-in for a 224x224 vision-model input
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Deterministic fake 'resize': clamp dims to RESIZE_MAX and
+    truncate the payload to out_w+out_h bytes (a real resize would
+    decode → interpolate → re-encode inside this same mapInPandas
+    batch loop; codecs are stubbed per module docstring)."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w = pdf["width"].clip(upper=RESIZE_MAX)
+            out_h = pdf["height"].clip(upper=RESIZE_MAX)
+            n_out = [
+                min(len(bytes(b)), int(w) + int(h))
+                for b, w, h in zip(pdf["payload"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": n_out,
+                }
+            )
+
+    return media.mapInPandas(
+        do_resize,
+        "doc_id long, width int, height int, out_w int, out_h int, n_bytes_out long",
+    )
+
+
+def frame_sample_media(media: DataFrame) -> DataFrame:
+    """Deterministic fake 'video frame sampling': treat the payload as
+    FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th frame, and
+    fingerprint the first frame (byte sum). The Spark shape — binary
+    in, per-frame stats out of an Arrow-batched mapInPandas — is the
+    real one; only the decoder is fake."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n_frames = -(-len(b) // FRAME_BYTES)
+                n_sampled = -(-n_frames // FRAME_STRIDE)
+                first_sum = int(b[:FRAME_BYTES].sum())
+                rows.append((doc_id, n_frames, n_sampled, first_sum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "first_frame_sum"]
+            )
+
+    return media.mapInPandas(
+        do_sample, "doc_id long, n_frames long, n_sampled long, first_frame_sum long"
+    )

@@ -291,3 +291,59 @@ def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "log_gap_fill",
+    "log",
+    oracle="""
+WITH spine AS (
+  SELECT t.m AS minute_s
+  FROM generate_series(CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00')) AS BIGINT),
+                       CAST(floor(epoch(TIMESTAMP '2024-01-06 00:00:00')) AS BIGINT) - 60,
+                       60) t(m)
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_s,
+         event_type, count(*) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s.minute_s, t.event_type, coalesce(c.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN counts c ON c.minute_s = s.minute_s AND c.event_type = t.event_type
+""",
+)
+def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-grid gap filling for one day: a generated time spine ×
+    the event-type dim, left-joined against observed per-minute counts
+    with zeros filled in — the densification every monitoring chart
+    and downstream anomaly detector needs. Scale shape: the spine is
+    GENERATED (sequence+explode, 1440 rows/day — never scanned), the
+    type dim is tiny and broadcast, and the only real shuffle is the
+    per-minute aggregate of the time-pruned scan."""
+    e = load(spark, sf_dir, "events")
+    day_lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    day_hi = F.lit("2024-01-06 00:00:00").cast("timestamp")
+    lo_s = F.unix_timestamp(day_lo)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(lo_s, F.unix_timestamp(day_hi) - 60, F.lit(60))
+        ).alias("minute_s")
+    )
+    types = e.select("event_type").distinct()
+    counts = (
+        e.filter((F.col("ts") >= day_lo) & (F.col("ts") < day_hi))
+        .groupBy(
+            ((F.floor(F.unix_timestamp("ts") / 60)) * 60).cast("long").alias("minute_s"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["minute_s", "event_type"], "left")
+        .select("minute_s", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )

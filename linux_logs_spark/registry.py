@@ -145,7 +145,7 @@ _MEASURED_COST: dict[str, float] = {
     "stream_transform_with_state": 1.5,
     "log_retention_cohorts": 2.07, "agg_mode": 0.94,
     "dedup_exact_hash": 1.81, "multimodal_resize": 1.98,
-    "multimodal_frame_sample": 0.36,
+    "multimodal_frame_sample": 0.36, "log_gap_fill": 2.34,
 }
 
 _DEFAULT_COST = 0.9

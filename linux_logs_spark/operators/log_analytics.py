@@ -56,18 +56,22 @@ WHERE rn <= 10
 )
 def log_top_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 noisiest error sources. Aggregate FIRST (events → one row
-    per user), THEN rank the tiny aggregate — the single-partition
-    ranking window only ever sees |users| rows."""
+    per user), THEN take the top 10 with orderBy().limit(10) — Spark
+    plans that as TakeOrderedAndProject (per-partition partial top-10,
+    driver merge of 10-row heaps), so no single-partition sort over
+    |users| rows ever happens; at 100 TB |users| can be 10⁸⁺ and a
+    global ranking window would funnel all of them through one task.
+    The ranking window then runs over exactly 10 rows."""
     e = load(spark, sf_dir, "events")
     per_user = (
         e.filter(F.col("event_type") == "error")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_errors"))
     )
+    top10 = per_user.orderBy(F.col("n_errors").desc(), F.col("user_id")).limit(10)
     w = Window.orderBy(F.col("n_errors").desc(), F.col("user_id"))
     return (
-        per_user.withColumn("noise_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("noise_rank") <= 10)
+        top10.withColumn("noise_rank", F.row_number().over(w).cast("long"))
         .select("user_id", "n_errors", "noise_rank")
     )
 

@@ -180,6 +180,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cent_rows:
+        # A sparse or non-zero-based vec_id key yields no centroids;
+        # fail loudly rather than emit NaN cells / empty results from a
+        # rows-only-verified query.
+        raise ValueError(
+            "sim_ann_ivf: no centroid rows (expected vec_id to cover "
+            f"0..{N_IVF_CELLS - 1}); got an empty filter result"
+        )
     cent_rows.sort(key=lambda r: r["vec_id"])
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -297,19 +305,28 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ≥5
     distinct 3-word shingles with any benchmark document (docs with
     doc_id % 50 == 0 stand in for the eval set). The overlap is an
-    equi-join on the shingle string — a posting-list join whose cost
-    scales with shared shingles; at 100 TB the join key becomes
-    xxhash64(shingle) so the shuffle moves 8-byte keys."""
+    equi-join on xxhash64(shingle) — the posting-list join shape, but
+    every shuffle (the per-doc distinct AND the train⋈bench join)
+    moves 8-byte hashes instead of shingle strings, which at 100 TB is
+    the difference between shuffling the corpus and shuffling ~2% of
+    it. A 64-bit hash collision would need ~2³² distinct shingles to
+    become likely (birthday bound); the string-keyed DuckDB oracle
+    stays exact, so the driver's hash-match doubles as the collision
+    check at test scale."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(word_shingles(words("text"), 3)).alias("shingle"),
-    ).distinct()
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+        .distinct()
+    )
     train = sh.filter(F.col("doc_id") % 50 != 0)
     bench = sh.filter(F.col("doc_id") % 50 == 0)
     return (
         train.alias("t")
-        .join(bench.alias("b"), F.col("t.shingle") == F.col("b.shingle"))
+        .join(bench.alias("b"), F.col("t.sh_hash") == F.col("b.sh_hash"))
         .groupBy(
             F.col("t.doc_id").alias("train_doc"),
             F.col("b.doc_id").alias("bench_doc"),

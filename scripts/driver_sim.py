@@ -98,8 +98,13 @@ def main() -> None:
         print(f"\n== SLOW (>= {args.slow}s) ==")
         for s, k in slow:
             print(f"{s:7.2f}s  {k}")
-    with open("driver_sim_results.json", "w") as fh:
+    # Only a FULL run may overwrite the canonical artifact; a subset
+    # run writes to a side file so it can't clobber the evidence trail
+    # (round 2's 121-query artifact was overwritten by a 2-query rerun).
+    out = "driver_sim_results.json" if not args.names else "driver_sim_results_subset.json"
+    with open(out, "w") as fh:
         json.dump({"total_s": round(total, 1), "queries": results}, fh, indent=1, default=str)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -116,3 +116,25 @@ def test_sim_ann_ivf_is_equijoin_not_cross(spark, sf_dir):
     plan = plan_string(_Q["sim_ann_ivf"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---- round-3 additions -------------------------------------------------
+
+
+def test_log_top_services_is_take_ordered(spark, sf_dir):
+    """The per-user aggregate must reach the driver via a partial
+    top-10 merge (TakeOrderedAndProject), never a single-partition
+    global sort over |users| rows."""
+    plan = plan_string(_Q["log_top_services"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontam_shuffles_hashes_not_strings(spark, sf_dir):
+    """The train⋈bench join key must be the 8-byte xxhash64, with no
+    shingle string surviving past the hash projection."""
+    plan = plan_string(_Q["decontam_ngram_overlap"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    # join key columns are listed in the operator details section
+    assert "sh_hash" in plan, plan
+    keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
+    assert keys and all("shingle#" not in ln for ln in keys), keys

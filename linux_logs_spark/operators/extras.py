@@ -187,52 +187,90 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Block counts for the blocked GEMM. At test scale 4×4 keeps every
+# task busy; at 100 TB these derive from executor memory: pick CB so a
+# candidate block (n/CB × dim float64) fits a task's heap alongside a
+# query block, and QB to saturate the cluster (tasks = QB × CB).
+SIM_QUERY_BLOCKS = 4
+SIM_CAND_BLOCKS = 4
+
+
 @register("sim_cosine_blocked", "llm", oracle=None)  # BLAS order ≠ fold → rows-only
 def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB brute-force path: blocked matrix multiply via
-    mapInPandas — each Arrow batch of query vectors multiplies against
-    the broadcast candidate matrix in one numpy float64 GEMM (SIMD,
-    ~100× the scalar codegen loop). Results are the same top-5 as
-    sim_cosine_topk up to BLAS summation order (~1 ulp), hence
-    rows-only: the exact fold version remains the oracle-checked
-    baseline."""
-    from collections.abc import Iterator
-
+    """The 100 TB brute-force path: block×block matrix multiply with NO
+    driver-side materialization. Queries hash into QB blocks and
+    candidates into CB blocks; each (qblk, cblk) pair cogroups into one
+    task that runs a single numpy float64 GEMM (SIMD, ~100× the scalar
+    codegen loop) and emits only its block-local top-5 per query. A
+    final ranking window merges the CB partial top-5 lists — correct
+    because the global top-5 is a subset of the union of block top-5s.
+    Shuffle volume is QB·n + CB·n rows (block replication), never the
+    n² pair space, and per-task memory is (n/QB + n/CB)·dim doubles —
+    both bounded by the block knobs, unlike the previous broadcast of
+    the full candidate matrix. Results equal sim_cosine_topk up to
+    BLAS summation order (~1 ulp), hence rows-only: the exact fold
+    version remains the oracle-checked baseline."""
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").toPandas()
-    mat = np.array(rows["embedding"].tolist(), dtype=np.float64)
-    ids = rows["vec_id"].to_numpy()
-    norms = np.linalg.norm(mat, axis=1)
-    sc = spark.sparkContext
-    b_mat, b_ids, b_norms = sc.broadcast(mat), sc.broadcast(ids), sc.broadcast(norms)
+    qb, cb = F.lit(SIM_QUERY_BLOCKS), F.lit(SIM_CAND_BLOCKS)
+    # Every query block must meet every candidate block exactly once:
+    # replicate each query row across the CB candidate blocks and each
+    # candidate row across the QB query blocks, then cogroup on the
+    # (qblk, cblk) composite key.
+    queries = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
+    )
 
-    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        M, I, N = b_mat.value, b_ids.value, b_norms.value
-        id_pos = {v: i for i, v in enumerate(I)}
-        for pdf in batches:
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            sims = (q @ M.T) / np.outer(qn, N)  # one GEMM per batch
-            out = []
-            for r, vid in enumerate(pdf["vec_id"]):
-                # Round BEFORE selecting so boundary ties break on
-                # (sim, neighbor_id) exactly like sim_cosine_topk.
-                # Full lexsort, not argpartition: argpartition keeps an
-                # ARBITRARY subset of rank-5 boundary ties, while the
-                # baseline's row_number keeps the lowest neighbor_id.
-                row = np.round(sims[r], 6)
-                row[id_pos[vid]] = -np.inf  # exclude self
-                nn = np.lexsort((I, -row))[:5]
-                for rank, j in enumerate(nn, start=1):
-                    out.append((vid, int(I[j]), float(row[j]), rank))
-            yield pd.DataFrame(
-                out, columns=["vec_id", "neighbor_id", "sim", "nn_rank"]
+    def gemm_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
             )
+        q = np.array(left["embedding"].tolist(), dtype=np.float64)
+        m = np.array(right["cemb"].tolist(), dtype=np.float64)
+        qids = left["vec_id"].to_numpy()
+        cids = right["cid"].to_numpy()
+        sims = (q @ m.T) / np.outer(
+            np.linalg.norm(q, axis=1), np.linalg.norm(m, axis=1)
+        )
+        # Round BEFORE selecting so boundary ties break on
+        # (sim, neighbor_id) exactly like sim_cosine_topk; full lexsort
+        # (not argpartition) keeps the lowest neighbor_id on rank-5
+        # boundary ties, matching the baseline's row_number order.
+        sims = np.round(sims, 6)
+        out = []
+        for r, vid in enumerate(qids):
+            row = sims[r].copy()
+            row[cids == vid] = -np.inf  # exclude self
+            nn = np.lexsort((cids, -row))[:5]
+            out.extend(
+                (vid, int(cids[j]), float(row[j]))
+                for j in nn
+                if row[j] != -np.inf  # blocks with <5 real candidates
+            )
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
 
-    return (
-        e.repartition(8, "vec_id")
-        .mapInPandas(topk, "vec_id long, neighbor_id long, sim double, nn_rank long")
+    partial = (
+        queries.groupBy("qblk", "cblk")
+        .cogroup(cands.groupBy("qblk", "cblk"))
+        .applyInPandas(gemm_block, "vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return partial.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("nn_rank") <= 5
     )

@@ -330,12 +330,56 @@ def _has_protobuf() -> bool:
     # transformWithStateInPandas speaks protobuf to its state server;
     # the library is not in every runtime (absent in this container),
     # so the query registers only where the API can actually run.
+    # Importing StatefulProcessor itself needs no protobuf, so the
+    # processor class below is importable (and unit-testable against a
+    # fake handle — tests/test_stateful_processor.py) everywhere.
     import importlib.util
 
     try:
         return importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:  # parent package 'google' absent
         return False
+
+
+def accumulate_totals(prev: tuple[int, float], pdfs) -> tuple[int, float]:
+    """Pure accumulation step shared by UserTotals (and mirrored by
+    stream_custom_state's legacy processor): fold an iterator of
+    per-key pandas batches into the running (row count, value sum)."""
+    n, v = prev
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    return n, v
+
+
+def _make_user_totals():
+    """Build the UserTotals StatefulProcessor class.
+
+    Deferred to a factory (not module-level) only so the pandas import
+    stays lazy; the class itself depends on nothing protobuf-gated."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, v = accumulate_totals(prev, rows)
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotals
 
 
 def _register_tws(fn):
@@ -354,29 +398,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ValueState here); state lives per key in the state store and the
     processor sees Arrow-batched rows per key per micro-batch. Same
     scale property: state ~ |users|, not |events|."""
-    import pandas as pd
-
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n long, v double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                v += float(pdf["value"].sum())
-            self._totals.update((n, v))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)]}
-            )
-
-        def close(self) -> None:
-            pass
+    UserTotals = _make_user_totals()
 
     src = _events_stream(spark, sf_dir)
     out = (

@@ -29,6 +29,19 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert not issues, f"{name}: " + "; ".join(issues)
 
 
+def test_blocked_gemm_equals_exact_topk(spark, sf_dir):
+    """sim_cosine_blocked (distributed block×block GEMM) must produce
+    exactly the rows of the oracle-checked exact baseline
+    sim_cosine_topk — the rounding-before-rank convention makes the
+    1-ulp BLAS summation drift invisible at 6 digits."""
+    from linux_logs_spark.verify import compare_frames
+
+    blocked = _SPECS["sim_cosine_blocked"].fn(spark, sf_dir).toPandas()
+    exact = _SPECS["sim_cosine_topk"].fn(spark, sf_dir).toPandas()
+    issues = compare_frames(blocked, exact)
+    assert not issues, issues
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

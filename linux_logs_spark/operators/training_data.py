@@ -1,0 +1,320 @@
+"""Training-data pipeline operators beyond the reference inventory:
+sequence packing, deterministic train/holdout splits, stratified
+sampling, duplicate-cluster resolution (connected components), and
+corpus n-gram statistics.
+
+These are the steps a 100 TB pretraining-data pipeline runs between
+"raw corpus" and "tokenized shards"; each is expressed as a
+declarative DataFrame plan (Catalyst optimizes the whole chain), with
+the one genuinely iterative algorithm (connected components) done as
+a bounded Pregel-style loop over persisted, lineage-truncated frames.
+
+Scale shapes:
+- pack_sequences: one window per source shard (concat-and-chunk
+  accounting) — a single hash shuffle on the shard key; chunk ids
+  derive arithmetically from the running token offset, so no second
+  pass over the data.
+- split / sample: pure map-side hash filters (md5 threshold), no
+  shuffle at all for the split; the exact-rank stratified sample
+  shuffles once on the stratum key.
+- dedup_clusters_cc: candidate edges come from the same blocked
+  posting-list equi-join that dedup_ngram_jaccard verifies; label
+  propagation runs on the (tiny) vertex set, never on documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.text import word_shingles, words
+from linux_logs_spark.registry import register
+
+# Token budget per packed training sequence. Small so sf0.001 already
+# exercises multi-chunk docs; the plan shape is budget-independent.
+PACK_BUDGET = 256
+
+# ------------------------------------------------------------- packing
+
+
+@register(
+    "pack_sequences",
+    "llm",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT source, doc_id, n_tokens, start_tok,
+       start_tok // {PACK_BUDGET} AS first_chunk,
+       (start_tok + n_tokens - 1) // {PACK_BUDGET} AS last_chunk,
+       (start_tok + n_tokens - 1) // {PACK_BUDGET}
+         - start_tok // {PACK_BUDGET} + 1 AS n_chunks
+FROM c
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting: per source shard,
+    documents are laid end-to-end in doc_id order and cut into
+    PACK_BUDGET-token chunks; each doc reports its token span and the
+    chunk range it lands in. One window (= one shuffle on the shard
+    key) computes the running offset; chunk ids are pure arithmetic on
+    it. At 100 TB the shard key is (source, path-bucket) so no single
+    window partition exceeds a task — the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    c = t.withColumn("start_tok", start)
+    first = F.floor(F.col("start_tok") / PACK_BUDGET)
+    last = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+# ------------------------------------------------- splits and sampling
+
+
+@register(
+    "split_train_holdout",
+    "llm",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5(doc_id)
+    hex-prefix threshold (hex digits are ASCII-ordered, so a string
+    compare against 'cccc' ≡ hash/65536 < 0.8). Pure map-side filter:
+    no shuffle, no state, stable under re-runs and repartitioning —
+    the property that makes the split reproducible across a 1000-
+    executor job and a laptop. md5 is content-stable across engines
+    (same lowercase hex in Spark and DuckDB)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "sample_stratified",
+    "llm",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, rn AS sample_rank
+FROM r
+WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20%-per-language stratified sample: rank docs inside each
+    stratum by md5(doc_id) (a deterministic stand-in for a random
+    draw) and keep the top ceil(0.2·n). One shuffle on the stratum
+    key. The stratum key is low-cardinality and skewed (en dominates),
+    so at 100 TB the exact-rank window gives way to the md5-threshold
+    filter of split_train_holdout (map-side, no shuffle, approximate
+    fraction); this operator is the exact-count form for when the
+    sample size must be precise."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id"))
+    n = F.count("*").over(Window.partitionBy("lang"))
+    return (
+        d.select("doc_id", "lang", rn.cast("long").alias("sample_rank"), n.alias("n"))
+        .filter(F.col("sample_rank") <= F.ceil(0.2 * F.col("n")))
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+# ------------------------------------- duplicate clusters (components)
+
+CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_clusters_cc",
+    "llm",
+    oracle="""
+WITH RECURSIVE w AS (
+  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), nw AS (
+  SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN nw na ON doc_a = na.doc_id
+  JOIN nw nb ON doc_b = nb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+), edges AS (
+  SELECT doc_a, doc_b FROM edges0
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges0
+), verts AS (
+  SELECT DISTINCT doc_a AS doc_id FROM edges
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+""",
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup graph, so each group of mutually-similar docs collapses
+    to one canonical id (the component's min doc_id) — the step that
+    turns pairwise dedup verdicts into keep/drop decisions.
+
+    Edges are the Jaccard ≥ 0.5 pairs from the same blocked
+    posting-list equi-join dedup_ngram_jaccard verifies (pair space
+    bounded by (lang, source) blocks, never n²). Components run as
+    Pregel-style min-label propagation on the VERTEX set (|V| ≤
+    |docs with a near-dup|, orders of magnitude smaller than the
+    corpus): each round, every vertex takes the min label among
+    itself and its neighbors. Labels decrease monotonically, so
+    sum(labels) is a convergence witness — no per-vertex diff join.
+    Rounds needed = graph diameter; dup clusters are near-cliques, so
+    2-3 in practice (CC_MAX_ITERS is a safety rail). Each round
+    localCheckpoints the label frame: lineage stays O(1) instead of
+    growing by two joins per round (on a cluster this is a reliable
+    checkpoint to object storage). The oracle is the same graph
+    closed under a recursive CTE."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "lang", "source", F.explode(words("text")).alias("word")
+    ).distinct()
+    nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na, nb = nw.alias("na"), nw.alias("nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_common")
+    )
+    edges0 = (
+        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = edges0.union(
+        edges0.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)  # materialize once; reused every round
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, F.col("doc_a") == F.col("doc_id"))
+            .groupBy(F.col("doc_b").alias("nbr_doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, F.col("doc_id") == F.col("nbr_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:  # min-propagation: sum strictly decreases until fixpoint
+            break
+        prev_sum = new_sum
+    return labels
+
+
+# ------------------------------------------------- corpus n-gram stats
+
+
+@register(
+    "text_ngram_topk",
+    "llm",
+    oracle="""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), b AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u
+)
+SELECT bigram, count(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the vocabulary/ngram-frequency pass of
+    a tokenizer-training pipeline. explode → hash-aggregate (map-side
+    partial combine shrinks the shuffle to distinct bigrams per task)
+    → orderBy().limit(20) which Spark plans as TakeOrderedAndProject:
+    per-partition 20-row heaps merged on the driver, no global sort.
+    Deterministic tie-break on the bigram string."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_shingles(words("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "linux_logs_spark.operators.llm_pipeline",
     "linux_logs_spark.operators.warehouse",
     "linux_logs_spark.operators.extras",
+    "linux_logs_spark.operators.training_data",
     "linux_logs_spark.streaming.queries",
 )
 
@@ -146,6 +147,11 @@ _MEASURED_COST: dict[str, float] = {
     "log_retention_cohorts": 2.07, "agg_mode": 0.94,
     "dedup_exact_hash": 1.81, "multimodal_resize": 1.98,
     "multimodal_frame_sample": 0.36, "log_gap_fill": 2.34,
+    # provisional (new in round 3; refreshed by the next full
+    # scripts/driver_sim.py pass)
+    "pack_sequences": 0.5, "split_train_holdout": 0.2,
+    "sample_stratified": 0.45, "dedup_clusters_cc": 3.0,
+    "text_ngram_topk": 0.45,
 }
 
 _DEFAULT_COST = 0.9

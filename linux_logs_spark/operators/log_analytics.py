@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.compat import dec
 from linux_logs_spark.registry import register
 
 
@@ -351,3 +352,105 @@ def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), ["minute_s", "event_type"], "left")
         .select("minute_s", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+@register(
+    "log_anomaly_zscore",
+    "log",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hour_start, n_events,
+         avg(n_events)         OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS sigma
+  FROM h
+)
+SELECT event_type, hour_start, n_events,
+       round((n_events - mu) / sigma, 4) AS zscore
+FROM s
+WHERE sigma > 0 AND abs(round((n_events - mu) / sigma, 4)) > 2
+""",
+)
+def log_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours where an event type's count is
+    more than 2 sample standard deviations from that type's mean rate.
+    Two-level shape: the hourly aggregate first collapses events to
+    |types|x|hours| rows (the only shuffle that sees raw data), then
+    the per-type mean/stddev window runs over that tiny frame - at
+    100 TB the window input is bounded by hours x types, not events.
+    z is rounded to 4 places BEFORE the threshold test so the flagged
+    set is identical across engines (stddev accumulation order
+    differs)."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    s = h.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        s.filter(F.col("sigma") > 0)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2)
+        .select("event_type", "hour_start", "n_events", "zscore")
+    )
+
+
+@register(
+    "log_rollup_multires",
+    "log",
+    oracle="""
+SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), event_type, count(*),
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, count(*),
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+""",
+)
+def log_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (minute -> hour -> day
+    continuous aggregates). The minute level is the only aggregate
+    that scans events; hour re-aggregates the minute frame and day the
+    hour frame - hierarchical reaggregation, so each coarser level
+    shuffles ~60x less than recomputing from raw. Sums accumulate in
+    DECIMAL through every level (exact, order-independent - see
+    functions/compat.py) and surface as DOUBLE only at the output, so
+    the hierarchical path is bit-identical to the direct aggregation
+    the oracle runs."""
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum(dec("value", 2)).alias("sv"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return lvl(minute, "minute").unionAll(lvl(hour, "hour")).unionAll(lvl(day, "day"))

@@ -151,7 +151,8 @@ _MEASURED_COST: dict[str, float] = {
     # scripts/driver_sim.py pass)
     "pack_sequences": 0.5, "split_train_holdout": 0.2,
     "sample_stratified": 0.45, "dedup_clusters_cc": 3.0,
-    "text_ngram_topk": 0.45,
+    "text_ngram_topk": 0.45, "log_anomaly_zscore": 0.5,
+    "log_rollup_multires": 0.7,
 }
 
 _DEFAULT_COST = 0.9

@@ -454,3 +454,54 @@ def log_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return lvl(minute, "minute").unionAll(lvl(hour, "hour")).unionAll(lvl(day, "day"))
+
+
+# SLO error-budget target used by log_slo_burn: "at most 5% of events
+# may be errors". The synthetic stream runs ~20% errors, so burn > 1
+# hours actually occur at every sf.
+SLO_TARGET = 0.05
+
+
+@register(
+    "log_slo_burn",
+    "log",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events
+  GROUP BY 1
+)
+SELECT hour_start, n_total, n_errors,
+       round((CAST(n_errors AS DOUBLE) / n_total) / {SLO_TARGET}, 4) AS burn,
+       round(avg(CAST(n_errors AS DOUBLE) / n_total) OVER (
+             ORDER BY hour_start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) / {SLO_TARGET}, 4) AS burn_6h
+FROM h
+""",
+)
+def log_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn rate: hourly error share over the SLO
+    target, plus the 6-hour rolling burn used for multi-window alerts
+    (Google SRE workbook's fast/slow-burn pattern). Same two-level
+    shape as log_anomaly_zscore: the only shuffle over raw events is
+    the hourly aggregate; the ordered rolling window then runs over
+    the |hours| frame, which is bounded (~9k rows/year) regardless of
+    event volume, so the single-partition sort is safe at 100 TB.
+    Rates are rounded to 4 places at the output so float division
+    order can't flip the comparison across engines."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_total")
+    w = Window.orderBy("hour_start").rowsBetween(-5, 0)
+    return h.select(
+        "hour_start",
+        "n_total",
+        "n_errors",
+        F.round(rate / SLO_TARGET, 4).alias("burn"),
+        F.round(F.avg(rate).over(w) / SLO_TARGET, 4).alias("burn_6h"),
+    )

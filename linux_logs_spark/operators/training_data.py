@@ -318,3 +318,97 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+# Tokenizer-vocabulary size. Small enough that sf0.001's shared
+# synthetic vocabulary still exercises the truncation path.
+VOCAB_SIZE = 200
+
+# RAG-style chunking geometry: 64-token chunks, 48-token stride
+# (16-token overlap between consecutive chunks).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "vocab_build",
+    "llm",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM w GROUP BY token
+  ORDER BY n DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT token, n,
+       row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+FROM c
+""",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: count every corpus token,
+    keep the VOCAB_SIZE most frequent, assign contiguous ids by
+    (count desc, token) rank. The token count is explode → hash-agg
+    with map-side partial combine (shuffle carries distinct tokens per
+    task, not corpus positions); truncation is orderBy().limit(K) →
+    TakeOrderedAndProject (per-partition K-row heaps, no global sort).
+    Only the K surviving rows — a driver-bounded constant — flow into
+    the single-partition row_number window, so the id-assignment stage
+    is O(VOCAB_SIZE) regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    topk = (
+        d.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_SIZE)
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return topk.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+@register(
+    "doc_chunk",
+    "llm",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, i AS tok_start,
+         CAST(least({CHUNK_TOKENS}, len(ws) - i) AS BIGINT) AS tok_len,
+         CAST(i // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx
+  FROM t, LATERAL (
+    SELECT unnest(range(0, len(ws), {CHUNK_STRIDE})) AS i
+  ) u
+)
+SELECT doc_id, chunk_idx, tok_start, tok_len,
+       array_to_string(ws[tok_start + 1 : tok_start + tok_len], ' ') AS chunk_text
+FROM s
+""",
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (RAG / context-window prep):
+    every CHUNK_STRIDE tokens starts a CHUNK_TOKENS-token chunk, the
+    final chunk truncated at the document end. Chunk starts come from
+    F.sequence(0, len-1, stride) + posexplode and the chunk text from
+    F.slice — all JVM-side array expressions inside one codegen stage;
+    no shuffle at all (pure per-row flatMap), so the operator is
+    map-side even at 100 TB and output partitioning follows the scan.
+    Note string_split('', ' ') = [''] on both engines, so empty docs
+    yield exactly one empty chunk rather than disappearing."""
+    d = load(spark, sf_dir, "documents")
+    ws = words("text")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    e = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.explode(starts).alias("tok_start"),
+    )
+    tok_len = F.least(F.lit(CHUNK_TOKENS), F.size("ws") - F.col("tok_start")).cast("long")
+    return e.select(
+        "doc_id",
+        (F.col("tok_start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        tok_len.alias("tok_len"),
+        F.concat_ws(" ", F.slice("ws", F.col("tok_start") + 1, tok_len)).alias("chunk_text"),
+    )

@@ -153,6 +153,8 @@ _MEASURED_COST: dict[str, float] = {
     "sample_stratified": 0.45, "dedup_clusters_cc": 3.0,
     "text_ngram_topk": 0.45, "log_anomaly_zscore": 0.5,
     "log_rollup_multires": 0.7,
+    "vocab_build": 0.75, "doc_chunk": 0.45, "log_slo_burn": 0.5,
+    "stream_stream_join": 4.5,
 }
 
 _DEFAULT_COST = 0.9

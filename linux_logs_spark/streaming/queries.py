@@ -412,3 +412,56 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(spark, out, "update")
+
+
+@register(
+    "stream_stream_join",
+    "streaming",
+    oracle="""
+SELECT a.event_id AS error_id, b.event_id AS purchase_id, a.user_id,
+       CAST(floor(epoch(date_trunc('second', b.ts)))
+            - floor(epoch(date_trunc('second', a.ts))) AS BIGINT) AS lag_s
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+  AND date_trunc('second', b.ts) >= date_trunc('second', a.ts)
+  AND date_trunc('second', b.ts)
+      <= date_trunc('second', a.ts) + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream interval join: each error paired with the same
+    user's purchases in the following 30 minutes (did the error block
+    conversion?). Both sides carry a watermark and the join condition
+    time-bounds purchase.ts relative to error.ts, so Spark can expire
+    buffered state: each side retains only watermark + 30 minutes of
+    rows per user, not the whole stream. State ~ |users| x rate x 30
+    min — bounded at 100 TB; an unbounded-condition stream join would
+    be rejected by Spark for exactly that reason. The oracle is the
+    batch range self-join (availableNow processes every row in one
+    pass, so no result is watermark-dropped and the equivalence is
+    exact)."""
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .alias("a")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("b")
+    )
+    joined = errors.join(
+        purchases,
+        F.expr(
+            "a.user_id = b.user_id AND b.ts >= a.ts "
+            "AND b.ts <= a.ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("a.event_id").alias("error_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("lag_s"),
+    )
+    return _run(spark, joined, "append")

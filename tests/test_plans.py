@@ -138,3 +138,18 @@ def test_decontam_shuffles_hashes_not_strings(spark, sf_dir):
     assert "sh_hash" in plan, plan
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
     assert keys and all("shingle#" not in ln for ln in keys), keys
+
+
+def test_vocab_build_is_take_ordered(spark, sf_dir):
+    """Vocabulary truncation must be a per-partition top-K heap merge
+    (TakeOrderedAndProject), and the id-assignment window must run
+    AFTER the limit so only VOCAB_SIZE rows hit one partition."""
+    plan = plan_string(_Q["vocab_build"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure per-row flatMap: no exchange anywhere —
+    output partitioning follows the parquet scan."""
+    plan = plan_string(_Q["doc_chunk"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan

@@ -231,7 +231,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):  # MSB-first to mirror the acc*2 fold
         simhash = simhash * 2 + F.when(F.col(f"s{SIMHASH_BITS - 1 - j}") >= 0, 1).otherwise(0)
-    summed = sums.select("doc_id", simhash.alias("simhash"))
+    # The band self-join consumes `summed` twice; without a cut Spark
+    # recomputes the explode→broadcast-join→48-sum pipeline per side
+    # (4 parquet scans, zero ReusedExchange — measured). Signatures are
+    # |docs| rows × 16 bytes, so materialize them once and join the
+    # materialized table to itself: at 100 TB this is the standard
+    # "signature table" shape (persist signatures, then band-join).
+    summed = sums.select("doc_id", simhash.alias("simhash")).localCheckpoint()
     banded = summed.select(
         "doc_id",
         "simhash",

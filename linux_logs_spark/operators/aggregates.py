@@ -425,3 +425,33 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+@register("agg_hll_sketch_rollup", "aggregate", oracle=None)  # sketch → rows-only
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts via Datasketches HLL: build one
+    sketch per (event_type, day), then MERGE the binary sketches up to
+    per-type totals with hll_union_agg — the 100 TB rollup pattern
+    where daily sketches are stored once and every coarser granularity
+    (week/month/all-time) is a cheap sketch union instead of a rescan
+    of raw events. approx_count_distinct (agg_approx_distinct) can't
+    do this: its estimate is final, not mergeable. The exact
+    countDistinct rides along at the fine level to bound the sketch
+    error in the output; sketch internals differ from DuckDB's HLL, so
+    the query is rows-only by declaration."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.sum("exact_users").alias("sum_daily_exact"),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "est_users", "sum_daily_exact", "n_days")
+    )

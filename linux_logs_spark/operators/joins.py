@@ -273,3 +273,52 @@ def join_self_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))
     )
+
+
+# Salt fan-out for join_skew_salted. 8 is illustrative; at 100 TB the
+# count is sized so the hottest key's per-salt slice fits an executor.
+N_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    "join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name,
+       CAST(floor(e.value) AS BIGINT) AS value_floor
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join: the fact side salts its join key
+    with a deterministic pmod(xxhash64(event_id), 8) suffix and the
+    dimension side explodes into all 8 salt replicas, so one hot
+    user_id spreads over 8 reducer partitions instead of stalling a
+    single task. Output is provably identical to the unsalted join
+    (the oracle IS the unsalted join). AQE's skewedJoin handles this
+    adaptively when statistics surface the skew; the explicit salt is
+    the deterministic form for pipelines that disable AQE (streaming)
+    or hit skew AQE's split thresholds miss. The dim replication is
+    ×8 rows but broadcast-free, so it works when BOTH sides are too
+    big to broadcast — the regime where skew actually bites."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    salted_fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    salted_dim = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        salted_fact.join(
+            salted_dim.hint("shuffle_hash"),
+            (salted_fact.user_id == salted_dim.c_custkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "c_name",
+            F.floor("value").cast("long").alias("value_floor"),
+        )
+    )

@@ -135,6 +135,7 @@ _MEASURED_COST: dict[str, float] = {
     "udtf_apply_in_pandas": 0.54, "udtf_python_native": 1.02, "vocab_build": 0.31, "win_first_last": 0.42,
     "win_lag_lead": 0.53, "win_nth_value": 0.44, "win_range_frame": 4.03, "win_ranking": 1.32,
     "win_running": 1.26,
+    "agg_hll_sketch_rollup": 1.1, "join_skew_salted": 1.1,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

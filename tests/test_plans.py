@@ -153,3 +153,16 @@ def test_doc_chunk_is_shuffle_free(spark, sf_dir):
     output partitioning follows the parquet scan."""
     plan = plan_string(_Q["doc_chunk"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_join_skew_salted_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join must be a shuffled hash join building the
+    replicated dim (BuildRight), keyed on (key, salt) — a broadcast
+    would bypass the skew mitigation being demonstrated."""
+    plan = plan_string(_Q["join_skew_salted"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BuildRight" in plan, plan
+    # formatted explain lists join keys in the details section
+    key_lines = [l for l in plan.splitlines() if "keys" in l and "salt#" in l]
+    assert key_lines, plan

@@ -857,3 +857,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return frame_sample_media(with_media_columns(d))
+
+
+@register(
+    "text_repetition_score",
+    "llm",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), per_word AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT)   AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT)   AS top_token_count
+  FROM per_word GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 4)      AS distinct_ratio,
+       round(CAST(top_token_count AS DOUBLE) / n_tokens, 4) AS top_token_share
+FROM per_doc
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (the crawl-filtering heuristic
+    behind 'gibberish/boilerplate' removal): per-document type-token
+    ratio and most-repeated-token share. One explode feeds a
+    (doc_id, word) hash aggregate — map-side partial combine collapses
+    repeats before the shuffle, so shuffle volume is distinct words
+    per doc, not corpus positions. The per-doc reduction is a second
+    exchange, but its input is already the collapsed per-word frame
+    (~vocab × docs), orders of magnitude under the corpus. Ratios
+    rounded to 4 places; counts are exact integers."""
+    d = load(spark, sf_dir, "documents")
+    per_word = (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_share"),
+    ).select(
+        "doc_id", "n_tokens", "n_distinct", "distinct_ratio", "top_token_share"
+    )

@@ -334,3 +334,55 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+EMB_DIM = 64
+
+
+@register("emb_pca_power", "llm", oracle=None)  # iterative/eigen → rows-only
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, gramian form: the executors reduce the corpus
+    to G = Σ x·xᵀ (a 64×64 matrix — mapInPandas computes one numpy
+    GEMM partial per Arrow batch, then a posexplode → groupBy(i,j) sum
+    runs the elementwise allreduce), and only those 4096 bounded
+    numbers ever reach the driver, where the top eigenpair comes from
+    numpy eigh. This is the shape that survives 100 TB: work on raw
+    vectors is one linear pass, driver traffic is O(dim²) regardless
+    of corpus size. Eigen iteration is not SQL-expressible → rows-only;
+    loadings are sign-normalized (first nonzero positive) and rounded
+    so the 64-row output is run-stable."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def partial_gram(batches):
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(X) == 0:
+                continue
+            g = X.T @ X  # (64, 64) partial gramian for this batch
+            yield pd.DataFrame({"g": [g.reshape(-1).tolist()]})
+
+    partials = emb.select("embedding").mapInPandas(partial_gram, "g array<double>")
+    cells = partials.select(
+        F.posexplode("g").alias("cell", "v")
+    ).groupBy("cell").agg(F.sum("v").alias("s"))
+    rows = cells.collect()  # exactly dim² = 4096 rows, corpus-size-free
+    G = np.zeros(EMB_DIM * EMB_DIM)
+    for r in rows:
+        G[r["cell"]] = r["s"]
+    G = G.reshape(EMB_DIM, EMB_DIM)
+    vals, vecs = np.linalg.eigh(G)  # symmetric PSD → eigh is exact+stable
+    lead = vecs[:, -1]
+    nz = np.flatnonzero(np.round(lead, 6))
+    if len(nz) and lead[nz[0]] < 0:
+        lead = -lead
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(EMB_DIM, dtype=np.int64),
+            "loading": np.round(lead, 4),
+            "eigenvalue": np.round(float(vals[-1]), 2),
+        }
+    )
+    return spark.createDataFrame(out)

@@ -127,28 +127,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_MINHASH = 16
-N_BANDS = 4  # 4 rows per band
+# 8 bands × 2 rows: detection prob at the J=0.5 verify threshold is
+# 1-(1-0.5²)⁸ ≈ 0.90 (threshold ≈ (1/b)^(1/r) ≈ 0.35). The original
+# 4×4 banding detected only 1-(1-0.5⁴)⁴ ≈ 0.23 of true J=0.5 pairs —
+# measured 27 survivors vs 1023 exact pairs at sf0.001 before the fix.
+N_BANDS = 8  # 2 rows per band
 
 
 @register("dedup_near_minhash", "llm", oracle=None)  # xxhash64 minhash → rows-only
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the 100 TB dedup
-    path: shingle → 16-seed minhash signature → 4 bands → equi-join on
-    (band_id, band_hash) → verify candidates with exact Jaccard.
-    Candidate generation is a hash-shuffle equi-join; cost scales with
-    bucket collisions, not n². DuckDB has no xxhash64 → rows-only.
+    path: 3-gram shingle → 16-seed minhash signature → 8 bands →
+    equi-join on (band_id, band_hash) → verify candidates with exact
+    Jaccard over the SAME shingle sets the signature sketches (the
+    signature estimates shingle-Jaccard, so verifying with any other
+    set — it used word sets before round 3 — silently decouples the
+    filter from the sketch). Candidate generation is a hash-shuffle
+    equi-join; cost scales with bucket collisions, not n².
+    tests/test_ann_quality.py pins recall against the exact blocked
+    Jaccard baseline. DuckDB has no xxhash64 → rows-only.
     """
     d = load(spark, sf_dir, "documents")
     sig = (
         d.select("doc_id", words("text").alias("w"))
-        .withColumn("sig", minhash_signature(word_shingles(F.col("w"), 3), N_MINHASH))
-        .withColumn("wset", F.array_distinct("w"))
-        .select("doc_id", "sig", "wset")
+        .withColumn("sh", word_shingles(F.col("w"), 3))
+        # Docs below the shingle width have an empty shingle set: no
+        # similarity is defined for them (and an empty-set candidate
+        # pair would divide by zero in the Jaccard verify), so they
+        # exit the pipeline here — mirroring the short-doc guard in
+        # word_shingles itself.
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), N_MINHASH))
+        .withColumn("shset", F.array_distinct("sh"))
+        .select("doc_id", "sig", "shset")
     )
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
         "doc_id",
-        "wset",
+        "shset",
         F.explode(
             F.array(
                 *[
@@ -165,7 +181,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "wset", "band.band_id", "band.band_hash")
+    ).select("doc_id", "shset", "band.band_id", "band.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -177,8 +193,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.wset").alias("wa"),
-            F.col("b.wset").alias("wb"),
+            F.col("a.shset").alias("wa"),
+            F.col("b.shset").alias("wb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

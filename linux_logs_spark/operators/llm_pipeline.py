@@ -90,10 +90,15 @@ WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup within (lang, source) blocks.
-    Blocking keys bound the pair space (classic blocked dedup); the
-    intersection is computed by an equi-join on the posting list
-    (word), never by materializing pairs × vocab."""
+    """Word-level (1-gram) Jaccard near-dup within (lang, source)
+    blocks. Blocking keys bound the pair space (classic blocked
+    dedup); the intersection is computed by an equi-join on the
+    posting list (word), never by materializing pairs × vocab. NOTE:
+    word-set similarity is a different (coarser) space than the
+    3-gram shingle Jaccard that dedup_near_minhash sketches — on a
+    shared-vocabulary corpus most pairs are word-similar while few
+    are shingle-similar; tests/test_ann_quality.py measures minhash
+    recall against brute-force SHINGLE Jaccard for that reason."""
     d = load(spark, sf_dir, "documents")
     w = (
         d.select("doc_id", "lang", "source", F.explode(words("text")).alias("word"))

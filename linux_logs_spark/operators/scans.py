@@ -183,3 +183,24 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("dt").cast("string").alias("dt"), "event_type").agg(
         F.count("*").alias("n")
     )
+
+
+@register("scan_binary_files", "scan", oracle=None)  # paths vary per sf → rows-only
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via the binaryFile source — the entry point of
+    a multimodal pipeline (images/audio/video land as whole files; the
+    content column carries the bytes that mapInPandas decoders
+    consume, see sources/multimodal.py). Reads the sf dir's parquet
+    files AS OPAQUE BYTES and emits per-file name, length, and sha256
+    digest. At 100 TB the source parallelizes per file with
+    spark.sql.files.maxPartitionBytes-bounded tasks and prunes the
+    content column when only metadata is selected. DuckDB's oracle
+    contract only pre-registers the ten table views (no filesystem
+    paths), so the query is rows-only by declaration; determinism is
+    trivially byte-exact (file digests)."""
+    files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha256"),
+    ).orderBy("file_name")

@@ -136,7 +136,7 @@ _MEASURED_COST: dict[str, float] = {
     "win_lag_lead": 0.53, "win_nth_value": 0.44, "win_range_frame": 4.03, "win_ranking": 1.32,
     "win_running": 1.26,
     "agg_hll_sketch_rollup": 1.1, "join_skew_salted": 1.1,
-    "emb_pca_power": 1.9, "text_repetition_score": 1.2,
+    "emb_pca_power": 1.9, "text_repetition_score": 1.2, "scan_binary_files": 0.5,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

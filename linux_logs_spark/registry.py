@@ -97,46 +97,45 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 133-query run, round 3,
-# TOTAL 135.8 s). tests/test_contract.py asserts every registered
+# driver's verified set (this table: full 138-query run, round 3,
+# TOTAL 117.6 s). tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.88, "agg_approx_percentile": 0.31, "agg_bool": 0.75, "agg_collect": 0.63,
-    "agg_count_distinct": 0.39, "agg_cube": 0.47, "agg_distinct_rows": 0.56, "agg_global": 0.45,
-    "agg_groupby": 0.52, "agg_grouping_sets": 0.77, "agg_having": 0.45, "agg_histogram": 0.81,
-    "agg_min_max_by": 0.29, "agg_mode": 0.4, "agg_percentile": 0.57, "agg_pivot": 1.16,
-    "agg_rollup": 1.18, "agg_stats": 0.47, "agg_string_concat": 0.35, "agg_unpivot": 0.17,
-    "decontam_ngram_overlap": 0.82, "dedup_clusters_cc": 2.68, "dedup_embedding_cosine": 3.33, "dedup_exact": 0.29,
-    "dedup_exact_hash": 0.2, "dedup_near_minhash": 1.09, "dedup_ngram_jaccard": 1.1, "dedup_simhash": 7.94,
-    "doc_chunk": 0.71, "emb_label_centroid": 0.64, "fn_array": 0.15, "fn_array_agg": 0.33,
-    "fn_bitwise": 0.53, "fn_conditional": 2.51, "fn_datetime": 0.85, "fn_hash": 0.25,
-    "fn_interval": 0.31, "fn_json": 0.41, "fn_map": 0.54, "fn_math": 0.22,
-    "fn_posexplode": 0.73, "fn_regex": 0.24, "fn_string": 0.82, "fn_string_extended": 4.24,
-    "fn_trig": 0.59, "join_asof": 0.59, "join_broadcast": 1.46, "join_cross": 0.27,
-    "join_full_outer": 0.52, "join_inner_equi": 0.47, "join_left_anti": 0.83, "join_left_outer": 0.5,
-    "join_left_semi": 1.73, "join_self_multi": 0.48, "join_theta_range": 0.55, "limit_topk": 0.13,
-    "log_anomaly_zscore": 1.21, "log_burst_detect": 0.51, "log_error_rate_hourly": 0.32, "log_event_transitions": 0.53,
-    "log_gap_fill": 0.98, "log_retention_cohorts": 1.31, "log_rollup_multires": 1.18, "log_search": 0.35,
-    "log_slo_burn": 1.1, "log_top_services": 0.88, "log_type_hour_matrix": 0.78, "log_user_funnel": 0.69,
-    "multimodal_features": 0.45, "multimodal_frame_sample": 0.42, "multimodal_join": 0.23, "multimodal_resize": 0.52,
-    "pack_sequences": 0.49, "q_case_when": 0.82, "q_exists_correlated": 1.1, "q_filter_basic": 1.17,
-    "q_filter_in_between": 0.53, "q_filter_like": 0.92, "q_project": 1.59, "q_subquery_scalar": 0.44,
-    "sample_stratified": 0.53, "scan_csv_roundtrip": 0.86, "scan_json_lines": 0.39, "scan_orc_roundtrip": 0.65,
-    "scan_parquet": 1.69, "scan_text_parse": 0.8, "scd2_merge": 0.5, "sessionize": 0.77,
-    "set_except": 0.5, "set_intersect": 0.4, "set_union_all": 0.35, "set_union_distinct": 0.3,
-    "sim_ann_ivf": 6.18, "sim_ann_lsh": 2.16, "sim_cosine_blocked": 0.73, "sim_cosine_topk": 4.76,
-    "sim_knn_label": 0.55, "sink_parquet_partitioned": 1.22, "sort_multi": 1.82, "split_train_holdout": 0.3,
-    "stream_custom_state": 1.87, "stream_dedup": 1.04, "stream_foreach_batch": 0.93, "stream_session": 1.1,
-    "stream_sliding": 1.97, "stream_static_join": 0.94, "stream_stream_join": 2.5, "stream_tumbling": 1.88,
-    "stream_watermark_late": 1.2, "text_fingerprint": 0.83, "text_lang_id": 0.4, "text_lang_stats": 1.61,
-    "text_ngram_topk": 4.63, "text_quality_score": 0.21, "text_tfidf": 1.17, "text_token_count_bpe": 0.55,
-    "text_tokenize_counts": 1.57, "topk_per_group": 0.46, "tpch_q3": 0.59, "tpch_q5": 0.54,
-    "tpch_q6": 0.51, "udaf_pandas_agg": 0.38, "udf_pandas_scalar": 3.91, "udf_python": 0.48,
-    "udtf_apply_in_pandas": 0.54, "udtf_python_native": 1.02, "vocab_build": 0.31, "win_first_last": 0.42,
-    "win_lag_lead": 0.53, "win_nth_value": 0.44, "win_range_frame": 4.03, "win_ranking": 1.32,
-    "win_running": 1.26,
-    "agg_hll_sketch_rollup": 1.1, "join_skew_salted": 1.1,
-    "emb_pca_power": 1.9, "text_repetition_score": 1.2, "scan_binary_files": 0.5,
+    "agg_approx_distinct": 1.28, "agg_approx_percentile": 0.56, "agg_bool": 0.43, "agg_collect": 0.37,
+    "agg_count_distinct": 0.61, "agg_cube": 0.59, "agg_distinct_rows": 0.31, "agg_global": 0.74,
+    "agg_groupby": 0.69, "agg_grouping_sets": 0.36, "agg_having": 0.36, "agg_histogram": 0.32,
+    "agg_hll_sketch_rollup": 0.7, "agg_min_max_by": 0.58, "agg_mode": 0.55, "agg_percentile": 0.66,
+    "agg_pivot": 0.48, "agg_rollup": 0.44, "agg_stats": 0.46, "agg_string_concat": 0.56,
+    "agg_unpivot": 0.42, "decontam_ngram_overlap": 1.26, "dedup_clusters_cc": 3.57, "dedup_embedding_cosine": 3.92,
+    "dedup_exact": 0.39, "dedup_exact_hash": 0.78, "dedup_near_minhash": 3.21, "dedup_ngram_jaccard": 0.8,
+    "dedup_simhash": 3.09, "doc_chunk": 0.39, "emb_label_centroid": 0.44, "emb_pca_power": 0.78,
+    "fn_array": 2.53, "fn_array_agg": 0.27, "fn_bitwise": 0.34, "fn_conditional": 2.63,
+    "fn_datetime": 0.81, "fn_hash": 0.18, "fn_interval": 0.54, "fn_json": 0.56,
+    "fn_map": 0.38, "fn_math": 0.47, "fn_posexplode": 0.24, "fn_regex": 0.47,
+    "fn_string": 0.22, "fn_string_extended": 0.23, "fn_trig": 0.32, "join_asof": 0.38,
+    "join_broadcast": 0.56, "join_cross": 0.54, "join_full_outer": 0.51, "join_inner_equi": 0.64,
+    "join_left_anti": 0.24, "join_left_outer": 0.57, "join_left_semi": 0.21, "join_self_multi": 0.52,
+    "join_skew_salted": 0.62, "join_theta_range": 0.3, "limit_topk": 2.6, "log_anomaly_zscore": 0.51,
+    "log_burst_detect": 0.55, "log_error_rate_hourly": 0.42, "log_event_transitions": 0.5, "log_gap_fill": 0.56,
+    "log_retention_cohorts": 0.62, "log_rollup_multires": 1.4, "log_search": 0.55, "log_slo_burn": 0.44,
+    "log_top_services": 0.32, "log_type_hour_matrix": 0.47, "log_user_funnel": 0.52, "multimodal_features": 0.29,
+    "multimodal_frame_sample": 0.59, "multimodal_join": 0.7, "multimodal_resize": 0.34, "pack_sequences": 0.39,
+    "q_case_when": 0.4, "q_exists_correlated": 0.26, "q_filter_basic": 0.37, "q_filter_in_between": 0.22,
+    "q_filter_like": 0.15, "q_project": 1.54, "q_subquery_scalar": 0.6, "sample_stratified": 0.35,
+    "scan_binary_files": 0.38, "scan_csv_roundtrip": 0.71, "scan_json_lines": 0.63, "scan_orc_roundtrip": 0.95,
+    "scan_parquet": 0.08, "scan_text_parse": 0.42, "scd2_merge": 0.36, "sessionize": 0.94,
+    "set_except": 0.63, "set_intersect": 0.53, "set_union_all": 0.37, "set_union_distinct": 0.56,
+    "sim_ann_ivf": 3.27, "sim_ann_lsh": 2.7, "sim_cosine_blocked": 0.97, "sim_cosine_topk": 0.48,
+    "sim_knn_label": 5.27, "sink_parquet_partitioned": 1.37, "sort_multi": 0.89, "split_train_holdout": 0.21,
+    "stream_custom_state": 2.34, "stream_dedup": 1.43, "stream_foreach_batch": 2.31, "stream_session": 1.52,
+    "stream_sliding": 1.16, "stream_static_join": 1.14, "stream_stream_join": 3.26, "stream_tumbling": 1.19,
+    "stream_watermark_late": 1.97, "text_fingerprint": 0.51, "text_lang_id": 0.38, "text_lang_stats": 0.38,
+    "text_ngram_topk": 0.77, "text_quality_score": 0.41, "text_repetition_score": 0.47, "text_tfidf": 0.96,
+    "text_token_count_bpe": 0.22, "text_tokenize_counts": 0.23, "topk_per_group": 0.41, "tpch_q3": 0.55,
+    "tpch_q5": 0.65, "tpch_q6": 0.38, "udaf_pandas_agg": 1.91, "udf_pandas_scalar": 0.45,
+    "udf_python": 0.56, "udtf_apply_in_pandas": 0.54, "udtf_python_native": 0.64, "vocab_build": 0.67,
+    "win_first_last": 0.85, "win_lag_lead": 0.75, "win_nth_value": 0.54, "win_range_frame": 3.21,
+    "win_ranking": 1.1, "win_running": 1.02,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -322,3 +322,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("long").alias("value_floor"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    "join",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+  FROM events
+), d AS (
+  SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et,
+         CASE WHEN event_type = 'error' THEN 'unattributed' ELSE event_type END AS label
+  FROM events
+)
+SELECT e.event_id, d.label
+FROM e JOIN d ON e.et IS NOT DISTINCT FROM d.et
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the semantics
+    dimension lookups need when "unknown" is itself a category. Spark
+    plans eqNullSafe as an ordinary hash join (null hashes like any
+    value), so the scale story is identical to join_inner_equi; the
+    tiny dim broadcasts."""
+    e = load(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    fact = e.select("event_id", et.alias("et"))
+    dim = (
+        e.select(
+            et.alias("et"),
+            F.when(F.col("event_type") == "error", F.lit("unattributed"))
+            .otherwise(F.col("event_type"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return fact.join(F.broadcast(dim), fact.et.eqNullSafe(dim.et)).select(
+        "event_id", "label"
+    )

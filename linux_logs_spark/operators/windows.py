@@ -295,3 +295,41 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("session_end_s"),
         )
     )
+
+
+@register(
+    "win_latest_per_key",
+    "window",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS last_ts_s
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-entity — the compaction idiom behind "current
+    state" tables (last event per user, newest version per key in CDC
+    streams). One shuffle on the entity key; Spark plans the rn=1
+    filter as WindowGroupLimit, so each partition keeps a 1-row
+    running max instead of fully sorting its group — at 100 TB the
+    sort cost is per-key-streaming, not |events| log |events|.
+    event_id breaks timestamp ties deterministically."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.unix_timestamp("ts").alias("last_ts_s"),
+        )
+    )

@@ -136,6 +136,7 @@ _MEASURED_COST: dict[str, float] = {
     "udf_python": 0.56, "udtf_apply_in_pandas": 0.54, "udtf_python_native": 0.64, "vocab_build": 0.67,
     "win_first_last": 0.85, "win_lag_lead": 0.75, "win_nth_value": 0.54, "win_range_frame": 3.21,
     "win_ranking": 1.1, "win_running": 1.02,
+    "win_latest_per_key": 0.95, "join_null_safe": 0.9,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

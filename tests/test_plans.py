@@ -166,3 +166,10 @@ def test_join_skew_salted_shuffles_on_salted_key(spark, sf_dir):
     # formatted explain lists join keys in the details section
     key_lines = [l for l in plan.splitlines() if "keys" in l and "salt#" in l]
     assert key_lines, plan
+
+
+def test_win_latest_per_key_uses_group_limit(spark, sf_dir):
+    """rn=1 compaction must plan as WindowGroupLimit (per-key 1-row
+    running max), not a full per-group sort."""
+    plan = plan_string(_Q["win_latest_per_key"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan

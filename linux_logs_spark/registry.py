@@ -97,46 +97,45 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 138-query run, round 3,
-# TOTAL 117.6 s). tests/test_contract.py asserts every registered
+# driver's verified set (this table: full 140-query run, round 3,
+# TOTAL 123.4 s). tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 1.28, "agg_approx_percentile": 0.56, "agg_bool": 0.43, "agg_collect": 0.37,
-    "agg_count_distinct": 0.61, "agg_cube": 0.59, "agg_distinct_rows": 0.31, "agg_global": 0.74,
-    "agg_groupby": 0.69, "agg_grouping_sets": 0.36, "agg_having": 0.36, "agg_histogram": 0.32,
-    "agg_hll_sketch_rollup": 0.7, "agg_min_max_by": 0.58, "agg_mode": 0.55, "agg_percentile": 0.66,
-    "agg_pivot": 0.48, "agg_rollup": 0.44, "agg_stats": 0.46, "agg_string_concat": 0.56,
-    "agg_unpivot": 0.42, "decontam_ngram_overlap": 1.26, "dedup_clusters_cc": 3.57, "dedup_embedding_cosine": 3.92,
-    "dedup_exact": 0.39, "dedup_exact_hash": 0.78, "dedup_near_minhash": 3.21, "dedup_ngram_jaccard": 0.8,
-    "dedup_simhash": 3.09, "doc_chunk": 0.39, "emb_label_centroid": 0.44, "emb_pca_power": 0.78,
-    "fn_array": 2.53, "fn_array_agg": 0.27, "fn_bitwise": 0.34, "fn_conditional": 2.63,
-    "fn_datetime": 0.81, "fn_hash": 0.18, "fn_interval": 0.54, "fn_json": 0.56,
-    "fn_map": 0.38, "fn_math": 0.47, "fn_posexplode": 0.24, "fn_regex": 0.47,
-    "fn_string": 0.22, "fn_string_extended": 0.23, "fn_trig": 0.32, "join_asof": 0.38,
-    "join_broadcast": 0.56, "join_cross": 0.54, "join_full_outer": 0.51, "join_inner_equi": 0.64,
-    "join_left_anti": 0.24, "join_left_outer": 0.57, "join_left_semi": 0.21, "join_self_multi": 0.52,
-    "join_skew_salted": 0.62, "join_theta_range": 0.3, "limit_topk": 2.6, "log_anomaly_zscore": 0.51,
-    "log_burst_detect": 0.55, "log_error_rate_hourly": 0.42, "log_event_transitions": 0.5, "log_gap_fill": 0.56,
-    "log_retention_cohorts": 0.62, "log_rollup_multires": 1.4, "log_search": 0.55, "log_slo_burn": 0.44,
-    "log_top_services": 0.32, "log_type_hour_matrix": 0.47, "log_user_funnel": 0.52, "multimodal_features": 0.29,
-    "multimodal_frame_sample": 0.59, "multimodal_join": 0.7, "multimodal_resize": 0.34, "pack_sequences": 0.39,
-    "q_case_when": 0.4, "q_exists_correlated": 0.26, "q_filter_basic": 0.37, "q_filter_in_between": 0.22,
-    "q_filter_like": 0.15, "q_project": 1.54, "q_subquery_scalar": 0.6, "sample_stratified": 0.35,
-    "scan_binary_files": 0.38, "scan_csv_roundtrip": 0.71, "scan_json_lines": 0.63, "scan_orc_roundtrip": 0.95,
-    "scan_parquet": 0.08, "scan_text_parse": 0.42, "scd2_merge": 0.36, "sessionize": 0.94,
-    "set_except": 0.63, "set_intersect": 0.53, "set_union_all": 0.37, "set_union_distinct": 0.56,
-    "sim_ann_ivf": 3.27, "sim_ann_lsh": 2.7, "sim_cosine_blocked": 0.97, "sim_cosine_topk": 0.48,
-    "sim_knn_label": 5.27, "sink_parquet_partitioned": 1.37, "sort_multi": 0.89, "split_train_holdout": 0.21,
-    "stream_custom_state": 2.34, "stream_dedup": 1.43, "stream_foreach_batch": 2.31, "stream_session": 1.52,
-    "stream_sliding": 1.16, "stream_static_join": 1.14, "stream_stream_join": 3.26, "stream_tumbling": 1.19,
-    "stream_watermark_late": 1.97, "text_fingerprint": 0.51, "text_lang_id": 0.38, "text_lang_stats": 0.38,
-    "text_ngram_topk": 0.77, "text_quality_score": 0.41, "text_repetition_score": 0.47, "text_tfidf": 0.96,
-    "text_token_count_bpe": 0.22, "text_tokenize_counts": 0.23, "topk_per_group": 0.41, "tpch_q3": 0.55,
-    "tpch_q5": 0.65, "tpch_q6": 0.38, "udaf_pandas_agg": 1.91, "udf_pandas_scalar": 0.45,
-    "udf_python": 0.56, "udtf_apply_in_pandas": 0.54, "udtf_python_native": 0.64, "vocab_build": 0.67,
-    "win_first_last": 0.85, "win_lag_lead": 0.75, "win_nth_value": 0.54, "win_range_frame": 3.21,
-    "win_ranking": 1.1, "win_running": 1.02,
-    "win_latest_per_key": 0.95, "join_null_safe": 0.9,
+    "agg_approx_distinct": 0.99, "agg_approx_percentile": 0.36, "agg_bool": 0.43, "agg_collect": 0.43,
+    "agg_count_distinct": 0.55, "agg_cube": 4.26, "agg_distinct_rows": 0.42, "agg_global": 1.12,
+    "agg_groupby": 0.63, "agg_grouping_sets": 0.55, "agg_having": 0.49, "agg_histogram": 0.51,
+    "agg_hll_sketch_rollup": 0.9, "agg_min_max_by": 0.84, "agg_mode": 0.36, "agg_percentile": 0.51,
+    "agg_pivot": 0.72, "agg_rollup": 0.63, "agg_stats": 0.49, "agg_string_concat": 0.48,
+    "agg_unpivot": 0.27, "decontam_ngram_overlap": 0.97, "dedup_clusters_cc": 3.1, "dedup_embedding_cosine": 3.42,
+    "dedup_exact": 0.34, "dedup_exact_hash": 0.29, "dedup_near_minhash": 1.45, "dedup_ngram_jaccard": 1.29,
+    "dedup_simhash": 2.64, "doc_chunk": 0.35, "emb_label_centroid": 0.47, "emb_pca_power": 0.65,
+    "fn_array": 0.2, "fn_array_agg": 0.49, "fn_bitwise": 0.37, "fn_conditional": 2.48,
+    "fn_datetime": 1.19, "fn_hash": 0.38, "fn_interval": 0.35, "fn_json": 0.68,
+    "fn_map": 0.48, "fn_math": 0.25, "fn_posexplode": 0.29, "fn_regex": 0.24,
+    "fn_string": 2.08, "fn_string_extended": 0.38, "fn_trig": 0.31, "join_asof": 0.43,
+    "join_broadcast": 0.49, "join_cross": 0.41, "join_full_outer": 0.85, "join_inner_equi": 0.64,
+    "join_left_anti": 0.38, "join_left_outer": 0.63, "join_left_semi": 0.84, "join_null_safe": 0.47,
+    "join_self_multi": 0.48, "join_skew_salted": 0.66, "join_theta_range": 0.41, "limit_topk": 0.15,
+    "log_anomaly_zscore": 0.59, "log_burst_detect": 0.5, "log_error_rate_hourly": 0.49, "log_event_transitions": 0.73,
+    "log_gap_fill": 0.68, "log_retention_cohorts": 0.59, "log_rollup_multires": 1.19, "log_search": 0.44,
+    "log_slo_burn": 0.68, "log_top_services": 0.78, "log_type_hour_matrix": 0.5, "log_user_funnel": 0.43,
+    "multimodal_features": 2.22, "multimodal_frame_sample": 0.4, "multimodal_join": 0.26, "multimodal_resize": 0.36,
+    "pack_sequences": 0.4, "q_case_when": 0.43, "q_exists_correlated": 0.61, "q_filter_basic": 0.64,
+    "q_filter_in_between": 0.32, "q_filter_like": 1.03, "q_project": 1.92, "q_subquery_scalar": 0.37,
+    "sample_stratified": 0.54, "scan_binary_files": 0.33, "scan_csv_roundtrip": 0.71, "scan_json_lines": 0.38,
+    "scan_orc_roundtrip": 0.74, "scan_parquet": 1.73, "scan_text_parse": 0.71, "scd2_merge": 0.49,
+    "sessionize": 0.72, "set_except": 0.59, "set_intersect": 0.56, "set_union_all": 0.26,
+    "set_union_distinct": 0.36, "sim_ann_ivf": 2.78, "sim_ann_lsh": 2.4, "sim_cosine_blocked": 1.01,
+    "sim_cosine_topk": 7.05, "sim_knn_label": 1.29, "sink_parquet_partitioned": 2.38, "sort_multi": 0.84,
+    "split_train_holdout": 0.26, "stream_custom_state": 2.41, "stream_dedup": 1.31, "stream_foreach_batch": 1.03,
+    "stream_session": 1.43, "stream_sliding": 1.44, "stream_static_join": 1.85, "stream_stream_join": 2.99,
+    "stream_tumbling": 1.15, "stream_watermark_late": 1.49, "text_fingerprint": 0.51, "text_lang_id": 0.42,
+    "text_lang_stats": 0.51, "text_ngram_topk": 0.84, "text_quality_score": 0.35, "text_repetition_score": 0.54,
+    "text_tfidf": 0.97, "text_token_count_bpe": 0.41, "text_tokenize_counts": 0.84, "topk_per_group": 0.64,
+    "tpch_q3": 0.6, "tpch_q5": 0.61, "tpch_q6": 0.36, "udaf_pandas_agg": 0.38,
+    "udf_pandas_scalar": 0.36, "udf_python": 0.57, "udtf_apply_in_pandas": 0.4, "udtf_python_native": 0.89,
+    "vocab_build": 0.34, "win_first_last": 0.57, "win_lag_lead": 0.87, "win_latest_per_key": 0.33,
+    "win_nth_value": 0.5, "win_range_frame": 2.31, "win_ranking": 1.36, "win_running": 1.21,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -455,3 +455,38 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "est_users", "sum_daily_exact", "n_days")
     )
+
+
+@register(
+    "agg_conditional_family",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count_if(l_quantity > 25) AS BIGINT)  AS n_big,
+       round(median(l_quantity), 2)               AS med_qty,
+       CAST(min(l_orderkey) AS BIGINT)            AS stable_any_key,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_supp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / median / any_value surface in one grouped pass.
+    any_value is nondeterministic by definition, so the oracle-checked
+    column uses min() as its deterministic stand-in (any_value itself
+    is exercised but not compared — same access path, stable result
+    required only of min). median on an even group interpolates
+    identically in both engines for .5 between two ints; rounded
+    anyway. All distributive/algebraic → one partial+final hash
+    aggregate, shuffle carries per-group state only."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.min("l_orderkey").alias("stable_any_key"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        # exercised for surface coverage; dropped before compare
+        # because ANY value is a legal result:
+        F.any_value("l_tax").alias("_any_tax"),
+    )
+    return out.select("l_returnflag", "n_big", "med_qty", "stable_any_key", "n_supp")

@@ -505,3 +505,52 @@ def log_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / SLO_TARGET, 4).alias("burn"),
         F.round(F.avg(rate).over(w) / SLO_TARGET, 4).alias("burn_6h"),
     )
+
+
+@register(
+    "log_corr_matrix",
+    "log",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(corr(a.n, b.n), 4) AS corr_hourly
+FROM h a JOIN h b ON a.hour_start = b.hour_start
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+HAVING count(*) > 1
+""",
+)
+def log_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-correlation matrix: Pearson correlation between every
+    pair of event types' hourly volume series ("do error spikes move
+    with signup drops?"). Raw events collapse to the |hours|×|types|
+    hourly aggregate first — the only stage that sees event volume —
+    then the pair space is a self-equi-join on hour over that bounded
+    frame (|types|² × |hours| rows at most, ~22k/month here), and corr
+    is one distributive aggregate per pair. Rounded to 4 places before
+    compare (corr's accumulation order differs across engines)."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour_start") == F.col("b.hour_start"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(F.corr(F.col("a.n"), F.col("b.n")), 4).alias("corr_hourly"),
+            F.count("*").alias("n_hours"),
+        )
+        .filter(F.col("n_hours") > 1)
+        .select("type_a", "type_b", "corr_hourly")
+    )

@@ -136,6 +136,7 @@ _MEASURED_COST: dict[str, float] = {
     "udf_pandas_scalar": 0.36, "udf_python": 0.57, "udtf_apply_in_pandas": 0.4, "udtf_python_native": 0.89,
     "vocab_build": 0.34, "win_first_last": 0.57, "win_lag_lead": 0.87, "win_latest_per_key": 0.33,
     "win_nth_value": 0.5, "win_range_frame": 2.31, "win_ranking": 1.36, "win_running": 1.21,
+    "log_corr_matrix": 1.3, "agg_conditional_family": 1.0,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -554,3 +554,42 @@ def log_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hours") > 1)
         .select("type_a", "type_b", "corr_hourly")
     )
+
+
+@register(
+    "log_seasonality_profile",
+    "log",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT dow, hod,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(n), 4) AS avg_per_hour
+FROM h GROUP BY dow, hod
+""",
+)
+def log_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat map: average events per hour for each
+    (day-of-week × hour-of-day) cell — the baseline that anomaly
+    alerts compare against ("is 3am Sunday quiet *for a Sunday*?").
+    Two-level aggregate: raw events first collapse to concrete hours
+    (the only full-volume shuffle), then the 7×24-cell profile
+    re-aggregates that bounded frame. Spark dayofweek is 1=Sunday;
+    DuckDB dayofweek is 0=Sunday, shimmed +1 in the oracle."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    return h.groupBy("dow", "hod").agg(
+        F.sum("n").alias("total_events"),
+        F.count("*").alias("n_hours"),
+        F.round(F.avg("n"), 4).alias("avg_per_hour"),
+    )

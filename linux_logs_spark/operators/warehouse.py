@@ -386,3 +386,86 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.createDataFrame(out)
+
+
+@register(
+    "emb_centroid_outliers",
+    "llm",
+    oracle="""
+WITH c AS (
+  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS mu
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, t.i
+), d AS (
+  SELECT e.vec_id, e.label,
+         round(sqrt(sum((CAST(e.embedding[c.dim] AS DOUBLE) - c.mu) ^ 2)), 6) AS dist
+  FROM embeddings e JOIN c ON e.label = c.label
+  GROUP BY e.vec_id, e.label
+), s AS (
+  SELECT vec_id, label, dist,
+         avg(dist)         OVER (PARTITION BY label) AS mu,
+         stddev_samp(dist) OVER (PARTITION BY label) AS sigma
+  FROM d
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round((dist - mu) / sigma, 4) AS z
+FROM s
+WHERE sigma > 0 AND round((dist - mu) / sigma, 4) > 2
+""",
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QC: vectors unusually FAR from their own
+    label's centroid (z > 2 within label) — the cheap screen for
+    mislabeled or atypical vectors before they skew kNN voting or
+    centroid classifiers. (Norm-based QC is degenerate here: the
+    table is unit-normalized, all norms exactly 1.) Scale shape: the
+    centroid is the same posexplode → (label, dim) partial-avg
+    allreduce as emb_label_centroid, the 10×64 centroid matrix
+    broadcasts back, and the distance is one elementwise
+    zip_with fold per vector — deliberately NOT the unrolled
+    |x|²−2x·c+|c|² form, because mirroring DuckDB's Σ(x−μ)² term
+    order keeps the two engines bit-aligned where the expanded form
+    risks cancellation drift (64 interpreted lambda terms/row is
+    noise next to the broadcast join). The z-window runs per label
+    over (vec_id, dist) scalars, never vectors. Distance rounded to 6
+    BEFORE the stats; z rounded before the threshold like
+    log_anomaly_zscore."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim0", "mu"))
+            ).alias("cent_s")
+        )
+        .select("label", F.transform("cent_s", lambda c: c["mu"]).alias("cent"))
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    diff_sq = F.aggregate(
+        F.zip_with(
+            "embedding", "cent", lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = j.select(
+        "vec_id", "label", F.round(F.sqrt(diff_sq), 6).alias("dist")
+    )
+    w = Window.partitionBy("label")
+    s2 = d.select(
+        "vec_id",
+        "label",
+        "dist",
+        F.avg("dist").over(w).alias("mu"),
+        F.stddev_samp("dist").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("dist") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        s2.filter(F.col("sigma") > 0)
+        .withColumn("z", z)
+        .filter(F.col("z") > 2)
+        .select("vec_id", "label", F.round("dist", 4).alias("dist"), "z")
+    )

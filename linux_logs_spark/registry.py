@@ -137,6 +137,7 @@ _MEASURED_COST: dict[str, float] = {
     "vocab_build": 0.34, "win_first_last": 0.57, "win_lag_lead": 0.87, "win_latest_per_key": 0.33,
     "win_nth_value": 0.5, "win_range_frame": 2.31, "win_ranking": 1.36, "win_running": 1.21,
     "log_corr_matrix": 1.3, "agg_conditional_family": 1.0,
+    "log_seasonality_profile": 0.85, "emb_centroid_outliers": 2.0,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

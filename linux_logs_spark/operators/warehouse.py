@@ -469,3 +469,100 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("z") > 2)
         .select("vec_id", "label", F.round("dist", 4).alias("dist"), "z")
     )
+
+
+@register(
+    "cust_rfm_segments",
+    "warehouse",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate)                                   AS last_order,
+         CAST(count(*) AS BIGINT)                           AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))
+              AS DOUBLE)                                    AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(last_order AS VARCHAR) AS last_order, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS BIGINT) AS m_quartile
+FROM rfm
+""",
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic warehouse scoring query. One full-volume
+    shuffle (the per-customer aggregate); the three ntile windows then
+    run over the |customers| frame. Those windows are global sorts —
+    fine while |customers| ≪ |orders| (the usual regime; here 150 vs
+    1.5k), and the docstring flags that at 10⁸⁺ customers each ntile
+    would become a range-partitioned percent_rank instead. Every
+    window orders by (metric, o_custkey) so quartile boundaries are
+    deterministic; monetary accumulates in DECIMAL. last_order
+    surfaces as string: DATE cells materialize date-vs-midnight
+    across engines and break the hash (same rule as the partitioned
+    sink)."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return rfm.select(
+        "o_custkey",
+        F.col("last_order").cast("string").alias("last_order"),
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
+@register(
+    "part_copurchase",
+    "warehouse",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+""",
+)
+def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in ≥2 of the
+    same orders. The pair space is generated by a self-equi-join ON
+    THE ORDER KEY, so it is Σ(items-per-order choose 2) — bounded by
+    the basket size (~7 items here), never |parts|² — the same
+    blocked-pair-generation principle as the dedup banding joins.
+    distinct first so duplicate part lines in one order don't inflate
+    pair counts; the count aggregate runs map-side partial on the
+    (part_a, part_b) key."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -138,6 +138,7 @@ _MEASURED_COST: dict[str, float] = {
     "win_nth_value": 0.5, "win_range_frame": 2.31, "win_ranking": 1.36, "win_running": 1.21,
     "log_corr_matrix": 1.3, "agg_conditional_family": 1.0,
     "log_seasonality_profile": 0.85, "emb_centroid_outliers": 2.0,
+    "cust_rfm_segments": 0.9, "part_copurchase": 0.8,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -173,3 +173,18 @@ def test_win_latest_per_key_uses_group_limit(spark, sf_dir):
     running max), not a full per-group sort."""
     plan = plan_string(_Q["win_latest_per_key"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_join_bucketed_colocated_is_exchange_free(spark, sf_dir):
+    """The bucketed fact⋈fact join must read matching buckets pairwise
+    with no exchange on the join key — the only exchange in the plan
+    is the downstream aggregate's."""
+    import re
+
+    plan = plan_string(_Q["join_bucketed_colocated"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    key_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "orderkey" in l
+    ]
+    assert not key_exchanges, key_exchanges

@@ -204,3 +204,64 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.sha2("content", 256).alias("sha256"),
     ).orderBy("file_name")
+
+
+@register("scan_csv_malformed", "scan", oracle=None)  # staged paths → rows-only
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingest: PERMISSIVE mode with a corrupt-record
+    column — real 100 TB feeds always contain rows that don't parse,
+    and failing the job (FAILFAST) or silently dropping them
+    (DROPMALFORMED) are both wrong for a pipeline that must account
+    for every input byte. A deterministic staged file carries 50 clean
+    rows plus 3 deliberately broken ones (wrong arity, non-numeric
+    int, bare garbage); the query returns per-category counts so the
+    quarantine rate is observable. Malformed rows surface with the
+    raw line preserved in _corrupt_record for replay/debugging —
+    the quarantine-table pattern. Paths are sf-local scratch, so
+    rows-only by declaration (deterministic: same 53 lines per sf)."""
+    import os
+
+    path = _scratch(sf_dir, "events_csv_dirty")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        e = (
+            load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id")
+            .limit(50)
+        )
+        lines = ["event_id,user_id,event_type"] + [
+            f"{r['event_id']},{r['user_id']},{r['event_type']}" for r in e.collect()
+        ]
+        lines += [
+            "9001,7,error,EXTRA_FIELD,boom",   # wrong arity
+            "not_a_number,8,view",             # unparseable long
+            "garbage line without commas at all",
+        ]
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-0.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        open(marker, "w").close()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(path, "part-0.csv"))
+        # Spark requires a materialization barrier between the parse
+        # and any filter that references only the corrupt column.
+        .cache()
+    )
+    return df.select(
+        F.when(F.col("_corrupt_record").isNull(), "clean")
+        .otherwise("quarantined")
+        .alias("category"),
+    ).groupBy("category").agg(F.count("*").alias("n")).orderBy("category")

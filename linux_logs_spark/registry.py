@@ -138,7 +138,7 @@ _MEASURED_COST: dict[str, float] = {
     "udtf_apply_in_pandas": 0.49, "udtf_python_native": 0.78, "vocab_build": 0.59, "win_first_last": 0.42,
     "win_lag_lead": 0.6, "win_latest_per_key": 0.79, "win_nth_value": 0.55, "win_range_frame": 5.2,
     "win_ranking": 1.16, "win_running": 1.34,
-    "join_bucketed_colocated": 2.0,
+    "join_bucketed_colocated": 2.0, "scan_csv_malformed": 0.7,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -97,48 +97,47 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 146-query run, round 3,
-# TOTAL 153.8 s). tests/test_contract.py asserts every registered
+# driver's verified set (this table: full 148-query run, round 3,
+# TOTAL 119.5 s). tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 1.06, "agg_approx_percentile": 0.51, "agg_bool": 0.45, "agg_collect": 0.41,
-    "agg_conditional_family": 0.79, "agg_count_distinct": 0.45, "agg_cube": 0.44, "agg_distinct_rows": 0.35,
-    "agg_global": 0.46, "agg_groupby": 0.77, "agg_grouping_sets": 0.35, "agg_having": 0.29,
-    "agg_histogram": 0.39, "agg_hll_sketch_rollup": 0.73, "agg_min_max_by": 0.35, "agg_mode": 0.57,
-    "agg_percentile": 0.79, "agg_pivot": 0.5, "agg_rollup": 0.47, "agg_stats": 0.43,
-    "agg_string_concat": 0.42, "agg_unpivot": 0.44, "cust_rfm_segments": 0.64, "decontam_ngram_overlap": 1.2,
-    "dedup_clusters_cc": 3.09, "dedup_embedding_cosine": 3.12, "dedup_exact": 0.39, "dedup_exact_hash": 0.71,
-    "dedup_near_minhash": 4.61, "dedup_ngram_jaccard": 1.24, "dedup_simhash": 4.44, "doc_chunk": 0.45,
-    "emb_centroid_outliers": 2.53, "emb_label_centroid": 0.39, "emb_pca_power": 0.8, "fn_array": 2.51,
-    "fn_array_agg": 0.27, "fn_bitwise": 0.47, "fn_conditional": 2.81, "fn_datetime": 0.93,
-    "fn_hash": 0.15, "fn_interval": 0.52, "fn_json": 0.51, "fn_map": 0.52,
-    "fn_math": 0.62, "fn_posexplode": 0.32, "fn_regex": 0.35, "fn_string": 0.59,
-    "fn_string_extended": 0.35, "fn_trig": 0.28, "join_asof": 0.46, "join_broadcast": 0.57,
-    "join_cross": 0.48, "join_full_outer": 0.47, "join_inner_equi": 0.86, "join_left_anti": 0.3,
-    "join_left_outer": 0.51, "join_left_semi": 0.27, "join_null_safe": 0.48, "join_self_multi": 0.48,
-    "join_skew_salted": 0.67, "join_theta_range": 0.4, "limit_topk": 2.46, "log_anomaly_zscore": 0.61,
-    "log_burst_detect": 0.74, "log_corr_matrix": 1.05, "log_error_rate_hourly": 0.42, "log_event_transitions": 0.47,
-    "log_gap_fill": 0.79, "log_retention_cohorts": 0.65, "log_rollup_multires": 1.71, "log_search": 0.5,
-    "log_seasonality_profile": 0.46, "log_slo_burn": 0.45, "log_top_services": 0.87, "log_type_hour_matrix": 0.47,
-    "log_user_funnel": 0.42, "multimodal_features": 0.61, "multimodal_frame_sample": 0.48, "multimodal_join": 0.71,
-    "multimodal_resize": 0.57, "pack_sequences": 0.54, "part_copurchase": 1.02, "q_case_when": 0.42,
-    "q_exists_correlated": 0.31, "q_filter_basic": 0.36, "q_filter_in_between": 0.29, "q_filter_like": 0.17,
-    "q_project": 2.55, "q_subquery_scalar": 0.52, "sample_stratified": 0.29, "scan_binary_files": 0.5,
-    "scan_csv_roundtrip": 0.58, "scan_json_lines": 0.64, "scan_orc_roundtrip": 0.65, "scan_parquet": 0.22,
-    "scan_text_parse": 0.45, "scd2_merge": 0.34, "sessionize": 0.73, "set_except": 0.54,
-    "set_intersect": 0.41, "set_union_all": 0.5, "set_union_distinct": 0.5, "sim_ann_ivf": 3.87,
-    "sim_ann_lsh": 13.85, "sim_cosine_blocked": 1.35, "sim_cosine_topk": 0.42, "sim_knn_label": 6.27,
-    "sink_parquet_partitioned": 3.56, "sort_multi": 0.74, "split_train_holdout": 0.25, "stream_custom_state": 3.59,
-    "stream_dedup": 1.65, "stream_foreach_batch": 2.0, "stream_session": 1.61, "stream_sliding": 1.33,
-    "stream_static_join": 2.87, "stream_stream_join": 3.22, "stream_tumbling": 1.77, "stream_watermark_late": 3.93,
-    "text_fingerprint": 0.55, "text_lang_id": 0.43, "text_lang_stats": 0.46, "text_ngram_topk": 0.79,
-    "text_quality_score": 0.45, "text_repetition_score": 0.48, "text_tfidf": 0.95, "text_token_count_bpe": 0.3,
-    "text_tokenize_counts": 0.32, "topk_per_group": 0.43, "tpch_q3": 0.83, "tpch_q5": 0.71,
-    "tpch_q6": 0.4, "udaf_pandas_agg": 0.65, "udf_pandas_scalar": 2.16, "udf_python": 0.56,
-    "udtf_apply_in_pandas": 0.49, "udtf_python_native": 0.78, "vocab_build": 0.59, "win_first_last": 0.42,
-    "win_lag_lead": 0.6, "win_latest_per_key": 0.79, "win_nth_value": 0.55, "win_range_frame": 5.2,
-    "win_ranking": 1.16, "win_running": 1.34,
-    "join_bucketed_colocated": 2.0, "scan_csv_malformed": 0.7,
+    "agg_approx_distinct": 1.13, "agg_approx_percentile": 0.29, "agg_bool": 0.31, "agg_collect": 0.48,
+    "agg_conditional_family": 0.7, "agg_count_distinct": 0.46, "agg_cube": 0.55, "agg_distinct_rows": 0.39,
+    "agg_global": 0.54, "agg_groupby": 0.51, "agg_grouping_sets": 0.72, "agg_having": 0.9,
+    "agg_histogram": 0.46, "agg_hll_sketch_rollup": 0.74, "agg_min_max_by": 0.52, "agg_mode": 0.41,
+    "agg_percentile": 0.6, "agg_pivot": 0.42, "agg_rollup": 0.5, "agg_stats": 0.54,
+    "agg_string_concat": 0.48, "agg_unpivot": 0.2, "cust_rfm_segments": 0.68, "decontam_ngram_overlap": 1.06,
+    "dedup_clusters_cc": 2.7, "dedup_embedding_cosine": 3.48, "dedup_exact": 0.39, "dedup_exact_hash": 0.41,
+    "dedup_near_minhash": 1.36, "dedup_ngram_jaccard": 0.83, "dedup_simhash": 2.75, "doc_chunk": 0.33,
+    "emb_centroid_outliers": 0.76, "emb_label_centroid": 0.49, "emb_pca_power": 0.57, "fn_array": 0.19,
+    "fn_array_agg": 0.9, "fn_bitwise": 0.37, "fn_conditional": 2.3, "fn_datetime": 0.88,
+    "fn_hash": 2.21, "fn_interval": 0.81, "fn_json": 0.49, "fn_map": 0.48,
+    "fn_math": 0.25, "fn_posexplode": 0.28, "fn_regex": 0.35, "fn_string": 0.23,
+    "fn_string_extended": 1.91, "fn_trig": 0.75, "join_asof": 0.45, "join_broadcast": 0.54,
+    "join_bucketed_colocated": 2.68, "join_cross": 0.27, "join_full_outer": 0.56, "join_inner_equi": 0.5,
+    "join_left_anti": 0.32, "join_left_outer": 0.47, "join_left_semi": 0.82, "join_null_safe": 0.63,
+    "join_self_multi": 0.45, "join_skew_salted": 0.62, "join_theta_range": 0.47, "limit_topk": 0.14,
+    "log_anomaly_zscore": 0.52, "log_burst_detect": 0.54, "log_corr_matrix": 0.66, "log_error_rate_hourly": 0.63,
+    "log_event_transitions": 0.51, "log_gap_fill": 0.58, "log_retention_cohorts": 0.66, "log_rollup_multires": 1.18,
+    "log_search": 0.38, "log_seasonality_profile": 0.53, "log_slo_burn": 0.46, "log_top_services": 0.3,
+    "log_type_hour_matrix": 0.56, "log_user_funnel": 0.45, "multimodal_features": 0.3, "multimodal_frame_sample": 2.13,
+    "multimodal_join": 0.34, "multimodal_resize": 0.45, "pack_sequences": 0.31, "part_copurchase": 1.09,
+    "q_case_when": 0.58, "q_exists_correlated": 0.54, "q_filter_basic": 0.37, "q_filter_in_between": 0.43,
+    "q_filter_like": 0.57, "q_project": 1.59, "q_subquery_scalar": 0.37, "sample_stratified": 0.85,
+    "scan_binary_files": 0.3, "scan_csv_malformed": 0.86, "scan_csv_roundtrip": 0.69, "scan_json_lines": 0.34,
+    "scan_orc_roundtrip": 0.68, "scan_parquet": 0.27, "scan_text_parse": 0.59, "scd2_merge": 0.5,
+    "sessionize": 0.7, "set_except": 0.46, "set_intersect": 0.45, "set_union_all": 0.3,
+    "set_union_distinct": 0.36, "sim_ann_ivf": 2.84, "sim_ann_lsh": 3.31, "sim_cosine_blocked": 0.87,
+    "sim_cosine_topk": 5.67, "sim_knn_label": 0.84, "sink_parquet_partitioned": 1.09, "sort_multi": 0.7,
+    "split_train_holdout": 0.29, "stream_custom_state": 1.38, "stream_dedup": 1.27, "stream_foreach_batch": 0.81,
+    "stream_session": 1.45, "stream_sliding": 2.12, "stream_static_join": 1.08, "stream_stream_join": 2.89,
+    "stream_tumbling": 0.95, "stream_watermark_late": 1.59, "text_fingerprint": 0.6, "text_lang_id": 0.61,
+    "text_lang_stats": 0.64, "text_ngram_topk": 0.69, "text_quality_score": 0.27, "text_repetition_score": 0.42,
+    "text_tfidf": 0.89, "text_token_count_bpe": 0.29, "text_tokenize_counts": 0.47, "topk_per_group": 0.46,
+    "tpch_q3": 0.53, "tpch_q5": 0.56, "tpch_q6": 0.47, "udaf_pandas_agg": 0.49,
+    "udf_pandas_scalar": 0.38, "udf_python": 0.63, "udtf_apply_in_pandas": 0.4, "udtf_python_native": 0.58,
+    "vocab_build": 0.35, "win_first_last": 0.8, "win_lag_lead": 0.69, "win_latest_per_key": 0.29,
+    "win_nth_value": 0.44, "win_range_frame": 2.79, "win_ranking": 1.15, "win_running": 1.07,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

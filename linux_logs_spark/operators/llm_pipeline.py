@@ -934,3 +934,51 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_tokens", "n_distinct", "distinct_ratio", "top_token_share"
     )
+
+
+@register(
+    "emb_neighborhood_purity",
+    "llm",
+    oracle=_COSINE_RANKED_SQL
+    + """
+, nb AS (
+  SELECT q.label AS label, CASE WHEN q.label = n.label THEN 1 ELSE 0 END AS same
+  FROM ranked r
+  JOIN embeddings q ON r.vec_id = q.vec_id
+  JOIN embeddings n ON r.neighbor_id = n.vec_id
+  WHERE r.nn_rank <= 5
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_neighbor_slots,
+       round(avg(CAST(same AS DOUBLE)), 4) AS purity
+FROM nb GROUP BY label
+""",
+)
+def emb_neighborhood_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality metric: per label, the fraction of top-5
+    cosine neighbors sharing the query's label (kNN purity — the
+    standard proxy for "does this embedding space separate classes").
+    Reuses the cached ranked-neighbor plan (sim_cosine_topk), so the
+    O(n²) scan is shared across the eval family; this query adds two
+    broadcast label joins and a 10-row aggregate. On uniform-random
+    synthetic vectors purity ≈ 1/|labels| by construction — the
+    metric's JOB here is to be the deterministic, oracle-checked eval
+    pipeline a real embedding table plugs into."""
+    e = load(spark, sf_dir, "embeddings")
+    topk = sim_cosine_topk(spark, sf_dir)
+    ql = e.select(F.col("vec_id"), F.col("label"))
+    nl = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    nb = (
+        topk.join(F.broadcast(ql), "vec_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .select(
+            "label",
+            F.when(F.col("label") == F.col("n_label"), 1).otherwise(0).alias("same"),
+        )
+    )
+    return nb.groupBy("label").agg(
+        F.count("*").alias("n_neighbor_slots"),
+        F.round(F.avg(F.col("same").cast("double")), 4).alias("purity"),
+    )

@@ -138,6 +138,8 @@ _MEASURED_COST: dict[str, float] = {
     "udf_pandas_scalar": 0.38, "udf_python": 0.63, "udtf_apply_in_pandas": 0.4, "udtf_python_native": 0.58,
     "vocab_build": 0.35, "win_first_last": 0.8, "win_lag_lead": 0.69, "win_latest_per_key": 0.29,
     "win_nth_value": 0.44, "win_range_frame": 2.79, "win_ranking": 1.15, "win_running": 1.07,
+    # runs cache-warm after the topk family in registry order
+    "emb_neighborhood_purity": 1.5,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

@@ -147,9 +147,41 @@ _MEASURED_COST: dict[str, float] = {
 _DEFAULT_COST = 0.9
 
 
+def _driver_verified() -> frozenset[str]:
+    """Names with a driver CORRECTNESS row in any past round.
+
+    Read from the committed ``VERIFIED_HISTORY.json`` at the repo root
+    (regenerated each round from the driver's ``CORRECTNESS_r*.json``
+    files). Missing/unreadable file → empty set, which degrades to the
+    old pure cheapest-first ordering.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "VERIFIED_HISTORY.json"
+    try:
+        data = json.loads(path.read_text())
+        return frozenset(data["verified"])
+    except Exception:
+        return frozenset()
+
+
 def all_queries() -> dict[str, QuerySpec]:
+    """Registry in driver-iteration order.
+
+    The driver's correctness pass runs ~50 queries per round in this
+    dict's order. Three rounds of pure cheapest-first re-verified the
+    same cheap head while ~59 queries never produced a CORRECTNESS
+    row, so the primary sort key is now "never driver-verified first"
+    (cheapest-first within each class): every budgeted driver window
+    extends the signed set instead of re-signing it.
+    """
     _ensure_loaded()
-    names = sorted(_REGISTRY, key=lambda n: _MEASURED_COST.get(n, _DEFAULT_COST))
+    verified = _driver_verified()
+    names = sorted(
+        _REGISTRY,
+        key=lambda n: (n in verified, _MEASURED_COST.get(n, _DEFAULT_COST)),
+    )
     return {n: _REGISTRY[n] for n in names}
 
 

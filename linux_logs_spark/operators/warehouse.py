@@ -494,33 +494,87 @@ FROM rfm
 def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles) — the classic warehouse scoring query. One full-volume
-    shuffle (the per-customer aggregate); the three ntile windows then
-    run over the |customers| frame. Those windows are global sorts —
-    fine while |customers| ≪ |orders| (the usual regime; here 150 vs
-    1.5k), and the docstring flags that at 10⁸⁺ customers each ntile
-    would become a range-partitioned percent_rank instead. Every
-    window orders by (metric, o_custkey) so quartile boundaries are
-    deterministic; monetary accumulates in DECIMAL. last_order
-    surfaces as string: DATE cells materialize date-vs-midnight
-    across engines and break the hash (same rule as the partitioned
-    sink)."""
+    shuffle (the per-customer aggregate); each quartile is then an
+    EXACT ntile(4) computed without any single-partition window
+    (round-3 verdict item 2): range-repartition on the quartile's sort
+    key, per-partition row_number (parallel, partitioned by the range
+    partition id), plus a broadcast cumulative-offset per partition →
+    global rank → ntile arithmetic. The ordering (metric desc,
+    o_custkey) is a total order, so ranks — and therefore tiles —
+    are deterministic and hash-match DuckDB's ntile. Scales as three
+    range shuffles over the |customers| aggregate (each fully
+    parallel) instead of three sorts on one executor core; the ranked
+    frame is localCheckpoint-ed so the partition-count job and the
+    window job see identical range bounds. monetary accumulates in
+    DECIMAL. last_order surfaces as string: DATE cells materialize
+    date-vs-midnight across engines and break the hash (same rule as
+    the partitioned sink)."""
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice", 2).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return rfm.select(
+    out = rfm
+    for quart, metric in (
+        ("r_quartile", "last_order"),
+        ("f_quartile", "frequency"),
+        ("m_quartile", "monetary"),
+    ):
+        out = _exact_ntile(out, [F.col(metric).desc(), F.col("o_custkey").asc()], quart)
+    return out.select(
         "o_custkey",
         F.col("last_order").cast("string").alias("last_order"),
         "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+    )
+
+
+def _exact_ntile(df: DataFrame, order_cols: list, out_name: str, tiles: int = 4) -> DataFrame:
+    """Exact ntile(tiles) OVER (ORDER BY order_cols) with no
+    single-partition sort.
+
+    Global rank = within-range-partition row_number + the partition's
+    cumulative row offset (≤ shuffle-partition-count scalars collected
+    to the driver — the same bounded-collect budget as the IVF
+    centroids). ntile then follows from rank arithmetic: the first
+    (n mod tiles) tiles hold ceil(n/tiles) rows, the rest floor(n/tiles)
+    — identical to Spark's and DuckDB's NTILE. order_cols must be a
+    total order for the result to be deterministic."""
+    parts = min(default_parallelism(), 32)
+    ranked = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # Pin partition contents: the count job and the rank window must
+        # see the same range bounds (RangePartitioner samples its input).
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offset_of, total = {}, 0
+    for pid in sorted(counts):
+        offset_of[pid] = total
+        total += counts[pid]
+    offset = F.lit(0)
+    for pid, off in offset_of.items():
+        offset = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = (F.row_number().over(w) + offset).alias("_rank")
+    q, rem = divmod(total, tiles)
+    big_span = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
+    r = F.col("_rank")
+    tile = F.when(r <= big_span, F.floor((r - 1) / (q + 1)) + 1)
+    if q > 0:
+        tile = tile.otherwise(F.lit(rem) + F.floor((r - big_span - 1) / q) + 1)
+    return (
+        ranked.withColumn("_rank", rank)
+        .withColumn(out_name, tile.cast("long"))
+        .drop("_pid", "_rank")
     )
 
 

@@ -65,13 +65,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_copies")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    "llm",
-    oracle="""
-WITH w AS (
+# Absolute per-block document-frequency ceiling for word-level
+# Jaccard pairing. A word appearing in df docs of one (lang, source)
+# block contributes df·(df-1)/2 candidate pairs — one stopword-grade
+# token in a 100 TB block would dominate the whole job, so words above
+# the ceiling are dropped from BOTH the intersection and the per-doc
+# set sizes (Jaccard over the informative-word sets; ubiquitous words
+# carry ~no similarity signal anyway). 12 binds on the synthetic
+# corpus (block df reaches 15) so the capped path is actually
+# exercised by the oracle comparison; production would raise it.
+WORD_DF_CAP = 12
+
+# The word-level Jaccard CTE shared (verbatim) by the
+# dedup_ngram_jaccard and dedup_clusters_cc oracles — must mirror
+# blocked_jaccard_pairs() exactly, including the df cap.
+_JACCARD_PAIRS_SQL = f"""
+w0 AS (
   SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
   FROM documents
+), w AS (
+  SELECT doc_id, lang, source, word FROM (
+    SELECT w0.*, count(*) OVER (PARTITION BY lang, source, word) AS df FROM w0
+  ) WHERE df <= {WORD_DF_CAP}
 ), nw AS (
   SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id
 ), inter AS (
@@ -80,36 +95,47 @@ WITH w AS (
     ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+  FROM inter
+  JOIN nw na ON doc_a = na.doc_id
+  JOIN nw nb ON doc_b = nb.doc_id
 )
-SELECT doc_a, doc_b, n_common,
-       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
-FROM inter
-JOIN nw na ON doc_a = na.doc_id
-JOIN nw nb ON doc_b = nb.doc_id
-WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
-""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-level (1-gram) Jaccard near-dup within (lang, source)
-    blocks. Blocking keys bound the pair space (classic blocked
-    dedup); the intersection is computed by an equi-join on the
-    posting list (word), never by materializing pairs × vocab. NOTE:
-    word-set similarity is a different (coarser) space than the
-    3-gram shingle Jaccard that dedup_near_minhash sketches — on a
-    shared-vocabulary corpus most pairs are word-similar while few
-    are shingle-similar; tests/test_ann_quality.py measures minhash
-    recall against brute-force SHINGLE Jaccard for that reason."""
-    d = load(spark, sf_dir, "documents")
+"""
+
+
+def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) for doc pairs within
+    (lang, source) blocks, word-set Jaccard over words with per-block
+    df ≤ WORD_DF_CAP.
+
+    The 100 TB-safe shape (round-3 verdict item 3): the posting list
+    projects to ``xxhash64(word)`` immediately after explode, so every
+    downstream shuffle carries 8-byte longs, never word strings (the
+    same fix as decontam_ngram_overlap); the df-cap window runs on the
+    exact key the self-join shuffles on, so the exchange is reused;
+    and the cap bounds any word's pair contribution at cap²/2
+    regardless of corpus size. Oracles join on the raw word — hash
+    keying is semantics-preserving (xxhash64 injective in practice;
+    a collision would only merge two words, as in decontam)."""
     w = (
         d.select("doc_id", "lang", "source", F.explode(words("text")).alias("word"))
+        .select("doc_id", "lang", "source", F.xxhash64("word").alias("wh"))
         .distinct()
+    )
+    wb = Window.partitionBy("lang", "source", "wh")
+    w = (
+        w.withColumn("df", F.count("*").over(wb))
+        .filter(F.col("df") <= WORD_DF_CAP)
+        .drop("df")
     )
     nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = w.alias("a"), w.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.word") == F.col("b.word"))
+            (F.col("a.wh") == F.col("b.wh"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -127,8 +153,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
         .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "llm",
+    oracle=f"""
+WITH {_JACCARD_PAIRS_SQL}
+SELECT doc_a, doc_b, n_common, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level (1-gram) Jaccard near-dup within (lang, source)
+    blocks. Blocking keys bound the pair space (classic blocked
+    dedup); the intersection is an equi-join on the hashed, df-capped
+    posting list — see blocked_jaccard_pairs for the scale analysis.
+    NOTE: word-set similarity is a different (coarser) space than the
+    3-gram shingle Jaccard that dedup_near_minhash sketches — on a
+    shared-vocabulary corpus most pairs are word-similar while few
+    are shingle-similar; tests/test_ann_quality.py measures minhash
+    recall against brute-force SHINGLE Jaccard for that reason."""
+    d = load(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
 
 
 N_MINHASH = 16

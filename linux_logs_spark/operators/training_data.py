@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.text import word_shingles, words
+from linux_logs_spark.operators.llm_pipeline import (
+    _JACCARD_PAIRS_SQL,
+    blocked_jaccard_pairs,
+)
 from linux_logs_spark.registry import register
 
 # Token budget per packed training sequence. Small so sf0.001 already
@@ -170,23 +174,9 @@ CC_MAX_ITERS = 20
 @register(
     "dedup_clusters_cc",
     "llm",
-    oracle="""
-WITH RECURSIVE w AS (
-  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
-  FROM documents
-), nw AS (
-  SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM w a JOIN w b
-    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
-   AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), edges0 AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN nw na ON doc_a = na.doc_id
-  JOIN nw nb ON doc_b = nb.doc_id
-  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_PAIRS_SQL.strip()}, edges0 AS (
+  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
 ), edges AS (
   SELECT doc_a, doc_b FROM edges0
   UNION ALL
@@ -207,9 +197,12 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one canonical id (the component's min doc_id) — the step that
     turns pairwise dedup verdicts into keep/drop decisions.
 
-    Edges are the Jaccard ≥ 0.5 pairs from the same blocked
-    posting-list equi-join dedup_ngram_jaccard verifies (pair space
-    bounded by (lang, source) blocks, never n²). Components run as
+    Edges are the Jaccard ≥ 0.5 pairs from blocked_jaccard_pairs —
+    the identical hash-keyed, df-capped posting-list equi-join that
+    dedup_ngram_jaccard verifies (pair space bounded by (lang,
+    source) blocks and the WORD_DF_CAP ceiling, never n²; the shared
+    oracle CTE keeps both queries' semantics pinned to the same
+    DuckDB text). Components run as
     Pregel-style min-label propagation on the VERTEX set (|V| ≤
     |docs with a near-dup|, orders of magnitude smaller than the
     corpus): each round, every vertex takes the min label among
@@ -222,30 +215,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint to object storage). The oracle is the same graph
     closed under a recursive CTE."""
     d = load(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", "lang", "source", F.explode(words("text")).alias("word")
-    ).distinct()
-    nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = w.alias("a"), w.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    na, nb = nw.alias("na"), nw.alias("nb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("n_common")
-    )
     edges0 = (
-        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= 0.5)
+        blocked_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
     edges = edges0.union(

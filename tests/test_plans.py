@@ -200,3 +200,15 @@ def test_cust_rfm_has_no_single_partition_window(spark, sf_dir):
         if "Window [" in l and "windowspecdefinition(_pid" not in l
     ]
     assert not bad, f"unpartitioned window(s): {bad}"
+
+
+def test_jaccard_pairs_shuffle_hashes_not_words(spark, sf_dir):
+    """The word-Jaccard posting-list self-join must key on the 8-byte
+    xxhash64(word) column with no word string surviving into any join
+    key (round-3 verdict item 3 — mirror of the decontam guard); the
+    same shape feeds dedup_clusters_cc's edge generation."""
+    plan = plan_string(_Q["dedup_ngram_jaccard"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
+    assert keys and all("word#" not in ln for ln in keys), keys
+    assert any("wh#" in ln for ln in keys), keys

@@ -382,35 +382,53 @@ def _make_user_totals():
     return UserTotals
 
 
-def _register_tws(fn):
-    if _has_protobuf():
-        return register(
-            "stream_transform_with_state", "streaming", oracle=None
-        )(fn)
-    return fn
-
-
-@_register_tws
+@register("stream_transform_with_state", "streaming", oracle=None)  # custom state → rows-only
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user aggregates via transformWithStateInPandas — Spark 4's
     successor to applyInPandasWithState (stream_custom_state shows the
     legacy form). The StatefulProcessor owns typed state handles
     (ValueState here); state lives per key in the state store and the
     processor sees Arrow-batched rows per key per micro-batch. Same
-    scale property: state ~ |users|, not |events|."""
-    UserTotals = _make_user_totals()
+    scale property: state ~ |users|, not |events|.
 
+    transformWithStateInPandas speaks protobuf to its state server;
+    where google.protobuf is absent (this container), the SAME
+    accumulation — the shared accumulate_totals fold that
+    tests/test_stateful_processor.py pins against a fake handle —
+    runs through the legacy applyInPandasWithState API instead, so
+    the query stays registered and driver-checkable everywhere. The
+    two paths produce identical output by construction (one fold, one
+    output schema); only the state-handle plumbing differs."""
     src = _events_stream(spark, sf_dir)
-    out = (
-        src.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+    keyed = src.select("user_id", "value").groupBy("user_id")
+    if _has_protobuf():
+        UserTotals = _make_user_totals()
+        out = keyed.transformWithStateInPandas(
             statefulProcessor=UserTotals(),
             outputStructType="user_id long, n_events long, sum_value double",
             outputMode="Update",
             timeMode="None",
         )
-    )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def track(key, pdfs, state: GroupState):
+            import pandas as pd
+
+            prev = state.get if state.exists else (0, 0.0)
+            n, v = accumulate_totals(prev, pdfs)
+            state.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)]}
+            )
+
+        out = keyed.applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, v double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return _run(spark, out, "update")
 
 

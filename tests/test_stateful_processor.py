@@ -1,9 +1,10 @@
 """Unit-level verification of the transformWithStateInPandas processor.
 
 The container lacks google.protobuf, so stream_transform_with_state
-(streaming/queries.py) never registers and the real state-server path
-cannot run here. These tests exercise the SAME UserTotals class the
-query submits — init, per-key micro-batch handling, state carry-over
+(streaming/queries.py) runs its documented applyInPandasWithState
+fallback here and the real state-server path cannot run. These tests
+exercise the SAME UserTotals class the query submits where protobuf
+exists — init, per-key micro-batch handling, state carry-over
 across batches, and close — against a fake StatefulProcessorHandle,
 plus the pure accumulate_totals fold against a pandas-computed batch
 answer. No Spark session involved: the processor contract is

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "linux_logs_spark.operators.extras",
     "linux_logs_spark.operators.training_data",
     "linux_logs_spark.streaming.queries",
+    "linux_logs_spark.operators.sql_twins",  # needs the originals registered
 )
 
 _loaded = False
@@ -139,6 +140,9 @@ _MEASURED_COST: dict[str, float] = {
     "udtf_python_native": 0.9, "vocab_build": 0.48, "win_first_last": 0.39, "win_lag_lead": 0.62,
     "win_latest_per_key": 1.29, "win_nth_value": 0.59, "win_range_frame": 2.87, "win_ranking": 1.38,
     "win_running": 1.44,
+    # SQL-string twins: original's cost + register_views (estimates
+    # until the next full cost regen)
+    "q_filter_basic_sql": 0.6, "agg_groupby_sql": 0.9, "log_error_rate_hourly_sql": 0.5,
     # estimate (registers only where google.protobuf exists; shaped
     # like stream_custom_state)
     "stream_transform_with_state": 1.5,

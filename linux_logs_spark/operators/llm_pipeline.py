@@ -395,10 +395,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ similarity
 
-# sim_knn_label builds on sim_cosine_topk's ranked neighbors; persist
-# the (small, 5·n-row) ranked result per (app, sf_dir) so the O(n²)
-# pair scan runs once, not once per downstream query.
+# sim_knn_label / emb_neighborhood_purity build on sim_cosine_topk's
+# ranked neighbors; persist the (small, 5·n-row) ranked result per
+# (app, sf_dir) so the O(n²) pair scan runs once, not once per
+# downstream query. BOUNDED: at most one entry — a new (app, sf_dir)
+# key unpersists and evicts every older entry, so a long-lived driver
+# session sweeping scale factors never pins more than the latest
+# ranked frame (round-3 verdict item 6). Cost attribution: the O(n²)
+# scan is charged to whichever family member runs FIRST under the
+# driver's ordering; _MEASURED_COST carries the family note.
 _topk_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _topk_cache_put(key: tuple[str, str], df: DataFrame) -> None:
+    for old_key in [k for k in _topk_cache if k != key]:
+        try:
+            _topk_cache.pop(old_key).unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _topk_cache[key] = df
 
 _COSINE_RANKED_SQL = """
 WITH pairs AS (
@@ -473,7 +488,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .persist()
     )
-    _topk_cache[key] = topk
+    _topk_cache_put(key, topk)
     return topk
 
 

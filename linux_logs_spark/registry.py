@@ -129,6 +129,11 @@ _MEASURED_COST: dict[str, float] = {
     "scan_json_lines": 0.66, "scan_orc_roundtrip": 0.66, "scan_parquet": 0.3, "scan_text_parse": 0.43,
     "scd2_merge": 0.37, "sessionize": 0.62, "set_except": 0.5, "set_intersect": 0.52,
     "set_union_all": 0.46, "set_union_distinct": 0.51, "sim_ann_ivf": 5.39, "sim_ann_lsh": 2.22,
+    # sim_cosine_topk / sim_knn_label / emb_neighborhood_purity share
+    # one persisted ranked-neighbor frame: the O(n²) pair scan is
+    # charged to whichever member runs FIRST; the others read the
+    # cache. Per-query numbers below reflect the measured run order,
+    # not intrinsic cost.
     "sim_cosine_blocked": 0.98, "sim_cosine_topk": 0.4, "sim_knn_label": 5.57, "sink_parquet_partitioned": 1.75,
     "sort_multi": 0.7, "split_train_holdout": 0.29, "stream_custom_state": 2.78, "stream_dedup": 1.75,
     "stream_foreach_batch": 2.01, "stream_session": 1.56, "stream_sliding": 1.26, "stream_static_join": 1.1,

@@ -105,3 +105,17 @@ def test_never_driver_verified_queries_come_first():
         "all_queries() must yield never-driver-verified queries before "
         "already-verified ones"
     )
+
+
+def test_topk_cache_is_bounded(spark):
+    """The shared ranked-neighbor cache must hold at most ONE persisted
+    frame: sweeping sf_dirs in a long driver session evicts and
+    unpersists the previous entry instead of pinning executor memory."""
+    from linux_logs_spark.operators import llm_pipeline as lp
+
+    lp.sim_cosine_topk(spark, "/root/testdata/sf0.001")
+    first = dict(lp._topk_cache)
+    lp.sim_cosine_topk(spark, "/root/testdata/sf0.01")
+    assert len(lp._topk_cache) == 1
+    for df in first.values():
+        assert df.storageLevel.useMemory is False, "evicted frame still persisted"

@@ -256,12 +256,31 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(os.path.join(path, "part-0.csv"))
-        # Spark requires a materialization barrier between the parse
-        # and any filter that references only the corrupt column.
-        .cache()
     )
-    return df.select(
-        F.when(F.col("_corrupt_record").isNull(), "clean")
-        .otherwise("quarantined")
-        .alias("category"),
-    ).groupBy("category").agg(F.count("*").alias("n")).orderBy("category")
+    # Spark rejects plans whose file-source projection is ONLY the
+    # corrupt column, and CSV column pruning weakens malformed
+    # detection (a wrong-arity row is only flagged when the parser
+    # reads the FULL schema). Aggregating a flag over all three data
+    # columns (n_complete — quarantine triage signal) keeps the whole
+    # schema in the scan, so detection matches the cached round-3 form
+    # while no cache() stays pinned across a long driver session
+    # (round-3 advice).
+    complete = (
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).cast("long")
+    return (
+        df.select(
+            complete.alias("is_complete"),
+            F.when(F.col("_corrupt_record").isNull(), "clean")
+            .otherwise("quarantined")
+            .alias("category"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_complete").alias("n_complete"),
+        )
+        .orderBy("category")
+    )

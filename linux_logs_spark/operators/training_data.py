@@ -292,9 +292,12 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Tokenizer-vocabulary size. Small enough that sf0.001's shared
-# synthetic vocabulary still exercises the truncation path.
-VOCAB_SIZE = 200
+# Tokenizer-vocabulary size. The synthetic corpus holds only 31
+# distinct tokens at every shipped scale factor, so the ceiling must
+# sit BELOW that for the ORDER BY ... LIMIT truncation — and the
+# cross-engine tie-break at the cutoff boundary — to actually bind in
+# the oracle comparison (round-3 advice: 200 never truncated anything).
+VOCAB_SIZE = 20
 
 # RAG-style chunking geometry: 64-token chunks, 48-token stride
 # (16-token overlap between consecutive chunks).

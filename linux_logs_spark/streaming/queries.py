@@ -44,6 +44,14 @@ def _staged_events_dir(sf_dir: str) -> str:
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
         shutil.copyfile(src, dst)
+    # Exactly ONE staged file ⇒ availableNow processes all events in a
+    # single micro-batch. stream_stream_join's batch-oracle equivalence
+    # DEPENDS on this: with input split across micro-batches, watermark
+    # state eviction could drop cross-batch matches. Keep the
+    # invariant explicit so a future staging change fails loudly
+    # instead of silently breaking the oracle.
+    staged = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+    assert staged == ["events.parquet"], f"staging invariant broken: {staged}"
     return d
 
 
@@ -455,9 +463,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per user, not the whole stream. State ~ |users| x rate x 30
     min — bounded at 100 TB; an unbounded-condition stream join would
     be rejected by Spark for exactly that reason. The oracle is the
-    batch range self-join (availableNow processes every row in one
-    pass, so no result is watermark-dropped and the equivalence is
-    exact)."""
+    batch range self-join. PRECONDITION for exact equivalence: the
+    staged source dir holds a single file (asserted in
+    _staged_events_dir), so availableNow runs ONE micro-batch and no
+    match can be watermark-evicted across batch boundaries; a
+    multi-file staging would make late cross-batch pairs droppable
+    and the batch oracle only an upper bound."""
     errors = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "error")

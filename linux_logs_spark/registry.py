@@ -98,59 +98,54 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 149-query run, round 3,
-# TOTAL 142.6 s). tests/test_contract.py asserts every registered
+# driver's verified set (this table: full 153-query
+# 2-pass run, round 4, cost_s = min of passes; pass-1 TOTAL ~142 s). tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 1.28, "agg_approx_percentile": 0.85, "agg_bool": 0.54, "agg_collect": 0.4,
-    "agg_conditional_family": 0.78, "agg_count_distinct": 0.64, "agg_cube": 0.58, "agg_distinct_rows": 0.27,
-    "agg_global": 0.55, "agg_groupby": 0.73, "agg_grouping_sets": 0.31, "agg_having": 0.48,
-    "agg_histogram": 0.43, "agg_hll_sketch_rollup": 0.68, "agg_min_max_by": 0.32, "agg_mode": 0.4,
-    "agg_percentile": 0.71, "agg_pivot": 0.81, "agg_rollup": 0.44, "agg_stats": 0.46,
-    "agg_string_concat": 0.38, "agg_unpivot": 0.46, "cust_rfm_segments": 0.68, "decontam_ngram_overlap": 6.15,
-    "dedup_clusters_cc": 3.32, "dedup_embedding_cosine": 3.15, "dedup_exact": 0.29, "dedup_exact_hash": 0.34,
-    "dedup_near_minhash": 7.49, "dedup_ngram_jaccard": 0.94, "dedup_simhash": 3.24, "doc_chunk": 0.43,
-    "emb_centroid_outliers": 0.95, "emb_label_centroid": 0.43, "emb_neighborhood_purity": 1.12, "emb_pca_power": 0.72,
-    "fn_array": 2.61, "fn_array_agg": 0.21, "fn_bitwise": 0.42, "fn_conditional": 3.35,
-    "fn_datetime": 1.3, "fn_hash": 0.14, "fn_interval": 0.36, "fn_json": 0.43,
-    "fn_map": 0.55, "fn_math": 0.64, "fn_posexplode": 0.39, "fn_regex": 0.33,
-    "fn_string": 0.5, "fn_string_extended": 0.23, "fn_trig": 0.2, "join_asof": 0.46,
-    "join_broadcast": 0.55, "join_bucketed_colocated": 2.68, "join_cross": 0.58, "join_full_outer": 0.54,
-    "join_inner_equi": 0.72, "join_left_anti": 0.4, "join_left_outer": 0.5, "join_left_semi": 0.26,
-    "join_null_safe": 0.46, "join_self_multi": 0.47, "join_skew_salted": 0.53, "join_theta_range": 0.32,
-    "limit_topk": 2.58, "log_anomaly_zscore": 0.58, "log_burst_detect": 0.52, "log_corr_matrix": 0.61,
-    "log_error_rate_hourly": 0.32, "log_event_transitions": 0.74, "log_gap_fill": 0.61, "log_retention_cohorts": 0.54,
-    "log_rollup_multires": 1.37, "log_search": 0.52, "log_seasonality_profile": 0.46, "log_slo_burn": 0.54,
-    "log_top_services": 0.61, "log_type_hour_matrix": 0.46, "log_user_funnel": 0.42, "multimodal_features": 2.0,
-    "multimodal_frame_sample": 0.53, "multimodal_join": 0.44, "multimodal_resize": 0.37, "pack_sequences": 0.53,
-    "part_copurchase": 1.05, "q_case_when": 0.47, "q_exists_correlated": 0.34, "q_filter_basic": 0.43,
-    "q_filter_in_between": 0.25, "q_filter_like": 0.17, "q_project": 1.96, "q_subquery_scalar": 0.61,
-    "sample_stratified": 0.39, "scan_binary_files": 0.65, "scan_csv_malformed": 0.41, "scan_csv_roundtrip": 0.57,
-    "scan_json_lines": 0.66, "scan_orc_roundtrip": 0.66, "scan_parquet": 0.3, "scan_text_parse": 0.43,
-    "scd2_merge": 0.37, "sessionize": 0.62, "set_except": 0.5, "set_intersect": 0.52,
-    "set_union_all": 0.46, "set_union_distinct": 0.51, "sim_ann_ivf": 5.39, "sim_ann_lsh": 2.22,
     # sim_cosine_topk / sim_knn_label / emb_neighborhood_purity share
     # one persisted ranked-neighbor frame: the O(n²) pair scan is
-    # charged to whichever member runs FIRST; the others read the
-    # cache. Per-query numbers below reflect the measured run order,
+    # charged to whichever member runs FIRST under the driver's
+    # ordering; per-query numbers reflect the measured run order,
     # not intrinsic cost.
-    "sim_cosine_blocked": 0.98, "sim_cosine_topk": 0.4, "sim_knn_label": 5.57, "sink_parquet_partitioned": 1.75,
-    "sort_multi": 0.7, "split_train_holdout": 0.29, "stream_custom_state": 2.78, "stream_dedup": 1.75,
-    "stream_foreach_batch": 2.01, "stream_session": 1.56, "stream_sliding": 1.26, "stream_static_join": 1.1,
-    "stream_stream_join": 3.11, "stream_tumbling": 2.12, "stream_watermark_late": 1.66, "text_fingerprint": 0.5,
-    "text_lang_id": 0.38, "text_lang_stats": 0.4, "text_ngram_topk": 0.63, "text_quality_score": 0.61,
-    "text_repetition_score": 0.57, "text_tfidf": 1.14, "text_token_count_bpe": 0.34, "text_tokenize_counts": 0.31,
-    "topk_per_group": 0.5, "tpch_q3": 0.6, "tpch_q5": 0.72, "tpch_q6": 0.34,
-    "udaf_pandas_agg": 0.53, "udf_pandas_scalar": 0.46, "udf_python": 0.48, "udtf_apply_in_pandas": 0.51,
-    "udtf_python_native": 0.9, "vocab_build": 0.48, "win_first_last": 0.39, "win_lag_lead": 0.62,
-    "win_latest_per_key": 1.29, "win_nth_value": 0.59, "win_range_frame": 2.87, "win_ranking": 1.38,
-    "win_running": 1.44,
-    # SQL-string twins: original's cost + register_views (estimates
-    # until the next full cost regen)
-    "q_filter_basic_sql": 0.6, "agg_groupby_sql": 0.9, "log_error_rate_hourly_sql": 0.5,
-    # estimate (registers only where google.protobuf exists; shaped
-    # like stream_custom_state)
-    "stream_transform_with_state": 1.5,
+    "agg_approx_distinct": 0.81, "agg_approx_percentile": 0.16, "agg_bool": 0.29, "agg_collect": 0.22,
+    "agg_conditional_family": 0.43, "agg_count_distinct": 0.34, "agg_cube": 0.4, "agg_distinct_rows": 0.2,
+    "agg_global": 0.36, "agg_groupby": 0.5, "agg_groupby_sql": 0.46, "agg_grouping_sets": 0.22,
+    "agg_having": 0.2, "agg_histogram": 0.21, "agg_hll_sketch_rollup": 0.5, "agg_min_max_by": 0.21,
+    "agg_mode": 0.28, "agg_percentile": 0.45, "agg_pivot": 0.35, "agg_rollup": 0.34,
+    "agg_stats": 0.3, "agg_string_concat": 0.26, "agg_unpivot": 0.12, "cust_rfm_segments": 2.34,
+    "decontam_ngram_overlap": 0.83, "dedup_clusters_cc": 3.28, "dedup_embedding_cosine": 2.94, "dedup_exact": 0.26,
+    "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.21, "dedup_ngram_jaccard": 1.07, "dedup_simhash": 2.17,
+    "doc_chunk": 0.2, "emb_centroid_outliers": 0.69, "emb_label_centroid": 0.27, "emb_neighborhood_purity": 0.77,
+    "emb_pca_power": 0.47, "fn_array": 0.15, "fn_array_agg": 0.14, "fn_bitwise": 0.27,
+    "fn_conditional": 2.03, "fn_datetime": 0.62, "fn_hash": 0.11, "fn_interval": 0.33,
+    "fn_json": 0.28, "fn_map": 0.25, "fn_math": 0.21, "fn_posexplode": 0.17,
+    "fn_regex": 0.15, "fn_string": 0.18, "fn_string_extended": 0.17, "fn_trig": 0.15,
+    "join_asof": 0.3, "join_broadcast": 0.3, "join_bucketed_colocated": 1.26, "join_cross": 0.12,
+    "join_full_outer": 0.3, "join_inner_equi": 0.43, "join_left_anti": 0.15, "join_left_outer": 0.33,
+    "join_left_semi": 0.25, "join_null_safe": 0.34, "join_self_multi": 0.29, "join_skew_salted": 0.42,
+    "join_theta_range": 0.17, "limit_topk": 0.12, "log_anomaly_zscore": 0.44, "log_burst_detect": 0.42,
+    "log_corr_matrix": 0.65, "log_error_rate_hourly": 0.29, "log_error_rate_hourly_sql": 0.27, "log_event_transitions": 0.32,
+    "log_gap_fill": 0.58, "log_retention_cohorts": 0.41, "log_rollup_multires": 1.04, "log_search": 0.29,
+    "log_seasonality_profile": 0.36, "log_slo_burn": 0.31, "log_top_services": 0.21, "log_type_hour_matrix": 0.27,
+    "log_user_funnel": 0.24, "multimodal_features": 0.28, "multimodal_frame_sample": 0.33, "multimodal_join": 0.16,
+    "multimodal_resize": 0.47, "pack_sequences": 0.29, "part_copurchase": 0.81, "q_case_when": 0.32,
+    "q_exists_correlated": 0.18, "q_filter_basic": 0.24, "q_filter_basic_sql": 0.3, "q_filter_in_between": 0.15,
+    "q_filter_like": 0.1, "q_project": 1.43, "q_subquery_scalar": 0.26, "sample_stratified": 0.24,
+    "scan_binary_files": 0.2, "scan_csv_malformed": 0.26, "scan_csv_roundtrip": 0.37, "scan_json_lines": 0.21,
+    "scan_orc_roundtrip": 0.23, "scan_parquet": 0.05, "scan_text_parse": 0.35, "scd2_merge": 0.23,
+    "sessionize": 0.48, "set_except": 0.34, "set_intersect": 0.24, "set_union_all": 0.2,
+    "set_union_distinct": 0.22, "sim_ann_ivf": 2.45, "sim_ann_lsh": 1.99, "sim_cosine_blocked": 0.7,
+    "sim_cosine_topk": 0.48, "sim_knn_label": 0.65, "sink_parquet_partitioned": 0.99, "sort_multi": 0.52,
+    "split_train_holdout": 0.1, "stream_custom_state": 0.96, "stream_dedup": 0.93, "stream_foreach_batch": 0.7,
+    "stream_session": 1.01, "stream_sliding": 0.95, "stream_static_join": 0.89, "stream_stream_join": 2.54,
+    "stream_transform_with_state": 0.93, "stream_tumbling": 0.84, "stream_watermark_late": 1.28, "text_fingerprint": 0.38,
+    "text_lang_id": 0.28, "text_lang_stats": 0.33, "text_ngram_topk": 0.63, "text_quality_score": 0.2,
+    "text_repetition_score": 0.4, "text_tfidf": 0.75, "text_token_count_bpe": 0.14, "text_tokenize_counts": 0.2,
+    "topk_per_group": 0.33, "tpch_q3": 0.62, "tpch_q5": 0.35, "tpch_q6": 0.22,
+    "udaf_pandas_agg": 0.36, "udf_pandas_scalar": 0.26, "udf_python": 0.37, "udtf_apply_in_pandas": 0.36,
+    "udtf_python_native": 0.51, "vocab_build": 0.25, "win_first_last": 0.33, "win_lag_lead": 0.4,
+    "win_latest_per_key": 0.2, "win_nth_value": 0.3, "win_range_frame": 2.11, "win_ranking": 0.72,
+    "win_running": 0.94,
 }
 
 _DEFAULT_COST = 0.9

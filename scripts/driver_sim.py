@@ -35,6 +35,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--slow", type=float, default=3.0)
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=2,
+        help="timing passes; cost_s = min across passes (the spark.range "
+        "warm-up doesn't cover parquet footer/codegen costs, so pass 1 "
+        "charges one-time warm-up to whichever queries run first — "
+        "round-3 advice: regenerate _MEASURED_COST from the min)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -49,36 +58,50 @@ def main() -> None:
 
     results = {}
     t_all = time.perf_counter()
-    for name in names:
-        spec = specs[name]
-        rec: dict = {}
-        t0 = time.perf_counter()
-        try:
-            sdf = spec.fn(spark, args.sf_dir)
-            complex_cols = [
-                f.name
-                for f in sdf.schema.fields
-                if f.dataType.typeName() in ("array", "map", "struct")
-            ]
-            spdf = sdf.toPandas()
-            rec["spark_s"] = round(time.perf_counter() - t0, 2)
-            rec["rows"] = len(spdf)
-            if complex_cols:
-                rec["complex_cols"] = complex_cols
-            if spec.oracle is not None:
-                t1 = time.perf_counter()
-                opdf = run_oracle(spec.oracle, args.sf_dir)
-                issues = compare_frames(spdf, opdf)
-                rec["oracle_s"] = round(time.perf_counter() - t1, 2)
-                if issues:
-                    rec["MISMATCH"] = issues[:2]
-        except Exception as exc:  # noqa: BLE001
-            rec["ERROR"] = f"{type(exc).__name__}: {exc}"[:400]
-            rec["spark_s"] = round(time.perf_counter() - t0, 2)
-        rec["total_s"] = round(time.perf_counter() - t0, 2)
-        results[name] = rec
-        status = "ERR" if "ERROR" in rec else ("BAD" if "MISMATCH" in rec else "ok")
-        print(f"{rec['total_s']:7.2f}s  {status:3s}  {name}", flush=True)
+    for pass_no in range(max(1, args.passes)):
+        for name in names:
+            spec = specs[name]
+            rec: dict = {}
+            t0 = time.perf_counter()
+            try:
+                sdf = spec.fn(spark, args.sf_dir)
+                complex_cols = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                spdf = sdf.toPandas()
+                rec["spark_s"] = round(time.perf_counter() - t0, 2)
+                rec["rows"] = len(spdf)
+                if complex_cols:
+                    rec["complex_cols"] = complex_cols
+                if spec.oracle is not None:
+                    t1 = time.perf_counter()
+                    opdf = run_oracle(spec.oracle, args.sf_dir)
+                    issues = compare_frames(spdf, opdf)
+                    rec["oracle_s"] = round(time.perf_counter() - t1, 2)
+                    if issues:
+                        rec["MISMATCH"] = issues[:2]
+            except Exception as exc:  # noqa: BLE001
+                rec["ERROR"] = f"{type(exc).__name__}: {exc}"[:400]
+                rec["spark_s"] = round(time.perf_counter() - t0, 2)
+            rec["total_s"] = round(time.perf_counter() - t0, 2)
+            if pass_no == 0:
+                # correctness verdicts come from the driver-faithful
+                # cold pass; later passes only tighten cost_s
+                rec["cost_s"] = rec["total_s"]
+                results[name] = rec
+                status = (
+                    "ERR" if "ERROR" in rec else ("BAD" if "MISMATCH" in rec else "ok")
+                )
+                print(f"{rec['total_s']:7.2f}s  {status:3s}  {name}", flush=True)
+            else:
+                results[name]["cost_s"] = min(
+                    results[name]["cost_s"], rec["total_s"]
+                )
+                print(
+                    f"{rec['total_s']:7.2f}s  p{pass_no + 1}   {name}", flush=True
+                )
 
     total = time.perf_counter() - t_all
     print(f"\nTOTAL {total:.1f}s for {len(names)} queries", flush=True)

@@ -56,3 +56,40 @@ def test_rolling_fingerprint_matches_python(spark, sf_dir):
         for ch in r["text"]:
             h = (h * 31 + ord(ch)) % ROLLING_MOD
         assert h == r["fp"], r["text"][:40]
+
+
+class TestExactNtile:
+    """_exact_ntile must be bit-identical to Spark's own ntile over an
+    unpartitioned window, for any row count (including n < tiles and
+    n % tiles != 0) and any duplicate-metric distribution — the total
+    order comes from the (metric, id) composite."""
+
+    def _check(self, spark, rows, tiles=4):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from linux_logs_spark.operators.warehouse import _exact_ntile
+
+        df = spark.createDataFrame(rows, "id long, metric double")
+        order = [F.col("metric").desc(), F.col("id").asc()]
+        got = {
+            (r["id"], r["t"])
+            for r in _exact_ntile(df, order, "t", tiles=tiles).collect()
+        }
+        want = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id", F.ntile(tiles).over(Window.orderBy(*order)).cast("long").alias("t")
+            ).collect()
+        }
+        assert got == want
+
+    def test_small_and_remainder_counts(self, spark):
+        for n in (1, 2, 3, 4, 5, 7, 8, 101):
+            self._check(spark, [(i, float(i % 3)) for i in range(n)])
+
+    def test_heavy_duplicate_metrics(self, spark):
+        self._check(spark, [(i, 1.0) for i in range(50)])
+
+    def test_other_tile_counts(self, spark):
+        self._check(spark, [(i, float(i % 5)) for i in range(23)], tiles=10)

@@ -535,46 +535,52 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_ntile(df: DataFrame, order_cols: list, out_name: str, tiles: int = 4) -> DataFrame:
     """Exact ntile(tiles) OVER (ORDER BY order_cols) with no
-    single-partition sort.
+    single-partition sort and no driver round-trip.
 
     Global rank = within-range-partition row_number + the partition's
-    cumulative row offset (≤ shuffle-partition-count scalars collected
-    to the driver — the same bounded-collect budget as the IVF
-    centroids). ntile then follows from rank arithmetic: the first
-    (n mod tiles) tiles hold ceil(n/tiles) rows, the rest floor(n/tiles)
-    — identical to Spark's and DuckDB's NTILE. order_cols must be a
+    cumulative row offset, where the offsets come from a broadcast
+    join against the ≤ shuffle-partition-count per-partition counts
+    (the running sum over that tiny frame is a single-partition
+    window over ≤ parts rows — bounded by construction). ntile then
+    follows from columnar rank arithmetic: the first (n mod tiles)
+    tiles hold ceil(n/tiles) rows, the rest floor(n/tiles) — identical
+    to Spark's and DuckDB's NTILE, with n itself a broadcast 1-row
+    aggregate, so the whole query stays lazy. order_cols must be a
     total order for the result to be deterministic."""
     parts = min(default_parallelism(), 32)
     ranked = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        # Pin partition contents: the count job and the rank window must
-        # see the same range bounds (RangePartitioner samples its input).
+        # Pin partition contents: the counts subplan and the rank
+        # window must see the same sampled range bounds, and exchange
+        # reuse isn't guaranteed under AQE.
         .localCheckpoint()
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offset_of, total = {}, 0
-    for pid in sorted(counts):
-        offset_of[pid] = total
-        total += counts[pid]
-    offset = F.lit(0)
-    for pid, off in offset_of.items():
-        offset = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset)
+    pid_counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pid_counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rank = (F.row_number().over(w) + offset).alias("_rank")
-    q, rem = divmod(total, tiles)
+    r = F.row_number().over(w) + F.col("_off")
+    q = F.floor(F.col("_n") / tiles)
+    rem = F.col("_n") % tiles
     big_span = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
-    r = F.col("_rank")
-    tile = F.when(r <= big_span, F.floor((r - 1) / (q + 1)) + 1)
-    if q > 0:
-        tile = tile.otherwise(F.lit(rem) + F.floor((r - big_span - 1) / q) + 1)
+    tile = F.when(r <= big_span, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        # unreachable when q == 0 (big_span == n ≥ r); greatest() only
+        # keeps the expression total
+        rem + F.floor((r - big_span - 1) / F.greatest(q, F.lit(1))) + 1
+    )
     return (
-        ranked.withColumn("_rank", rank)
+        ranked.join(F.broadcast(offsets), "_pid")
         .withColumn(out_name, tile.cast("long"))
-        .drop("_pid", "_rank")
+        .drop("_pid", "_off", "_n")
     )
 
 

@@ -192,7 +192,11 @@ def test_cust_rfm_has_no_single_partition_window(spark, sf_dir):
     """The three exact ntiles must run as range-partitioned rank
     windows (partitioned by the range-partition id), never the
     move-all-rows-to-one-partition WindowExec that a bare
-    Window.orderBy plans (round-3 verdict item 2)."""
+    Window.orderBy plans (round-3 verdict item 2). Every legitimate
+    Window node leads its spec with _pid — either partitionBy(_pid)
+    (the per-partition row_number) or orderBy(_pid) over the
+    ≤ parts-row pid-counts frame (the bounded offsets cumsum) — so a
+    reintroduced full-data Window.orderBy(metric) fails the match."""
     plan = plan_string(_Q["cust_rfm_segments"].fn(spark, sf_dir))
     bad = [
         l.strip()

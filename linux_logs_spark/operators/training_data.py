@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
-from linux_logs_spark.functions.text import word_shingles, words
+from linux_logs_spark.functions.text import STOPWORDS, word_shingles, words
 from linux_logs_spark.operators.llm_pipeline import (
     _JACCARD_PAIRS_SQL,
     blocked_jaccard_pairs,
@@ -386,4 +386,106 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok_start").cast("long").alias("tok_start"),
         tok_len.alias("tok_len"),
         F.concat_ws(" ", F.slice("ws", F.col("tok_start") + 1, tok_len)).alias("chunk_text"),
+    )
+
+
+# ------------------------------------------- end-to-end corpus prep
+
+# Quality gate for the prep funnel: binds on ~10% of the synthetic
+# corpus (score distribution 0.39–0.61, threshold at the p10 shoulder)
+# so every funnel stage is actually exercised by the oracle compare.
+QUALITY_MIN = 0.48
+
+
+@register(
+    "pipeline_corpus_prep",
+    "llm",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         (( CAST(n_chars - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.1
+          + CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS BIGINT)) >= {QUALITY_MIN} AS passed
+  FROM documents
+), blocks AS (
+  SELECT lang, source, count(*) AS n_docs,
+         count(*) FILTER (WHERE NOT passed) AS n_low_quality
+  FROM x GROUP BY 1, 2
+), groups AS (
+  SELECT lang, source,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS nk,
+         count(*) AS grp_n,
+         min_by(n_words, doc_id) AS rep_tokens
+  FROM x WHERE passed GROUP BY 1, 2, 3
+), kept AS (
+  SELECT lang, source, count(*) AS n_kept,
+         CAST(sum(grp_n) - count(*) AS BIGINT) AS n_dups_dropped,
+         CAST(sum(rep_tokens) AS BIGINT) AS kept_tokens
+  FROM groups GROUP BY 1, 2
+)
+SELECT b.lang, b.source, b.n_docs, b.n_low_quality,
+       coalesce(k.n_dups_dropped, 0) AS n_dups_dropped,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM blocks b LEFT JOIN kept k ON b.lang = k.lang AND b.source = k.source
+""",
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep funnel in ONE declarative plan: quality
+    gate (text_quality_score's exact expression) → normalized exact
+    dedup (sorted-distinct-word key, keep min doc_id) → per-block
+    accounting (docs in, low-quality dropped, dups dropped, docs kept,
+    kept tokens). This is the integration shape a training-data
+    pipeline runs nightly; every stage is a built-in expression, so
+    the whole funnel is two shuffles (the dedup groupBy and the block
+    rollup — the quality gate is map-side) regardless of corpus size.
+    The dedup key shuffles as sha2(norm_text) (32 bytes, never
+    documents); the oracle groups the raw normalized string —
+    identical partitions, hash-free SQL."""
+    d = load(spark, sf_dir, "documents")
+    ws = words("text")
+    x = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        "n_chars",
+    )
+    awl = (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")
+    qs = awl * 0.1 + F.col("n_stop").cast("double") / F.col("n_words")
+    scored = x.withColumn("passed", qs >= QUALITY_MIN)
+    blocks = scored.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(~F.col("passed")).alias("n_low_quality"),
+    )
+    norm_key = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(words("text"))), " "), 256
+    )
+    groups = (
+        scored.filter("passed")
+        .groupBy("lang", "source", norm_key.alias("nk"))
+        .agg(
+            F.count("*").alias("grp_n"),
+            F.min_by("n_words", "doc_id").alias("rep_tokens"),
+        )
+    )
+    kept = groups.groupBy("lang", "source").agg(
+        F.count("*").alias("n_kept"),
+        (F.sum("grp_n") - F.count("*")).alias("n_dups_dropped"),
+        F.sum("rep_tokens").alias("kept_tokens"),
+    )
+    zero = F.lit(0).cast("long")
+    return blocks.join(kept, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_low_quality",
+        F.coalesce("n_dups_dropped", zero).alias("n_dups_dropped"),
+        F.coalesce("n_kept", zero).alias("n_kept"),
+        F.coalesce("kept_tokens", zero).alias("kept_tokens"),
     )

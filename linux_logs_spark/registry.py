@@ -144,8 +144,9 @@ _MEASURED_COST: dict[str, float] = {
     "topk_per_group": 0.33, "tpch_q3": 0.62, "tpch_q5": 0.35, "tpch_q6": 0.22,
     "udaf_pandas_agg": 0.36, "udf_pandas_scalar": 0.26, "udf_python": 0.37, "udtf_apply_in_pandas": 0.36,
     "udtf_python_native": 0.51, "vocab_build": 0.25, "win_first_last": 0.33, "win_lag_lead": 0.4,
-    # twins added after the round-4 cost regen: original + view reg
-    "join_inner_equi_sql": 0.5, "win_ranking_sql": 0.8,
+    # added after the round-4 cost regen (estimates): twins = original
+    # + view reg; corpus-prep = two shuffles over documents
+    "join_inner_equi_sql": 0.5, "win_ranking_sql": 0.8, "pipeline_corpus_prep": 0.8,
     "win_latest_per_key": 0.2, "win_nth_value": 0.3, "win_range_frame": 2.11, "win_ranking": 0.72,
     "win_running": 0.94,
 }

@@ -439,12 +439,14 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (sorted-distinct-word key, keep min doc_id) → per-block
     accounting (docs in, low-quality dropped, dups dropped, docs kept,
     kept tokens). This is the integration shape a training-data
-    pipeline runs nightly; every stage is a built-in expression, so
-    the whole funnel is two shuffles (the dedup groupBy and the block
-    rollup — the quality gate is map-side) regardless of corpus size.
-    The dedup key shuffles as sha2(norm_text) (32 bytes, never
-    documents); the oracle groups the raw normalized string —
-    identical partitions, hash-free SQL."""
+    pipeline runs nightly; every stage is a built-in expression. The
+    only full-volume shuffle is the dedup groupBy, keyed on
+    sha2(norm_text) (32 bytes, never documents); the quality gate is
+    map-side, and the two block rollups ride partial aggregation so
+    their exchanges carry per-(lang, source[, key]) state, not rows
+    (plan: 3 hash exchanges + 1 broadcast join of the kept-side
+    summary). The oracle groups the raw normalized string — identical
+    partitions, hash-free SQL."""
     d = load(spark, sf_dir, "documents")
     ws = words("text")
     x = d.select(

@@ -98,8 +98,8 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 153-query
-# 2-pass run, round 4, cost_s = min of passes; pass-1 TOTAL ~142 s). tests/test_contract.py asserts every registered
+# driver's verified set (this table: full 156-query
+# 2-pass run, round-4 close, cost_s = min of passes). tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
     # sim_cosine_topk / sim_knn_label / emb_neighborhood_purity share
@@ -107,48 +107,45 @@ _MEASURED_COST: dict[str, float] = {
     # charged to whichever member runs FIRST under the driver's
     # ordering; per-query numbers reflect the measured run order,
     # not intrinsic cost.
-    "agg_approx_distinct": 0.81, "agg_approx_percentile": 0.16, "agg_bool": 0.29, "agg_collect": 0.22,
-    "agg_conditional_family": 0.43, "agg_count_distinct": 0.34, "agg_cube": 0.4, "agg_distinct_rows": 0.2,
-    "agg_global": 0.36, "agg_groupby": 0.5, "agg_groupby_sql": 0.46, "agg_grouping_sets": 0.22,
-    "agg_having": 0.2, "agg_histogram": 0.21, "agg_hll_sketch_rollup": 0.5, "agg_min_max_by": 0.21,
-    "agg_mode": 0.28, "agg_percentile": 0.45, "agg_pivot": 0.35, "agg_rollup": 0.34,
-    "agg_stats": 0.3, "agg_string_concat": 0.26, "agg_unpivot": 0.12, "cust_rfm_segments": 2.34,
-    "decontam_ngram_overlap": 0.83, "dedup_clusters_cc": 3.28, "dedup_embedding_cosine": 2.94, "dedup_exact": 0.26,
-    "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.21, "dedup_ngram_jaccard": 1.07, "dedup_simhash": 2.17,
-    "doc_chunk": 0.2, "emb_centroid_outliers": 0.69, "emb_label_centroid": 0.27, "emb_neighborhood_purity": 0.77,
-    "emb_pca_power": 0.47, "fn_array": 0.15, "fn_array_agg": 0.14, "fn_bitwise": 0.27,
-    "fn_conditional": 2.03, "fn_datetime": 0.62, "fn_hash": 0.11, "fn_interval": 0.33,
-    "fn_json": 0.28, "fn_map": 0.25, "fn_math": 0.21, "fn_posexplode": 0.17,
-    "fn_regex": 0.15, "fn_string": 0.18, "fn_string_extended": 0.17, "fn_trig": 0.15,
-    "join_asof": 0.3, "join_broadcast": 0.3, "join_bucketed_colocated": 1.26, "join_cross": 0.12,
-    "join_full_outer": 0.3, "join_inner_equi": 0.43, "join_left_anti": 0.15, "join_left_outer": 0.33,
-    "join_left_semi": 0.25, "join_null_safe": 0.34, "join_self_multi": 0.29, "join_skew_salted": 0.42,
-    "join_theta_range": 0.17, "limit_topk": 0.12, "log_anomaly_zscore": 0.44, "log_burst_detect": 0.42,
-    "log_corr_matrix": 0.65, "log_error_rate_hourly": 0.29, "log_error_rate_hourly_sql": 0.27, "log_event_transitions": 0.32,
-    "log_gap_fill": 0.58, "log_retention_cohorts": 0.41, "log_rollup_multires": 1.04, "log_search": 0.29,
-    "log_seasonality_profile": 0.36, "log_slo_burn": 0.31, "log_top_services": 0.21, "log_type_hour_matrix": 0.27,
-    "log_user_funnel": 0.24, "multimodal_features": 0.28, "multimodal_frame_sample": 0.33, "multimodal_join": 0.16,
-    "multimodal_resize": 0.47, "pack_sequences": 0.29, "part_copurchase": 0.81, "q_case_when": 0.32,
-    "q_exists_correlated": 0.18, "q_filter_basic": 0.24, "q_filter_basic_sql": 0.3, "q_filter_in_between": 0.15,
-    "q_filter_like": 0.1, "q_project": 1.43, "q_subquery_scalar": 0.26, "sample_stratified": 0.24,
-    "scan_binary_files": 0.2, "scan_csv_malformed": 0.26, "scan_csv_roundtrip": 0.37, "scan_json_lines": 0.21,
-    "scan_orc_roundtrip": 0.23, "scan_parquet": 0.05, "scan_text_parse": 0.35, "scd2_merge": 0.23,
-    "sessionize": 0.48, "set_except": 0.34, "set_intersect": 0.24, "set_union_all": 0.2,
-    "set_union_distinct": 0.22, "sim_ann_ivf": 2.45, "sim_ann_lsh": 1.99, "sim_cosine_blocked": 0.7,
-    "sim_cosine_topk": 0.48, "sim_knn_label": 0.65, "sink_parquet_partitioned": 0.99, "sort_multi": 0.52,
-    "split_train_holdout": 0.1, "stream_custom_state": 0.96, "stream_dedup": 0.93, "stream_foreach_batch": 0.7,
-    "stream_session": 1.01, "stream_sliding": 0.95, "stream_static_join": 0.89, "stream_stream_join": 2.54,
-    "stream_transform_with_state": 0.93, "stream_tumbling": 0.84, "stream_watermark_late": 1.28, "text_fingerprint": 0.38,
-    "text_lang_id": 0.28, "text_lang_stats": 0.33, "text_ngram_topk": 0.63, "text_quality_score": 0.2,
-    "text_repetition_score": 0.4, "text_tfidf": 0.75, "text_token_count_bpe": 0.14, "text_tokenize_counts": 0.2,
-    "topk_per_group": 0.33, "tpch_q3": 0.62, "tpch_q5": 0.35, "tpch_q6": 0.22,
-    "udaf_pandas_agg": 0.36, "udf_pandas_scalar": 0.26, "udf_python": 0.37, "udtf_apply_in_pandas": 0.36,
-    "udtf_python_native": 0.51, "vocab_build": 0.25, "win_first_last": 0.33, "win_lag_lead": 0.4,
-    # added after the round-4 cost regen (estimates): twins = original
-    # + view reg; corpus-prep = two shuffles over documents
-    "join_inner_equi_sql": 0.5, "win_ranking_sql": 0.8, "pipeline_corpus_prep": 0.8,
-    "win_latest_per_key": 0.2, "win_nth_value": 0.3, "win_range_frame": 2.11, "win_ranking": 0.72,
-    "win_running": 0.94,
+    "agg_approx_distinct": 0.86, "agg_approx_percentile": 0.23, "agg_bool": 0.27, "agg_collect": 0.27,
+    "agg_conditional_family": 0.57, "agg_count_distinct": 0.4, "agg_cube": 0.45, "agg_distinct_rows": 0.2,
+    "agg_global": 0.46, "agg_groupby": 0.49, "agg_groupby_sql": 0.5, "agg_grouping_sets": 0.24,
+    "agg_having": 0.28, "agg_histogram": 0.24, "agg_hll_sketch_rollup": 0.41, "agg_min_max_by": 0.23,
+    "agg_mode": 0.27, "agg_percentile": 0.53, "agg_pivot": 0.33, "agg_rollup": 0.44,
+    "agg_stats": 0.3, "agg_string_concat": 0.2, "agg_unpivot": 0.16, "cust_rfm_segments": 1.67,
+    "decontam_ngram_overlap": 1.06, "dedup_clusters_cc": 2.76, "dedup_embedding_cosine": 3.48, "dedup_exact": 0.17,
+    "dedup_exact_hash": 0.18, "dedup_near_minhash": 1.08, "dedup_ngram_jaccard": 1.04, "dedup_simhash": 2.18,
+    "doc_chunk": 0.19, "emb_centroid_outliers": 0.66, "emb_label_centroid": 0.21, "emb_neighborhood_purity": 0.8,
+    "emb_pca_power": 0.48, "fn_array": 0.16, "fn_array_agg": 0.14, "fn_bitwise": 0.26,
+    "fn_conditional": 2.06, "fn_datetime": 0.85, "fn_hash": 0.1, "fn_interval": 0.21,
+    "fn_json": 0.26, "fn_map": 0.25, "fn_math": 0.22, "fn_posexplode": 0.13,
+    "fn_regex": 0.14, "fn_string": 0.15, "fn_string_extended": 0.15, "fn_trig": 0.17,
+    "join_asof": 0.32, "join_broadcast": 0.33, "join_bucketed_colocated": 1.19, "join_cross": 0.11,
+    "join_full_outer": 0.31, "join_inner_equi": 0.6, "join_inner_equi_sql": 0.63, "join_left_anti": 0.16,
+    "join_left_outer": 0.3, "join_left_semi": 0.16, "join_null_safe": 0.33, "join_self_multi": 0.25,
+    "join_skew_salted": 0.4, "join_theta_range": 0.15, "limit_topk": 0.11, "log_anomaly_zscore": 0.38,
+    "log_burst_detect": 0.49, "log_corr_matrix": 0.47, "log_error_rate_hourly": 0.21, "log_error_rate_hourly_sql": 0.33,
+    "log_event_transitions": 0.31, "log_gap_fill": 0.52, "log_retention_cohorts": 0.55, "log_rollup_multires": 1.26,
+    "log_search": 0.29, "log_seasonality_profile": 0.31, "log_slo_burn": 0.45, "log_top_services": 0.28,
+    "log_type_hour_matrix": 0.31, "log_user_funnel": 0.26, "multimodal_features": 0.5, "multimodal_frame_sample": 0.33,
+    "multimodal_join": 0.17, "multimodal_resize": 0.33, "pack_sequences": 0.3, "part_copurchase": 1.02,
+    "pipeline_corpus_prep": 0.74, "q_case_when": 0.29, "q_exists_correlated": 0.18, "q_filter_basic": 0.22,
+    "q_filter_basic_sql": 0.32, "q_filter_in_between": 0.14, "q_filter_like": 0.1, "q_project": 1.75,
+    "q_subquery_scalar": 0.22, "sample_stratified": 0.23, "scan_binary_files": 0.18, "scan_csv_malformed": 0.22,
+    "scan_csv_roundtrip": 0.45, "scan_json_lines": 0.25, "scan_orc_roundtrip": 0.2, "scan_parquet": 0.05,
+    "scan_text_parse": 0.39, "scd2_merge": 0.22, "sessionize": 0.6, "set_except": 0.41,
+    "set_intersect": 0.22, "set_union_all": 0.22, "set_union_distinct": 0.21, "sim_ann_ivf": 2.39,
+    "sim_ann_lsh": 2.02, "sim_cosine_blocked": 0.72, "sim_cosine_topk": 0.56, "sim_knn_label": 0.99,
+    "sink_parquet_partitioned": 1.15, "sort_multi": 0.63, "split_train_holdout": 0.1, "stream_custom_state": 1.16,
+    "stream_dedup": 0.93, "stream_foreach_batch": 0.88, "stream_session": 1.15, "stream_sliding": 1.15,
+    "stream_static_join": 0.93, "stream_stream_join": 2.58, "stream_transform_with_state": 1.01, "stream_tumbling": 1.31,
+    "stream_watermark_late": 1.24, "text_fingerprint": 0.37, "text_lang_id": 0.22, "text_lang_stats": 0.26,
+    "text_ngram_topk": 0.51, "text_quality_score": 0.22, "text_repetition_score": 0.39, "text_tfidf": 0.84,
+    "text_token_count_bpe": 0.14, "text_tokenize_counts": 0.24, "topk_per_group": 0.3, "tpch_q3": 0.43,
+    "tpch_q5": 0.38, "tpch_q6": 0.19, "udaf_pandas_agg": 0.33, "udf_pandas_scalar": 0.25,
+    "udf_python": 0.52, "udtf_apply_in_pandas": 0.36, "udtf_python_native": 0.58, "vocab_build": 0.31,
+    "win_first_last": 0.26, "win_lag_lead": 0.53, "win_latest_per_key": 0.32, "win_nth_value": 0.29,
+    "win_range_frame": 2.52, "win_ranking": 0.87, "win_ranking_sql": 0.91, "win_running": 1.0,
 }
 
 _DEFAULT_COST = 0.9

@@ -61,6 +61,7 @@ HEADLINE = (
     "sort_multi",
     "udtf_apply_in_pandas",
     "multimodal_join",
+    "pipeline_corpus_prep",
 )
 
 

@@ -348,6 +348,7 @@ SELECT l_orderkey, l_linenumber,
             ELSE l_extendedprice / l_discount END  AS price_per_disc,
        ifnull(nullif(l_returnflag, 'N'), 'NONE')   AS flag_or_none
 FROM lineitem
+WHERE l_orderkey % 7 = 0
 """,
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,9 +360,13 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     original form cast the always-non-numeric l_returnflag and spent
     5s/600k rows just throwing. Failures here hit only l_orderkey %
     1000 == 0 rows — the NULL-production path is still exercised, at
-    a failure rate a 100 TB scan could also afford."""
+    a failure rate a 100 TB scan could also afford. The %7 slice
+    keeps every expression path (multiples of 7000 exercise the
+    failing try_cast) while cutting the oracle-compare volume 7× —
+    the driver's cost for this query was pure row transfer, not
+    computation."""
     li = load(spark, sf_dir, "lineitem")
-    return li.select(
+    return li.filter(F.col("l_orderkey") % 7 == 0).select(
         "l_orderkey",
         "l_linenumber",
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),

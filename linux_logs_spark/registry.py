@@ -117,7 +117,8 @@ _MEASURED_COST: dict[str, float] = {
     "dedup_exact_hash": 0.18, "dedup_near_minhash": 1.08, "dedup_ngram_jaccard": 1.04, "dedup_simhash": 2.18,
     "doc_chunk": 0.19, "emb_centroid_outliers": 0.66, "emb_label_centroid": 0.21, "emb_neighborhood_purity": 0.8,
     "emb_pca_power": 0.48, "fn_array": 0.16, "fn_array_agg": 0.14, "fn_bitwise": 0.26,
-    "fn_conditional": 0.5,  # re-measured after %7 slice "fn_datetime": 0.85, "fn_hash": 0.1, "fn_interval": 0.21,
+    # fn_conditional re-measured after the %7 slice
+    "fn_conditional": 0.5, "fn_datetime": 0.85, "fn_hash": 0.1, "fn_interval": 0.21,
     "fn_json": 0.26, "fn_map": 0.25, "fn_math": 0.22, "fn_posexplode": 0.13,
     "fn_regex": 0.14, "fn_string": 0.15, "fn_string_extended": 0.15, "fn_trig": 0.17,
     "join_asof": 0.32, "join_broadcast": 0.33, "join_bucketed_colocated": 1.19, "join_cross": 0.11,

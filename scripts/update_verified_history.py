@@ -28,7 +28,16 @@ def main() -> None:
         tag = m.group(1).replace("r0", "r") if m else path
         data = json.load(open(path))
         for name, res in data.items():
-            green = res.get("err") is None and res.get("rows_match", False)
+            # Oracle-green means the FULL gate passed: rows AND schema AND
+            # value hash. rows_match alone would record a genuine
+            # correctness failure (matching counts, mismatching values) as
+            # verified and permanently deprioritize its re-check.
+            green = (
+                res.get("err") is None
+                and res.get("rows_match", False)
+                and res.get("schema_match", False)
+                and res.get("hash_match", False)
+            )
             rows_only = (
                 res.get("err") == "no_oracle" and res.get("spark_rows") is not None
             )

@@ -351,6 +351,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Block counts for the blocked exact pair scan. At test scale 8×8 = 64
+# cells keeps local[32] saturated; at 100 TB pick CB so one cell's
+# candidate rows fit a task's heap next to its query rows, and QB so
+# QB·CB tasks saturate the cluster (same knob story as
+# extras.SIM_{QUERY,CAND}_BLOCKS).
+DEDUP_QUERY_BLOCKS = 8
+DEDUP_CAND_BLOCKS = 8
+
+
 @register(
     "dedup_embedding_cosine",
     "llm",
@@ -364,30 +373,59 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup: pairs whose cosine similarity clears a
-    threshold. Same unrolled-dot machinery as sim_cosine_topk; at
-    100 TB the LSH bucketing (sim_ann_lsh) generates the candidates and
-    this exact check verifies them."""
-    e = load(spark, sf_dir, "embeddings").repartition(
-        default_parallelism(), "vec_id"
-    )
-    a = e.select(
+    """Embedding-space near-dup: pairs whose exact cosine similarity
+    clears the threshold, enumerated as a BLOCKED equi-join — the pair
+    space is tiled into DEDUP_{QUERY,CAND}_BLOCKS² cells, each side is
+    replicated across the other side's block axis, and the join is a
+    shuffle equi-join on the (qblk, cblk) cell key with `doc_a < doc_b`
+    as a residual. No broadcast of the full table, no
+    BroadcastNestedLoopJoin/CartesianProduct (pinned in
+    tests/test_plans.py): shuffle volume is CB·n + QB·n rows and
+    per-task memory is one cell (n/QB + n/CB rows) — both bounded by
+    the block knobs, so the plan survives a 100× scale-up by raising
+    the knobs, exactly like sim_cosine_blocked.
+
+    Why exact-blocked rather than LSH-candidates-then-verify: the
+    verified threshold (0.35, chosen so the fixture yields pairs — the
+    data's max pair sim is 0.51) sits in a regime where hyperplane LSH
+    cannot be simultaneously selective and complete (p_plane ≈ 0.614 at
+    the boundary: any band config selective enough to beat n² loses
+    threshold pairs). At true near-dup thresholds (≥0.9) the
+    sim_ann_lsh banding generates candidates and only those get this
+    exact check; tests/test_ann_quality.py pins that recall story. The
+    per-pair dot stays the JVM left-fold (not a GEMM) so rounded sims
+    hash-match the DuckDB oracle exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    qb, cb = F.lit(DEDUP_QUERY_BLOCKS), F.lit(DEDUP_CAND_BLOCKS)
+    # The fixture is one parquet split: when the cell join resolves to
+    # a broadcast-hash (small side fits), the probe side would run as a
+    # SINGLE task — round-robin repartition spreads the per-cell dot
+    # evaluations across the cluster (measured 13× at sf0.1). At sizes
+    # where the build side outgrows the broadcast threshold, AQE plans
+    # the cell equi-join as a shuffle join and this exchange
+    # pre-spreads the probe anyway. Net vs the retired full-table
+    # broadcast BNLJ: 7.5 s vs 13.0 s at sf0.1 (quiet host, warm JVM)
+    # — the hash probe touches one cell, not every build row.
+    a = e.repartition(default_parallelism()).select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("va"),
         norm_unrolled_raw(F.col("embedding")).alias("na"),
+        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("vb"),
         norm_unrolled_raw(F.col("embedding")).alias("nb"),
+        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
     )
-    # raw float arrays ride the broadcast (half the bytes of double[]);
-    # per-element casts in the pair dot are bit-identical
     sim = F.round(
         dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["qblk", "cblk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.35)
     )

@@ -216,3 +216,16 @@ def test_jaccard_pairs_shuffle_hashes_not_words(spark, sf_dir):
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
     assert keys and all("word#" not in ln for ln in keys), keys
     assert any("wh#" in ln for ln in keys), keys
+
+
+# ---- round-5 additions -------------------------------------------------
+
+
+def test_dedup_embedding_cosine_is_blocked_equijoin(spark, sf_dir):
+    """The exact threshold scan must enumerate pairs through the
+    blocked (qblk, cblk) equi-join — never a broadcast cartesian of
+    the full table (round-4 verdict item 2). The residual doc_a <
+    doc_b rides the equi-join as a post-join filter."""
+    plan = plan_string(_Q["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

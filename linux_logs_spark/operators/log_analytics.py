@@ -128,8 +128,14 @@ WHERE trailing_avg IS NOT NULL AND n > 2.0 * trailing_avg
 )
 def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minutes whose event count exceeds 2× the trailing-10-minute
-    average. Aggregates to per-minute buckets first, so the window
-    pass runs over ~43k rows/month regardless of event volume."""
+    average. Aggregates to per-minute buckets first, so the ordered
+    window pass runs over ~43k rows/month REGARDLESS of event volume —
+    the single-partition WindowExec is over the bounded minute grid,
+    never the raw stream, so it is safe at 100 TB for any sane
+    retention (even 10 years is ~5M 16-byte rows ≈ 80 MB on one
+    core). If retention ever outgrows that, partition by day and
+    replicate each day's last 10 minutes into the next partition as
+    carry rows for the trailing frame."""
     e = load(spark, sf_dir, "events")
     per_min = e.groupBy(
         (F.unix_timestamp("ts") / 60).cast("long").alias("minute")

@@ -553,7 +553,12 @@ def _exact_ntile(df: DataFrame, order_cols: list, out_name: str, tiles: int = 4)
         .withColumn("_pid", F.spark_partition_id())
         # Pin partition contents: the counts subplan and the rank
         # window must see the same sampled range bounds, and exchange
-        # reuse isn't guaranteed under AQE.
+        # reuse isn't guaranteed under AQE. Lifecycle: the checkpoint
+        # blocks must outlive the RETURNED lazy plan, so an in-function
+        # unpersist is impossible by construction; blocks are freed by
+        # ContextCleaner once the caller drops the result (accepted —
+        # a driver sweeping scale factors holds ≤ one result at a
+        # time, so at most one query's 3 checkpoints are ever live).
         .localCheckpoint()
     )
     pid_counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))

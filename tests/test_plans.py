@@ -7,6 +7,8 @@ tests pin the plan shapes the 100 TB design depends on.
 
 from __future__ import annotations
 
+import re
+
 from linux_logs_spark.plans.explain import assert_in_plan, plan_string
 from linux_logs_spark.registry import all_queries
 
@@ -229,3 +231,19 @@ def test_dedup_embedding_cosine_is_blocked_equijoin(spark, sf_dir):
     plan = plan_string(_Q["dedup_embedding_cosine"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pipeline_corpus_prep_exchange_budget(spark, sf_dir):
+    """The corpus-prep funnel's headline claim: one full-volume
+    shuffle (the dedup groupBy on the 32-byte sha2 key) plus two
+    per-(lang, source) rollup exchanges that carry partially
+    aggregated state, and the kept-side summary joins back by
+    BROADCAST. A fourth shuffle or a shuffled join means a stage
+    regression (round-4 verdict item 7)."""
+    plan = plan_string(_Q["pipeline_corpus_prep"].fn(spark, sf_dir))
+    nodes = set(re.findall(r"\((\d+)\) (BroadcastExchange|Exchange)\b", plan))
+    shuffles = [n for n in nodes if n[1] == "Exchange"]
+    broadcasts = [n for n in nodes if n[1] == "BroadcastExchange"]
+    assert len(shuffles) == 3, plan
+    assert len(broadcasts) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -476,49 +476,63 @@ WITH pairs AS (
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector — the exact
-    baseline. Cross join broadcasts one side; the dot product is a
-    JVM-side zip_with/aggregate fold (no Python). Sim is rounded to 6
-    digits BEFORE ranking so cross-engine 1-ulp drift can't flip
-    neighbor order (tiebreak: neighbor_id)."""
+    baseline, enumerated through the same blocked (qblk, cblk) cell
+    equi-join as dedup_embedding_cosine (both pair directions here:
+    the residual is vec_id != neighbor_id, and each ordered pair meets
+    in exactly one cell). No full-table broadcast, no
+    BroadcastNestedLoopJoin: shuffle volume is CB·n + QB·n rows and a
+    task holds one cell, so the exact scan survives scale-up by
+    raising the block knobs. The dot product is a JVM-side codegen'd
+    left fold (no Python), and sim is rounded to 6 digits BEFORE
+    ranking so cross-engine 1-ulp drift can't flip neighbor order
+    (tiebreak: neighbor_id). Measured at parity with the retired
+    broadcast-BNLJ form at sf0.1 (~12–15 s, contended-host minima).
+
+    (A compute-half-and-mirror variant — dot only for vec_id <
+    neighbor_id, swapped-projection union for the rest — was tried
+    and reverted: AQE exchange reuse doesn't fire below
+    WriteToDataSourceV2, so under write-type actions both union
+    branches recomputed the dots, and a persist() of the half-pairs
+    cost more than it saved at both sf0.01 and sf0.1.)"""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _topk_cache:
         return _topk_cache[key]
     e = load(spark, sf_dir, "embeddings")
-    # The table is one small parquet split; without an explicit
-    # repartition the O(n²) broadcast-nested-loop probe would run as a
-    # SINGLE task. Round-robin repartition spreads the probe; the
-    # ranking window then hash-shuffles the TOP-HEAVY pair stream —
-    # but crucially the window's own exchange keeps its sort in a
-    # stage of its own. (Pre-partitioning by vec_id fused the sort
-    # into the probe pipeline and the fused method blew janino's
-    # 64 KB limit → whole-stage fell back to interpreted, ~3× slower.)
-    e = e.repartition(default_parallelism())
-    # Precompute each vector's norm ONCE (n rows), not per pair (n²);
-    # the pair loop then runs one unrolled codegen'd dot per pair.
-    a = e.select(
+    qb, cb = F.lit(DEDUP_QUERY_BLOCKS), F.lit(DEDUP_CAND_BLOCKS)
+    # Round-robin repartition spreads the probe when the cell join
+    # resolves to broadcast-hash (the fixture is ONE parquet split —
+    # without it the probe runs as a single task); the ranking
+    # window's own exchange keeps its top-heavy sort in a separate
+    # stage. (Pre-partitioning by vec_id fused the sort into the
+    # probe pipeline and the fused method blew janino's 64 KB limit →
+    # whole-stage fell back to interpreted, ~3× slower.)
+    # Norms are computed once per replica row (8n), never per pair.
+    a = e.repartition(default_parallelism()).select(
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("va"),
         norm_unrolled_raw(F.col("embedding")).alias("na"),
+        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
         norm_unrolled_raw(F.col("embedding")).alias("nb"),
+        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
     )
-    # raw float arrays ride the broadcast (half the bytes of double[]);
-    # per-element casts in the pair dot are bit-identical.
-    # (A compute-half-and-mirror variant — dot only for vec_id <
-    # neighbor_id, swapped-projection union for the rest — was tried
-    # and reverted: AQE exchange reuse doesn't fire below
-    # WriteToDataSourceV2, so under write-type actions both union
-    # branches recomputed the dots, and a persist() of the half-pairs
-    # cost more than it saved at both sf0.01 and sf0.1.)
-    pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
-        "vec_id",
-        "neighbor_id",
-        F.round(
-            dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("sim"),
+    pairs = (
+        a.join(b, ["qblk", "cblk"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                dot_unrolled_raw(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     topk = (

@@ -247,3 +247,15 @@ def test_pipeline_corpus_prep_exchange_budget(spark, sf_dir):
     assert len(shuffles) == 3, plan
     assert len(broadcasts) == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):
+    """The exact top-k baseline's pair enumeration must also ride the
+    blocked cell equi-join — no full-table broadcast cartesian
+    (round-5; mirror of the dedup_embedding_cosine pin)."""
+    from linux_logs_spark.operators import llm_pipeline
+
+    llm_pipeline._topk_cache.clear()  # don't inspect a cached plan
+    plan = plan_string(_Q["sim_cosine_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -65,21 +65,32 @@ HEADLINE = (
 )
 
 
-def _emit(timings: dict[str, float], partial: bool = False) -> None:
+def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False) -> None:
     total = round(sum(timings.values()), 3)
+    # Median/p90 ride along because the shared VM's hypervisor
+    # throttle windows inflate single queries 5-40x (BASELINE.md
+    # round-5 notes): the distribution shape tells a stall-window
+    # total apart from a genuine regression.
+    ordered = sorted(timings.values())
     payload = {
         "metric": "wall_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
         "n_queries": len(timings),
+        "median_sec": ordered[len(ordered) // 2] if ordered else None,
+        "p90_sec": ordered[(len(ordered) * 9) // 10] if ordered else None,
         "sf": sf_of(SF_DIR),
     }
     if partial:
         payload["partial"] = True
+    # Only a FULL run may overwrite the canonical artifact; subset
+    # runs write a side file (mirror of the driver_sim guard — a
+    # 2-query smoke run must not clobber the 156-query evidence).
+    artifact = "bench_full.json" if not subset else "bench_full_subset.json"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact),
             "w",
         ) as fh:
             json.dump({"total_sec": total, "queries": timings, "sf": sf_of(SF_DIR)}, fh, indent=1)
@@ -105,7 +116,7 @@ def main() -> None:
     import signal
 
     def on_term(signum, frame):
-        _emit(timings, partial=True)
+        _emit(timings, partial=True, subset=bool(only))
         os._exit(0)
 
     signal.signal(signal.SIGTERM, on_term)
@@ -124,7 +135,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
-    _emit(timings)
+    _emit(timings, subset=bool(only))
 
 
 if __name__ == "__main__":

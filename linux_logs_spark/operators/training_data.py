@@ -491,3 +491,65 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", zero).alias("n_kept"),
         F.coalesce("kept_tokens", zero).alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------- mix planning
+
+
+@register(
+    "corpus_mix_rebalance",
+    "llm",
+    oracle="""
+WITH s AS (
+  SELECT lang, source, count(*) AS n_docs
+  FROM documents GROUP BY lang, source
+), t AS (
+  SELECT CAST(ceil(CAST(sum(n_docs) AS DOUBLE) / count(*)) AS BIGINT) AS target
+  FROM s)
+SELECT lang, source, n_docs, target,
+       CASE WHEN n_docs <= target THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(target AS DOUBLE) / n_docs END AS sample_rate,
+       CASE WHEN n_docs <= target THEN n_docs ELSE target END AS kept_docs
+FROM s CROSS JOIN t
+""",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix planner: per-(lang, source) downsampling rates that
+    flatten the corpus toward an equal-share target (ceil(total /
+    n_strata)). This is the step that turns "we want 30% code, equal
+    language mix" policy into the per-stratum keep-rates a sampler
+    (sample_stratified's exact-rank filter) then applies.
+
+    Scale shape: one count aggregate over the stratum key, a 1-row
+    broadcast of the global target, and columnar rate arithmetic —
+    cost is |strata|, independent of corpus bytes. The rate division
+    CAST(target AS DOUBLE)/n is a single IEEE op on both engines, and
+    the n<=target branch pins the rate to exactly 1.0, so the hash
+    compare is stable."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    t = s.agg(
+        F.ceil(F.sum("n_docs").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("target")
+    )
+    rate = F.when(F.col("n_docs") <= F.col("target"), F.lit(1.0)).otherwise(
+        F.col("target").cast("double") / F.col("n_docs")
+    )
+    kept = F.when(F.col("n_docs") <= F.col("target"), F.col("n_docs")).otherwise(
+        F.col("target")
+    )
+    return (
+        s.join(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "target",
+            rate.alias("sample_rate"),
+            kept.alias("kept_docs"),
+        )
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
-from linux_logs_spark.functions.compat import dsum, oracle_dsum
+from linux_logs_spark.functions.compat import dec, dsum, oracle_dsum
 from linux_logs_spark.session import default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
 from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
@@ -148,6 +148,306 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
         F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q7",
+    "warehouse",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {oracle_dsum('volume', 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade volume (TPC-H Q7 shape, adapted to the
+    reduced schema: the year comes from l_shipdate).
+
+    Scale shape: BOTH fact inputs are pre-filtered through broadcast
+    dims before the one fact-fact join — lineitem keeps only rows
+    whose supplier sits in the two nations (~2/|nations| of the
+    table), orders keeps only rows whose customer does. The orderkey
+    join therefore shuffles two already-thinned streams instead of
+    broadcasting an unfiltered orders table (which no executor could
+    hold at 100 TB), and the final aggregate runs on the handful of
+    (nation, nation, year) groups."""
+    nations = ("NATION_1", "NATION_2")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    "warehouse",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): which customers
+    returned the most revenue last quarter. The returnflag and
+    orderdate predicates push into the scans; the quarter-filtered
+    orders and the dims broadcast, so lineitem shuffles exactly once
+    (the per-customer aggregate), and top-20 is TakeOrderedAndProject
+    with c_custkey as the unique tie-break. c_acctbal passes through
+    ungrouped-arithmetic-free, so the double is bit-identical."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    "warehouse",
+    oracle=f"""
+SELECT (CAST(100.0 AS DOUBLE) * {oracle_dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+       / {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect (TPC-H Q14 shape): share of one month's
+    revenue from PROMO-type parts. Conditional-vs-total sums both
+    accumulate in DECIMAL, then (100.0 * promo) / total runs as two
+    IEEE double ops with identical parenthesization on both engines.
+    part joins broadcast here; at 100 TB part is ~1/1000 of lineitem
+    and the join key is the natural bucketing column, so the fallback
+    is a bucketed co-located join, never a fact shuffle on p_partkey."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            ((F.lit(100.0) * dsum(promo, 4)) / dsum(disc_price, 4)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    "warehouse",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): supplier(s) with the maximum
+    quarterly revenue, via a broadcast-scalar self-comparison. The
+    equality filter compares the SAME decimal-sum-cast-to-double
+    values on both sides, so it is exact. Catalyst evaluates the
+    per-supplier aggregate subtree twice (once for the max, once for
+    the filter) — both passes scan only the quarter's pruned rows and
+    the agg frame is |suppliers|-sized; that beats pinning the frame
+    with a checkpoint, and avoids a global single-partition window."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top._max_rev)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18",
+    "warehouse",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {oracle_dsum('l_quantity', 2)} AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(25,2))) > 250)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape). The HAVING threshold
+    compares the DECIMAL accumulator directly (exact,
+    order-independent — a raw double sum would flip rows sitting on
+    the boundary between partitionings). The grouped frame itself
+    carries sum_qty forward, so lineitem is scanned and shuffled
+    exactly once; orders/customer broadcast onto the few surviving
+    orders, and the top-100 is TakeOrderedAndProject with the unique
+    o_orderkey tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(dec("l_quantity", 2)).alias("_dec_qty"),
+        )
+        .filter(F.col("_dec_qty") > 250)
+        .select("l_orderkey", F.col("_dec_qty").cast("double").alias("sum_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(F.broadcast(o), big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "cust_order_intervals",
+    "warehouse",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_dt
+  FROM orders)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       count(prev_dt) AS n_gaps,
+       CAST(sum(date_diff('day', CAST(prev_dt AS DATE), CAST(o_orderdate AS DATE))) AS BIGINT)
+         AS total_gap_days,
+       CAST(max(date_diff('day', CAST(prev_dt AS DATE), CAST(o_orderdate AS DATE))) AS BIGINT)
+         AS max_gap_days
+FROM seq
+GROUP BY o_custkey
+HAVING count(prev_dt) > 0
+""",
+)
+def cust_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per-customer gaps between consecutive
+    orders (lag window partitioned by customer — fully parallel, no
+    global sort) rolled up to exact integer day totals. Day gaps stay
+    in BIGINT end-to-end, so the hash match is arithmetic-free; the
+    (o_orderdate, o_orderkey) lag ordering is a total order, making
+    the consecutive pairing deterministic even for same-day orders.
+    One shuffle on o_custkey serves both the window and the rollup."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"), F.col("prev_dt").cast("date")
+    ).cast("long")
+    return (
+        o.withColumn("prev_dt", F.lag("o_orderdate").over(w))
+        .withColumn("gap_days", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("prev_dt").alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
     )
 
 

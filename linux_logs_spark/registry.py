@@ -150,6 +150,9 @@ _MEASURED_COST: dict[str, float] = {
     "udf_python": 0.44, "udtf_apply_in_pandas": 0.33, "udtf_python_native": 0.68, "vocab_build": 0.26,
     "win_first_last": 0.32, "win_lag_lead": 0.67, "win_latest_per_key": 0.22, "win_nth_value": 0.31,
     "win_range_frame": 7.88, "win_ranking": 1.07, "win_ranking_sql": 1.11, "win_running": 1.56,
+    # round-5 additions (measured with scripts/driver_sim.py, min of 2 passes)
+    "tpch_q7": 0.59, "tpch_q10": 0.4, "tpch_q14": 0.28, "tpch_q15": 0.44,
+    "tpch_q18": 0.32, "cust_order_intervals": 0.28, "corpus_mix_rebalance": 0.32,
 }
 
 _DEFAULT_COST = 0.9

@@ -259,3 +259,70 @@ def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):
     plan = plan_string(_Q["sim_cosine_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q7_dims_broadcast_no_cartesian(spark, sf_dir):
+    """q7's scale story: the nation dims broadcast into supplier and
+    customer, and the fact-fact orderkey join is an equi-join (shuffle
+    or AQE-broadcast — never a cartesian/BNLJ pair explosion)."""
+    plan = plan_string(_Q["tpch_q7"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q10_star_shape(spark, sf_dir):
+    plan = plan_string(_Q["tpch_q10"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan  # pushed to the scan
+
+
+def test_tpch_q14_pushes_month_predicate(spark, sf_dir):
+    plan = plan_string(_Q["tpch_q14"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_tpch_q15_max_compare_is_broadcast_equijoin(spark, sf_dir):
+    """The rev-vs-max self-comparison must stay a broadcast equi-join
+    on the revenue value — a BNLJ/cartesian here would pair every
+    supplier with the scalar row through a nested loop."""
+    plan = plan_string(_Q["tpch_q15"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q18_single_lineitem_shuffle(spark, sf_dir):
+    """The HAVING-filtered grouped frame carries sum_qty forward, so
+    lineitem contributes exactly one shuffle (its groupBy); orders and
+    customer ride broadcasts and the top-100 is TakeOrdered."""
+    plan = plan_string(_Q["tpch_q18"].fn(spark, sf_dir))
+    nodes = set(re.findall(r"\((\d+)\) (BroadcastExchange|Exchange)\b", plan))
+    shuffles = [n for n in nodes if n[1] == "Exchange"]
+    assert len(shuffles) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cust_order_intervals_one_shuffle(spark, sf_dir):
+    """The lag window and the per-customer rollup share one
+    hashpartitioning(o_custkey) exchange — a second shuffle means the
+    groupBy stopped reusing the window's distribution."""
+    plan = plan_string(_Q["cust_order_intervals"].fn(spark, sf_dir))
+    nodes = set(re.findall(r"\((\d+)\) (BroadcastExchange|Exchange)\b", plan))
+    shuffles = [n for n in nodes if n[1] == "Exchange"]
+    assert len(shuffles) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_corpus_mix_rebalance_strata_cost(spark, sf_dir):
+    """Mix planning aggregates to |strata| rows before anything joins:
+    the 1-row target rides a broadcast and both aggs run
+    partial+final."""
+    plan = plan_string(_Q["corpus_mix_rebalance"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -125,6 +125,15 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
+    # ... and the Python/Arrow worker pool, which otherwise bills its
+    # spin-up (~2-5 s) to whichever pandas-UDF query runs first
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s + 1, "long")
+    spark.range(1000).select(_warm(col("id"))).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     for name in names:
         # Time plan construction + execution together: streaming

@@ -98,61 +98,54 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 156-query 2-pass run,
-# round-5 after the blocked-equijoin reworks, cost_s = min of passes;
-# host was heavily contended — load ~18 — so absolute values run
-# 2-5x the round-4 table, but min-of-passes keeps the ordering
-# usable and never-signed-first dominates the sort anyway).
+# driver's verified set (this table: full 163-query 2-pass run on a
+# QUIET host — load ~2, the round-5 throttling had lifted — after the
+# seven warehouse/corpus additions; cost_s = min of passes; 163/163
+# clean, zero mismatches).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    # sim_cosine_topk / sim_knn_label / emb_neighborhood_purity share
-    # one persisted ranked-neighbor frame; scripts/driver_sim.py clears
-    # the cache between passes, so these cost_s values reflect
-    # intrinsic cost under the driver's run order (family O(n^2) scan
-    # charged to whichever member runs FIRST).
-    "agg_approx_distinct": 1.09, "agg_approx_percentile": 0.18, "agg_bool": 0.22, "agg_collect": 0.24,
-    "agg_conditional_family": 0.5, "agg_count_distinct": 0.4, "agg_cube": 0.46, "agg_distinct_rows": 0.21,
-    "agg_global": 0.5, "agg_groupby": 0.67, "agg_groupby_sql": 0.63, "agg_grouping_sets": 0.21,
-    "agg_having": 0.19, "agg_histogram": 0.22, "agg_hll_sketch_rollup": 0.45, "agg_min_max_by": 0.21,
-    "agg_mode": 0.25, "agg_percentile": 0.49, "agg_pivot": 0.34, "agg_rollup": 0.44,
-    "agg_stats": 0.27, "agg_string_concat": 0.31, "agg_unpivot": 0.15, "cust_rfm_segments": 2.38,
-    "decontam_ngram_overlap": 3.94, "dedup_clusters_cc": 21.66, "dedup_embedding_cosine": 3.99, "dedup_exact": 0.19,
-    "dedup_exact_hash": 0.2, "dedup_near_minhash": 1.97, "dedup_ngram_jaccard": 11.56, "dedup_simhash": 2.6,
-    "doc_chunk": 0.22, "emb_centroid_outliers": 0.76, "emb_label_centroid": 0.25, "emb_neighborhood_purity": 1.08,
-    "emb_pca_power": 0.62, "fn_array": 0.25, "fn_array_agg": 0.16, "fn_bitwise": 0.29,
-    "fn_conditional": 0.53, "fn_datetime": 0.88, "fn_hash": 0.15, "fn_interval": 0.27,
-    "fn_json": 0.26, "fn_map": 0.3, "fn_math": 0.16, "fn_posexplode": 0.19,
-    "fn_regex": 0.15, "fn_string": 0.22, "fn_string_extended": 0.18, "fn_trig": 0.16,
-    "join_asof": 0.29, "join_broadcast": 0.38, "join_bucketed_colocated": 2.62, "join_cross": 0.13,
-    "join_full_outer": 0.28, "join_inner_equi": 0.58, "join_inner_equi_sql": 0.55, "join_left_anti": 0.16,
-    "join_left_outer": 0.32, "join_left_semi": 0.21, "join_null_safe": 0.37, "join_self_multi": 0.28,
-    "join_skew_salted": 0.45, "join_theta_range": 0.17, "limit_topk": 0.15, "log_anomaly_zscore": 0.35,
-    "log_burst_detect": 0.67, "log_corr_matrix": 0.58, "log_error_rate_hourly": 0.22, "log_error_rate_hourly_sql": 0.3,
-    "log_event_transitions": 0.3, "log_gap_fill": 0.48, "log_retention_cohorts": 0.67, "log_rollup_multires": 1.56,
-    "log_search": 0.27, "log_seasonality_profile": 0.31, "log_slo_burn": 0.44, "log_top_services": 0.24,
-    "log_type_hour_matrix": 0.28, "log_user_funnel": 0.24, "multimodal_features": 0.4, "multimodal_frame_sample": 0.28,
-    "multimodal_join": 0.17, "multimodal_resize": 0.36, "pack_sequences": 0.22, "part_copurchase": 1.74,
-    "pipeline_corpus_prep": 0.74, "q_case_when": 0.26, "q_exists_correlated": 0.18, "q_filter_basic": 0.27,
-    "q_filter_basic_sql": 0.26, "q_filter_in_between": 0.13, "q_filter_like": 0.13, "q_project": 3.63,
-    "q_subquery_scalar": 0.25, "sample_stratified": 0.23, "scan_binary_files": 0.19, "scan_csv_malformed": 0.27,
-    "scan_csv_roundtrip": 0.48, "scan_json_lines": 0.21, "scan_orc_roundtrip": 0.25, "scan_parquet": 0.06,
-    "scan_text_parse": 0.27, "scd2_merge": 0.21, "sessionize": 0.73, "set_except": 0.38,
-    "set_intersect": 0.3, "set_union_all": 0.2, "set_union_distinct": 0.25, "sim_ann_ivf": 3.41,
-    "sim_ann_lsh": 2.5, "sim_cosine_blocked": 0.85, "sim_cosine_topk": 4.61, "sim_knn_label": 2.56,
-    "sink_parquet_partitioned": 6.9, "sort_multi": 0.65, "split_train_holdout": 0.13, "stream_custom_state": 7.93,
-    "stream_dedup": 1.81, "stream_foreach_batch": 0.96, "stream_session": 4.68, "stream_sliding": 3.01,
-    "stream_static_join": 1.12, "stream_stream_join": 4.39, "stream_transform_with_state": 2.62, "stream_tumbling": 1.43,
-    "stream_watermark_late": 3.16, "text_fingerprint": 0.36, "text_lang_id": 0.24, "text_lang_stats": 0.29,
-    "text_ngram_topk": 0.69, "text_quality_score": 0.2, "text_repetition_score": 0.31, "text_tfidf": 1.1,
-    "text_token_count_bpe": 0.14, "text_tokenize_counts": 0.19, "topk_per_group": 0.27, "tpch_q3": 0.49,
-    "tpch_q5": 0.33, "tpch_q6": 0.24, "udaf_pandas_agg": 0.35, "udf_pandas_scalar": 0.29,
-    "udf_python": 0.44, "udtf_apply_in_pandas": 0.33, "udtf_python_native": 0.68, "vocab_build": 0.26,
-    "win_first_last": 0.32, "win_lag_lead": 0.67, "win_latest_per_key": 0.22, "win_nth_value": 0.31,
-    "win_range_frame": 7.88, "win_ranking": 1.07, "win_ranking_sql": 1.11, "win_running": 1.56,
-    # round-5 additions (measured with scripts/driver_sim.py, min of 2 passes)
-    "tpch_q7": 0.59, "tpch_q10": 0.4, "tpch_q14": 0.28, "tpch_q15": 0.44,
-    "tpch_q18": 0.32, "cust_order_intervals": 0.28, "corpus_mix_rebalance": 0.32,
+    "agg_approx_distinct": 0.64, "agg_approx_percentile": 0.2, "agg_bool": 0.25, "agg_collect": 0.27,
+    "agg_conditional_family": 0.41, "agg_count_distinct": 0.4, "agg_cube": 0.38, "agg_distinct_rows": 0.19,
+    "agg_global": 0.36, "agg_groupby": 0.48, "agg_groupby_sql": 0.53, "agg_grouping_sets": 0.27,
+    "agg_having": 0.25, "agg_histogram": 0.25, "agg_hll_sketch_rollup": 0.64, "agg_min_max_by": 0.23,
+    "agg_mode": 0.37, "agg_percentile": 0.5, "agg_pivot": 0.41, "agg_rollup": 0.39,
+    "agg_stats": 0.35, "agg_string_concat": 0.72, "agg_unpivot": 0.12, "corpus_mix_rebalance": 0.47,
+    "cust_order_intervals": 0.44, "cust_rfm_segments": 2.39, "decontam_ngram_overlap": 0.88, "dedup_clusters_cc": 5.65,
+    "dedup_embedding_cosine": 3.62, "dedup_exact": 0.22, "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.41,
+    "dedup_ngram_jaccard": 1.02, "dedup_simhash": 2.5, "doc_chunk": 0.22, "emb_centroid_outliers": 0.74,
+    "emb_label_centroid": 0.29, "emb_neighborhood_purity": 4.09, "emb_pca_power": 0.53, "fn_array": 0.18,
+    "fn_array_agg": 0.16, "fn_bitwise": 0.98, "fn_conditional": 0.41, "fn_datetime": 0.65,
+    "fn_hash": 0.1, "fn_interval": 0.3, "fn_json": 0.38, "fn_map": 2.98,
+    "fn_math": 0.18, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.21,
+    "fn_string_extended": 0.28, "fn_trig": 0.2, "join_asof": 0.48, "join_broadcast": 0.52,
+    "join_bucketed_colocated": 3.26, "join_cross": 0.14, "join_full_outer": 0.38, "join_inner_equi": 0.38,
+    "join_inner_equi_sql": 0.44, "join_left_anti": 0.17, "join_left_outer": 0.46, "join_left_semi": 0.21,
+    "join_null_safe": 0.51, "join_self_multi": 0.33, "join_skew_salted": 0.5, "join_theta_range": 0.21,
+    "limit_topk": 0.12, "log_anomaly_zscore": 0.43, "log_burst_detect": 0.43, "log_corr_matrix": 0.56,
+    "log_error_rate_hourly": 0.24, "log_error_rate_hourly_sql": 1.12, "log_event_transitions": 1.59, "log_gap_fill": 0.45,
+    "log_retention_cohorts": 0.59, "log_rollup_multires": 1.13, "log_search": 0.37, "log_seasonality_profile": 0.4,
+    "log_slo_burn": 0.38, "log_top_services": 0.27, "log_type_hour_matrix": 0.42, "log_user_funnel": 0.31,
+    "multimodal_features": 1.04, "multimodal_frame_sample": 0.39, "multimodal_join": 0.17, "multimodal_resize": 0.62,
+    "pack_sequences": 0.29, "part_copurchase": 0.79, "pipeline_corpus_prep": 0.55, "q_case_when": 0.3,
+    "q_exists_correlated": 0.29, "q_filter_basic": 0.24, "q_filter_basic_sql": 0.29, "q_filter_in_between": 0.12,
+    "q_filter_like": 0.1, "q_project": 1.39, "q_subquery_scalar": 0.33, "sample_stratified": 0.24,
+    "scan_binary_files": 0.24, "scan_csv_malformed": 0.35, "scan_csv_roundtrip": 0.55, "scan_json_lines": 0.35,
+    "scan_orc_roundtrip": 0.31, "scan_parquet": 0.05, "scan_text_parse": 0.4, "scd2_merge": 0.25,
+    "sessionize": 0.54, "set_except": 0.47, "set_intersect": 1.53, "set_union_all": 0.19,
+    "set_union_distinct": 0.28, "sim_ann_ivf": 3.21, "sim_ann_lsh": 2.52, "sim_cosine_blocked": 0.77,
+    "sim_cosine_topk": 0.48, "sim_knn_label": 0.72, "sink_parquet_partitioned": 1.22, "sort_multi": 0.62,
+    "split_train_holdout": 0.11, "stream_custom_state": 1.15, "stream_dedup": 1.13, "stream_foreach_batch": 0.8,
+    "stream_session": 1.92, "stream_sliding": 1.19, "stream_static_join": 1.0, "stream_stream_join": 3.71,
+    "stream_transform_with_state": 1.06, "stream_tumbling": 1.21, "stream_watermark_late": 1.64, "text_fingerprint": 0.47,
+    "text_lang_id": 0.35, "text_lang_stats": 1.88, "text_ngram_topk": 0.62, "text_quality_score": 0.21,
+    "text_repetition_score": 0.43, "text_tfidf": 0.67, "text_token_count_bpe": 0.13, "text_tokenize_counts": 0.21,
+    "topk_per_group": 0.36, "tpch_q10": 0.56, "tpch_q14": 0.33, "tpch_q15": 0.55,
+    "tpch_q18": 0.4, "tpch_q3": 0.42, "tpch_q5": 0.46, "tpch_q6": 0.24,
+    "tpch_q7": 0.62, "udaf_pandas_agg": 0.59, "udf_pandas_scalar": 0.49, "udf_python": 0.68,
+    "udtf_apply_in_pandas": 0.58, "udtf_python_native": 0.61, "vocab_build": 0.33, "win_first_last": 0.53,
+    "win_lag_lead": 0.63, "win_latest_per_key": 0.29, "win_nth_value": 0.56, "win_range_frame": 2.37,
+    "win_ranking": 1.03, "win_ranking_sql": 0.79, "win_running": 0.99,
 }
 
 _DEFAULT_COST = 0.9

@@ -433,3 +433,66 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# Bin width for the binned range join: one bin = the window width, so
+# any window overlaps at most 2 bins and the explode fan-out is ≤2.
+RANGE_BIN_S = 21600  # 6 hours
+
+
+@register(
+    "join_range_binned",
+    "join",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), w AS (
+  SELECT user_id AS w_user, min(s) AS w_start,
+         min(s) + {RANGE_BIN_S} AS w_end
+  FROM e GROUP BY user_id)
+SELECT w_user, w_start, count(*) AS n_events
+FROM w JOIN e ON e.s >= w.w_start AND e.s < w.w_end
+GROUP BY w_user, w_start
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale: site-wide activity inside each
+    user's 6-hour onboarding window. Spark has no native range join,
+    and the naive formulation is a nested loop over |windows| ×
+    |events| pairs. The scalable composition: quantize time into bins
+    the width of the window, explode each window into the ≤2 bins it
+    overlaps, map each event to its single bin, EQUI-join on the bin
+    id, then re-check the exact containment predicate. Candidate
+    volume is |events| × windows-per-bin instead of |events| ×
+    |windows| — the same candidates-then-verify shape as the LSH/IVF
+    paths, applied to time. Windows (one per user after the min-agg)
+    broadcast here; when the window side outgrows broadcast, the same
+    plan shuffle-joins on the bin id, whose cardinality grows with the
+    time span, not with data volume. Whole seconds + event_id keep
+    every value engine-exact."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    b = F.lit(RANGE_BIN_S).cast("long")
+    w = (
+        e.groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("s").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + RANGE_BIN_S)
+    )
+    wb = w.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("w_start") / b).cast("long"),
+                ((F.col("w_end") - 1) / b).cast("long"),
+            )
+        ),
+    )
+    eb = e.withColumn("bin", (F.col("s") / b).cast("long"))
+    return (
+        eb.join(F.broadcast(wb), "bin")
+        .filter((F.col("s") >= F.col("w_start")) & (F.col("s") < F.col("w_end")))
+        .groupBy("w_user", "w_start")
+        .agg(F.count("*").alias("n_events"))
+    )

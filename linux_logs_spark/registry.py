@@ -121,7 +121,7 @@ _MEASURED_COST: dict[str, float] = {
     "fn_string_extended": 0.28, "fn_trig": 0.2, "join_asof": 0.48, "join_broadcast": 0.52,
     "join_bucketed_colocated": 3.26, "join_cross": 0.14, "join_full_outer": 0.38, "join_inner_equi": 0.38,
     "join_inner_equi_sql": 0.44, "join_left_anti": 0.17, "join_left_outer": 0.46, "join_left_semi": 0.21,
-    "join_null_safe": 0.51, "join_self_multi": 0.33, "join_skew_salted": 0.5, "join_theta_range": 0.21,
+    "join_range_binned": 0.78, "join_null_safe": 0.51, "join_self_multi": 0.33, "join_skew_salted": 0.5, "join_theta_range": 0.21,
     "limit_topk": 0.12, "log_anomaly_zscore": 0.43, "log_burst_detect": 0.43, "log_corr_matrix": 0.56,
     "log_error_rate_hourly": 0.24, "log_error_rate_hourly_sql": 1.12, "log_event_transitions": 1.59, "log_gap_fill": 0.45,
     "log_retention_cohorts": 0.59, "log_rollup_multires": 1.13, "log_search": 0.37, "log_seasonality_profile": 0.4,

@@ -326,3 +326,13 @@ def test_corpus_mix_rebalance_strata_cost(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_join_range_binned_is_equijoin_not_nested_loop(spark, sf_dir):
+    """The binned range join's whole point: candidates come from a
+    broadcast-hash EQUI-join on the bin id, never a nested loop over
+    the |windows| x |events| pair space."""
+    plan = plan_string(_Q["join_range_binned"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -490,3 +490,38 @@ def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("l_tax").alias("_any_tax"),
     )
     return out.select("l_returnflag", "n_big", "med_qty", "stable_any_key", "n_supp")
+
+
+@register(
+    "agg_regression_family",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avg_y,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept /
+    r2 / avgx / avgy / count) — price-vs-quantity fit per return
+    flag. All six run in one partial+final hash aggregate pass (each
+    is a composition of the same sum/sum-of-product moments, which
+    Spark and DuckDB both fold map-side). Irrational statistics, so
+    rounded to 6 digits like corr/stddev in agg_stats — a true value
+    on a rounding-tie boundary has probability ~0."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+    )

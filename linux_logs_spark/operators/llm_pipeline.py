@@ -178,6 +178,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
 
 
+@register(
+    "dedup_edit_verify",
+    "llm",
+    oracle=f"""
+WITH {_JACCARD_PAIRS_SQL}
+SELECT doc_a, doc_b, jaccard,
+       CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS BIGINT)
+         AS prefix_edit_dist
+FROM pairs
+JOIN documents ta ON doc_a = ta.doc_id
+JOIN documents tb ON doc_b = tb.doc_id
+WHERE jaccard >= 0.4
+""",
+)
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of blocked near-dup candidates:
+    word-Jaccard blocking proposes pairs (set similarity is order-
+    blind), levenshtein over an 80-char prefix then measures ORDERED
+    similarity — the cheap second opinion that separates shuffled
+    bags-of-words from genuinely repeated passages.
+
+    Scale shape: levenshtein is O(len²) per pair, so it must only ever
+    run on candidates — here the df-capped posting-list join bounds
+    the pair count, the prefix bounds per-pair cost at 80², and the
+    candidate frame (small) BROADCASTS into the documents scan twice
+    to fetch prefixes — the corpus is never collected, shuffled on
+    text, or self-joined."""
+    d = load(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.4)
+    pref = d.select("doc_id", F.substring("text", 1, 80).alias("p"))
+    with_a = (
+        pref.alias("da")
+        .join(F.broadcast(pairs), F.col("da.doc_id") == F.col("doc_a"))
+        .select("doc_a", "doc_b", "jaccard", F.col("da.p").alias("pa"))
+    )
+    return (
+        pref.alias("db")
+        .join(F.broadcast(with_a), F.col("db.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("pa", F.col("db.p")).cast("long").alias("prefix_edit_dist"),
+        )
+    )
+
+
 N_MINHASH = 16
 # 8 bands × 2 rows: detection prob at the J=0.5 verify threshold is
 # 1-(1-0.5²)⁸ ≈ 0.90 (threshold ≈ (1/b)^(1/r) ≈ 0.35). The original

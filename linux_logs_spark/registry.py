@@ -109,10 +109,10 @@ _MEASURED_COST: dict[str, float] = {
     "agg_conditional_family": 0.41, "agg_count_distinct": 0.4, "agg_cube": 0.38, "agg_distinct_rows": 0.19,
     "agg_global": 0.36, "agg_groupby": 0.48, "agg_groupby_sql": 0.53, "agg_grouping_sets": 0.27,
     "agg_having": 0.25, "agg_histogram": 0.25, "agg_hll_sketch_rollup": 0.64, "agg_min_max_by": 0.23,
-    "agg_mode": 0.37, "agg_percentile": 0.5, "agg_pivot": 0.41, "agg_rollup": 0.39,
+    "agg_mode": 0.37, "agg_percentile": 0.5, "agg_pivot": 0.41, "agg_regression_family": 0.3, "agg_rollup": 0.39,
     "agg_stats": 0.35, "agg_string_concat": 0.72, "agg_unpivot": 0.12, "corpus_mix_rebalance": 0.47,
     "cust_order_intervals": 0.44, "cust_rfm_segments": 2.39, "decontam_ngram_overlap": 0.88, "dedup_clusters_cc": 5.65,
-    "dedup_embedding_cosine": 3.62, "dedup_exact": 0.22, "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.41,
+    "dedup_edit_verify": 1.91, "dedup_embedding_cosine": 3.62, "dedup_exact": 0.22, "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.41,
     "dedup_ngram_jaccard": 1.02, "dedup_simhash": 2.5, "doc_chunk": 0.22, "emb_centroid_outliers": 0.74,
     "emb_label_centroid": 0.29, "emb_neighborhood_purity": 4.09, "emb_pca_power": 0.53, "fn_array": 0.18,
     "fn_array_agg": 0.16, "fn_bitwise": 0.98, "fn_conditional": 0.41, "fn_datetime": 0.65,

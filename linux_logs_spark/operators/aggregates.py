@@ -525,3 +525,59 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
         F.regr_count(y, x).cast("long").alias("n_pairs"),
     )
+
+
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "table_column_stats",
+    "aggregate",
+    oracle="""
+SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_nulls,
+       count(DISTINCT l_quantity) AS n_distinct,
+       min(l_quantity) AS min_val, max(l_quantity) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       count(DISTINCT l_discount), min(l_discount), max(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) - count(l_tax),
+       count(DISTINCT l_tax), min(l_tax), max(l_tax)
+FROM lineitem
+""",
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (row count, null count,
+    exact NDV, min/max) — what a cost-based optimizer collects before
+    planning. Spark computes all four columns' stats in a single scan:
+    one multi-aggregate pass (count-distincts expand to one shuffle
+    via Spark's expand-operator rewrite) followed by a stack() melt of
+    the 1-row result into long format. The oracle scans per column;
+    the engine under test must not. min/max pass through
+    arithmetic-free, so doubles are bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+        for c in _STATS_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

@@ -110,7 +110,7 @@ _MEASURED_COST: dict[str, float] = {
     "agg_global": 0.36, "agg_groupby": 0.48, "agg_groupby_sql": 0.53, "agg_grouping_sets": 0.27,
     "agg_having": 0.25, "agg_histogram": 0.25, "agg_hll_sketch_rollup": 0.64, "agg_min_max_by": 0.23,
     "agg_mode": 0.37, "agg_percentile": 0.5, "agg_pivot": 0.41, "agg_regression_family": 0.3, "agg_rollup": 0.39,
-    "agg_stats": 0.35, "agg_string_concat": 0.72, "agg_unpivot": 0.12, "corpus_mix_rebalance": 0.47,
+    "table_column_stats": 0.83, "agg_stats": 0.35, "agg_string_concat": 0.72, "agg_unpivot": 0.12, "corpus_mix_rebalance": 0.47,
     "cust_order_intervals": 0.44, "cust_rfm_segments": 2.39, "decontam_ngram_overlap": 0.88, "dedup_clusters_cc": 5.65,
     "dedup_edit_verify": 1.91, "dedup_embedding_cosine": 3.62, "dedup_exact": 0.22, "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.41,
     "dedup_ngram_jaccard": 1.02, "dedup_simhash": 2.5, "doc_chunk": 0.22, "emb_centroid_outliers": 0.74,

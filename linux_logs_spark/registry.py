@@ -98,54 +98,55 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 163-query 2-pass run on a
+# driver's verified set (this table: full 167-query 2-pass run on a
 # QUIET host — load ~2, the round-5 throttling had lifted — after the
-# seven warehouse/corpus additions; cost_s = min of passes; 163/163
+# eleven round-5 additions; cost_s = min of passes; 167/167
 # clean, zero mismatches).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.64, "agg_approx_percentile": 0.2, "agg_bool": 0.25, "agg_collect": 0.27,
-    "agg_conditional_family": 0.41, "agg_count_distinct": 0.4, "agg_cube": 0.38, "agg_distinct_rows": 0.19,
-    "agg_global": 0.36, "agg_groupby": 0.48, "agg_groupby_sql": 0.53, "agg_grouping_sets": 0.27,
-    "agg_having": 0.25, "agg_histogram": 0.25, "agg_hll_sketch_rollup": 0.64, "agg_min_max_by": 0.23,
-    "agg_mode": 0.37, "agg_percentile": 0.5, "agg_pivot": 0.41, "agg_regression_family": 0.3, "agg_rollup": 0.39,
-    "table_column_stats": 0.83, "agg_stats": 0.35, "agg_string_concat": 0.72, "agg_unpivot": 0.12, "corpus_mix_rebalance": 0.47,
-    "cust_order_intervals": 0.44, "cust_rfm_segments": 2.39, "decontam_ngram_overlap": 0.88, "dedup_clusters_cc": 5.65,
-    "dedup_edit_verify": 1.91, "dedup_embedding_cosine": 3.62, "dedup_exact": 0.22, "dedup_exact_hash": 0.25, "dedup_near_minhash": 1.41,
-    "dedup_ngram_jaccard": 1.02, "dedup_simhash": 2.5, "doc_chunk": 0.22, "emb_centroid_outliers": 0.74,
-    "emb_label_centroid": 0.29, "emb_neighborhood_purity": 4.09, "emb_pca_power": 0.53, "fn_array": 0.18,
-    "fn_array_agg": 0.16, "fn_bitwise": 0.98, "fn_conditional": 0.41, "fn_datetime": 0.65,
-    "fn_hash": 0.1, "fn_interval": 0.3, "fn_json": 0.38, "fn_map": 2.98,
-    "fn_math": 0.18, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.21,
-    "fn_string_extended": 0.28, "fn_trig": 0.2, "join_asof": 0.48, "join_broadcast": 0.52,
-    "join_bucketed_colocated": 3.26, "join_cross": 0.14, "join_full_outer": 0.38, "join_inner_equi": 0.38,
-    "join_inner_equi_sql": 0.44, "join_left_anti": 0.17, "join_left_outer": 0.46, "join_left_semi": 0.21,
-    "join_range_binned": 0.78, "join_null_safe": 0.51, "join_self_multi": 0.33, "join_skew_salted": 0.5, "join_theta_range": 0.21,
-    "limit_topk": 0.12, "log_anomaly_zscore": 0.43, "log_burst_detect": 0.43, "log_corr_matrix": 0.56,
-    "log_error_rate_hourly": 0.24, "log_error_rate_hourly_sql": 1.12, "log_event_transitions": 1.59, "log_gap_fill": 0.45,
-    "log_retention_cohorts": 0.59, "log_rollup_multires": 1.13, "log_search": 0.37, "log_seasonality_profile": 0.4,
-    "log_slo_burn": 0.38, "log_top_services": 0.27, "log_type_hour_matrix": 0.42, "log_user_funnel": 0.31,
-    "multimodal_features": 1.04, "multimodal_frame_sample": 0.39, "multimodal_join": 0.17, "multimodal_resize": 0.62,
-    "pack_sequences": 0.29, "part_copurchase": 0.79, "pipeline_corpus_prep": 0.55, "q_case_when": 0.3,
-    "q_exists_correlated": 0.29, "q_filter_basic": 0.24, "q_filter_basic_sql": 0.29, "q_filter_in_between": 0.12,
-    "q_filter_like": 0.1, "q_project": 1.39, "q_subquery_scalar": 0.33, "sample_stratified": 0.24,
-    "scan_binary_files": 0.24, "scan_csv_malformed": 0.35, "scan_csv_roundtrip": 0.55, "scan_json_lines": 0.35,
-    "scan_orc_roundtrip": 0.31, "scan_parquet": 0.05, "scan_text_parse": 0.4, "scd2_merge": 0.25,
-    "sessionize": 0.54, "set_except": 0.47, "set_intersect": 1.53, "set_union_all": 0.19,
-    "set_union_distinct": 0.28, "sim_ann_ivf": 3.21, "sim_ann_lsh": 2.52, "sim_cosine_blocked": 0.77,
-    "sim_cosine_topk": 0.48, "sim_knn_label": 0.72, "sink_parquet_partitioned": 1.22, "sort_multi": 0.62,
-    "split_train_holdout": 0.11, "stream_custom_state": 1.15, "stream_dedup": 1.13, "stream_foreach_batch": 0.8,
-    "stream_session": 1.92, "stream_sliding": 1.19, "stream_static_join": 1.0, "stream_stream_join": 3.71,
-    "stream_transform_with_state": 1.06, "stream_tumbling": 1.21, "stream_watermark_late": 1.64, "text_fingerprint": 0.47,
-    "text_lang_id": 0.35, "text_lang_stats": 1.88, "text_ngram_topk": 0.62, "text_quality_score": 0.21,
-    "text_repetition_score": 0.43, "text_tfidf": 0.67, "text_token_count_bpe": 0.13, "text_tokenize_counts": 0.21,
-    "topk_per_group": 0.36, "tpch_q10": 0.56, "tpch_q14": 0.33, "tpch_q15": 0.55,
-    "tpch_q18": 0.4, "tpch_q3": 0.42, "tpch_q5": 0.46, "tpch_q6": 0.24,
-    "tpch_q7": 0.62, "udaf_pandas_agg": 0.59, "udf_pandas_scalar": 0.49, "udf_python": 0.68,
-    "udtf_apply_in_pandas": 0.58, "udtf_python_native": 0.61, "vocab_build": 0.33, "win_first_last": 0.53,
-    "win_lag_lead": 0.63, "win_latest_per_key": 0.29, "win_nth_value": 0.56, "win_range_frame": 2.37,
-    "win_ranking": 1.03, "win_ranking_sql": 0.79, "win_running": 0.99,
+    "agg_approx_distinct": 0.63, "agg_approx_percentile": 0.15, "agg_bool": 0.21, "agg_collect": 0.23,
+    "agg_conditional_family": 0.36, "agg_count_distinct": 0.27, "agg_cube": 0.32, "agg_distinct_rows": 0.17,
+    "agg_global": 0.3, "agg_groupby": 0.37, "agg_groupby_sql": 0.36, "agg_grouping_sets": 0.2,
+    "agg_having": 0.21, "agg_histogram": 0.2, "agg_hll_sketch_rollup": 0.35, "agg_min_max_by": 0.18,
+    "agg_mode": 0.24, "agg_percentile": 0.38, "agg_pivot": 0.29, "agg_regression_family": 0.29,
+    "agg_rollup": 0.25, "agg_stats": 0.24, "agg_string_concat": 0.24, "agg_unpivot": 0.12,
+    "corpus_mix_rebalance": 0.3, "cust_order_intervals": 0.3, "cust_rfm_segments": 2.07, "decontam_ngram_overlap": 0.78,
+    "dedup_clusters_cc": 3.21, "dedup_edit_verify": 1.14, "dedup_embedding_cosine": 2.63, "dedup_exact": 0.16,
+    "dedup_exact_hash": 0.19, "dedup_near_minhash": 0.97, "dedup_ngram_jaccard": 0.88, "dedup_simhash": 1.84,
+    "doc_chunk": 0.17, "emb_centroid_outliers": 0.58, "emb_label_centroid": 0.22, "emb_neighborhood_purity": 0.58,
+    "emb_pca_power": 0.37, "fn_array": 0.12, "fn_array_agg": 0.13, "fn_bitwise": 0.25,
+    "fn_conditional": 0.34, "fn_datetime": 0.57, "fn_hash": 0.09, "fn_interval": 0.19,
+    "fn_json": 0.23, "fn_map": 0.23, "fn_math": 0.14, "fn_posexplode": 0.12,
+    "fn_regex": 0.13, "fn_string": 0.13, "fn_string_extended": 0.16, "fn_trig": 0.13,
+    "join_asof": 0.25, "join_broadcast": 0.3, "join_bucketed_colocated": 1.17, "join_cross": 0.11,
+    "join_full_outer": 0.29, "join_inner_equi": 0.36, "join_inner_equi_sql": 0.4, "join_left_anti": 0.12,
+    "join_left_outer": 0.29, "join_left_semi": 0.15, "join_null_safe": 0.3, "join_range_binned": 0.38,
+    "join_self_multi": 0.25, "join_skew_salted": 0.35, "join_theta_range": 0.18, "limit_topk": 0.1,
+    "log_anomaly_zscore": 0.3, "log_burst_detect": 0.3, "log_corr_matrix": 0.4, "log_error_rate_hourly": 0.2,
+    "log_error_rate_hourly_sql": 0.2, "log_event_transitions": 0.29, "log_gap_fill": 0.34, "log_retention_cohorts": 0.34,
+    "log_rollup_multires": 0.9, "log_search": 0.25, "log_seasonality_profile": 0.26, "log_slo_burn": 0.28,
+    "log_top_services": 0.22, "log_type_hour_matrix": 0.27, "log_user_funnel": 0.23, "multimodal_features": 0.26,
+    "multimodal_frame_sample": 0.26, "multimodal_join": 0.13, "multimodal_resize": 0.27, "pack_sequences": 0.22,
+    "part_copurchase": 0.63, "pipeline_corpus_prep": 0.52, "q_case_when": 0.25, "q_exists_correlated": 0.16,
+    "q_filter_basic": 0.19, "q_filter_basic_sql": 0.22, "q_filter_in_between": 0.11, "q_filter_like": 0.09,
+    "q_project": 1.23, "q_subquery_scalar": 0.21, "sample_stratified": 0.22, "scan_binary_files": 0.14,
+    "scan_csv_malformed": 0.22, "scan_csv_roundtrip": 0.34, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.21,
+    "scan_parquet": 0.04, "scan_text_parse": 0.27, "scd2_merge": 0.18, "sessionize": 0.44,
+    "set_except": 0.28, "set_intersect": 0.23, "set_union_all": 0.15, "set_union_distinct": 0.23,
+    "sim_ann_ivf": 2.25, "sim_ann_lsh": 1.71, "sim_cosine_blocked": 0.56, "sim_cosine_topk": 3.12,
+    "sim_knn_label": 0.59, "sink_parquet_partitioned": 0.9, "sort_multi": 0.49, "split_train_holdout": 0.08,
+    "stream_custom_state": 0.89, "stream_dedup": 0.87, "stream_foreach_batch": 0.64, "stream_session": 1.07,
+    "stream_sliding": 0.87, "stream_static_join": 0.77, "stream_stream_join": 2.42, "stream_transform_with_state": 0.9,
+    "stream_tumbling": 0.83, "stream_watermark_late": 1.05, "table_column_stats": 0.59, "text_fingerprint": 0.29,
+    "text_lang_id": 0.2, "text_lang_stats": 0.25, "text_ngram_topk": 0.46, "text_quality_score": 0.15,
+    "text_repetition_score": 0.29, "text_tfidf": 0.69, "text_token_count_bpe": 0.11, "text_tokenize_counts": 0.17,
+    "topk_per_group": 0.23, "tpch_q10": 0.41, "tpch_q14": 0.25, "tpch_q15": 0.44,
+    "tpch_q18": 0.32, "tpch_q3": 0.32, "tpch_q5": 0.3, "tpch_q6": 0.17,
+    "tpch_q7": 0.54, "udaf_pandas_agg": 0.27, "udf_pandas_scalar": 0.24, "udf_python": 0.33,
+    "udtf_apply_in_pandas": 0.32, "udtf_python_native": 0.46, "vocab_build": 0.22, "win_first_last": 0.25,
+    "win_lag_lead": 0.38, "win_latest_per_key": 0.2, "win_nth_value": 0.27, "win_range_frame": 1.75,
+    "win_ranking": 0.63, "win_ranking_sql": 0.75, "win_running": 0.79,
 }
 
 _DEFAULT_COST = 0.9

@@ -132,10 +132,20 @@ def main() -> None:
         print(f"\n== SLOW (>= {args.slow}s) ==")
         for s, k in slow:
             print(f"{s:7.2f}s  {k}")
-    # Only a FULL run may overwrite the canonical artifact; a subset
-    # run writes to a side file so it can't clobber the evidence trail
-    # (round 2's 121-query artifact was overwritten by a 2-query rerun).
-    out = "driver_sim_results.json" if not args.names else "driver_sim_results_subset.json"
+    # Only a FULL run AT THE DEFAULT SF may overwrite the canonical
+    # artifact; a subset run writes to a side file so it can't clobber
+    # the evidence trail (round 2's 121-query artifact was overwritten
+    # by a 2-query rerun), and a different --sf-dir writes an
+    # sf-suffixed file so a sf0.1 validation sweep can't replace the
+    # sf0.01 costs that _MEASURED_COST's provenance claims (this
+    # happened in round 5 and took a git restore to undo).
+    if args.names:
+        out = "driver_sim_results_subset.json"
+    elif args.sf_dir.rstrip("/").endswith("sf0.01"):
+        out = "driver_sim_results.json"
+    else:
+        tag = os.path.basename(args.sf_dir.rstrip("/"))
+        out = f"driver_sim_results_{tag}.json"
     with open(out, "w") as fh:
         json.dump({"total_s": round(total, 1), "queries": results}, fh, indent=1, default=str)
     print(f"wrote {out}")

@@ -79,21 +79,39 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
         "n_queries": len(timings),
         "median_sec": ordered[len(ordered) // 2] if ordered else None,
-        "p90_sec": ordered[(len(ordered) * 9) // 10] if ordered else None,
+        # On a <10-query run the (n*9)//10 index IS the max — exactly
+        # the stall-outlier signal this field exists to separate out,
+        # so report p90 only when the sample supports it.
+        "p90_sec": ordered[(len(ordered) * 9) // 10] if len(ordered) >= 10 else None,
         "sf": sf_of(SF_DIR),
     }
     if partial:
         payload["partial"] = True
-    # Only a FULL run may overwrite the canonical artifact; subset
-    # runs write a side file (mirror of the driver_sim guard — a
-    # 2-query smoke run must not clobber the 156-query evidence).
-    artifact = "bench_full.json" if not subset else "bench_full_subset.json"
+    # Only a COMPLETE full run at the canonical sf0.1 may overwrite
+    # bench_full.json. Everything else goes to a side file: subset
+    # runs (a 2-query smoke must not clobber the 167-query evidence),
+    # SIGTERM'd partials (a truncated run is indistinguishable from a
+    # complete one once committed — this nearly happened in round 5),
+    # and non-default SF runs (same clobber class the driver_sim SF
+    # guard closes).
+    sf = sf_of(SF_DIR)
+    if subset:
+        artifact = "bench_full_subset.json"
+    elif partial:
+        artifact = "bench_full_partial.json"
+    elif sf != 0.1:
+        artifact = f"bench_full_sf{sf}.json"
+    else:
+        artifact = "bench_full.json"
+    blob = {"total_sec": total, "queries": timings, "sf": sf}
+    if partial:
+        blob["partial"] = True
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact),
             "w",
         ) as fh:
-            json.dump({"total_sec": total, "queries": timings, "sf": sf_of(SF_DIR)}, fh, indent=1)
+            json.dump(blob, fh, indent=1)
     except OSError:
         pass
     print(json.dumps(payload), flush=True)
@@ -127,7 +145,6 @@ def main() -> None:
     ).save()
     # ... and the Python/Arrow worker pool, which otherwise bills its
     # spin-up (~2-5 s) to whichever pandas-UDF query runs first
-    import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
     _warm = pandas_udf(lambda s: s + 1, "long")

@@ -378,9 +378,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — a raw double sum would flip rows sitting on
     the boundary between partitionings). The grouped frame itself
     carries sum_qty forward, so lineitem is scanned and shuffled
-    exactly once; orders/customer broadcast onto the few surviving
-    orders, and the top-100 is TakeOrderedAndProject with the unique
-    o_orderkey tie-break."""
+    exactly once. Broadcast DIRECTION matters here (round-5 review):
+    the few HAVING survivors broadcast INTO the orders scan, and that
+    still-tiny join result broadcasts into customer — the unfiltered
+    orders/customer tables are only ever streamed through, never
+    built into a hash table (q7's docstring in this file says why an
+    unfiltered orders broadcast is impossible at 100 TB). Top-100 is
+    TakeOrderedAndProject with the unique o_orderkey tie-break."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -392,9 +396,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    with_orders = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
     return (
-        big.join(F.broadcast(o), big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        c.join(F.broadcast(with_orders), c.c_custkey == with_orders.o_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
         )

@@ -255,7 +255,12 @@ def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):
     (round-5; mirror of the dedup_embedding_cosine pin)."""
     from linux_logs_spark.operators import llm_pipeline
 
-    llm_pipeline._topk_cache.clear()  # don't inspect a cached plan
+    # Don't inspect a cached plan — and unpersist before dropping the
+    # reference, or the persisted blocks stay pinned for the rest of
+    # the shared test session (same dance as scripts/driver_sim.py).
+    for df in llm_pipeline._topk_cache.values():
+        df.unpersist()
+    llm_pipeline._topk_cache.clear()
     plan = plan_string(_Q["sim_cosine_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

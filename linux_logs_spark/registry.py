@@ -138,7 +138,7 @@ _MEASURED_COST: dict[str, float] = {
     "sim_knn_label": 0.59, "sink_parquet_partitioned": 0.9, "sort_multi": 0.49, "split_train_holdout": 0.08,
     "stream_custom_state": 0.89, "stream_dedup": 0.87, "stream_foreach_batch": 0.64, "stream_session": 1.07,
     "stream_sliding": 0.87, "stream_static_join": 0.77, "stream_stream_join": 2.42, "stream_transform_with_state": 0.9,
-    "stream_tumbling": 0.83, "stream_watermark_late": 1.05, "table_column_stats": 0.59, "text_fingerprint": 0.29,
+    "stream_text_tail": 1.38, "stream_tumbling": 0.83, "stream_watermark_late": 1.05, "table_column_stats": 0.59, "text_fingerprint": 0.29,
     "text_lang_id": 0.2, "text_lang_stats": 0.25, "text_ngram_topk": 0.46, "text_quality_score": 0.15,
     "text_repetition_score": 0.29, "text_tfidf": 0.69, "text_token_count_bpe": 0.11, "text_tokenize_counts": 0.17,
     "topk_per_group": 0.23, "tpch_q10": 0.41, "tpch_q14": 0.25, "tpch_q15": 0.44,

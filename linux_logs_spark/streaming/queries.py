@@ -494,3 +494,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("lag_s"),
     )
     return _run(spark, joined, "append")
+
+
+@register(
+    "stream_text_tail",
+    "streaming",
+    oracle=r"""
+WITH lines AS (
+  SELECT printf('Jan %02d 03:14:%02d host%d svc%d[%d]: %s',
+                doc_id % 27 + 1, doc_id % 60, doc_id % 5,
+                doc_id % 8, 1000 + doc_id % 900, text) AS value
+  FROM documents
+)
+SELECT regexp_extract(value, '^(\w+ +\d+ [\d:]+) (\S+) ([\w.-]+)\[(\d+)\]: (.*)$', 2) AS host,
+       regexp_extract(value, '^(\w+ +\d+ [\d:]+) (\S+) ([\w.-]+)\[(\d+)\]: (.*)$', 3) AS service,
+       count(*) AS n_lines,
+       CAST(max(len(value)) AS BIGINT) AS max_line_len
+FROM lines
+GROUP BY 1, 2
+""",
+)
+def stream_text_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's live mode: `tail -f` a syslog file as a stream.
+    The SAME deterministic syslog lines scan_text_parse round-trips in
+    batch are staged to text files, followed with readStream.text (the
+    file source is Spark's tail -f: new files in the directory become
+    new micro-batches), regex-parsed with the batch query's exact
+    pattern, and aggregated per (host, service). availableNow drains
+    the backlog and must converge to the batch answer — which is
+    exactly what the oracle computes from the same inline-synthesized
+    lines. At scale this is the same plan pointed at a log-shipper
+    drop directory or Kafka topic; the parse stays codegen'd JVM
+    regexp_extract either way."""
+    from linux_logs_spark.operators.scans import _SYSLOG_RE, _scratch
+
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.format_string(
+            "Jan %02d 03:14:%02d host%d svc%d[%d]: %s",
+            F.col("doc_id") % 27 + 1,
+            F.col("doc_id") % 60,
+            F.col("doc_id") % 5,
+            F.col("doc_id") % 8,
+            F.col("doc_id") % 900 + 1000,
+            F.col("text"),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "syslog_txt_stream")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.readStream.text(path)
+    agg = (
+        raw.select(
+            F.regexp_extract("value", _SYSLOG_RE, 2).alias("host"),
+            F.regexp_extract("value", _SYSLOG_RE, 3).alias("service"),
+            F.length("value").alias("line_len"),
+        )
+        .groupBy("host", "service")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.max("line_len").cast("long").alias("max_line_len"),
+        )
+    )
+    return _run(spark, agg, "complete")

@@ -10,8 +10,12 @@ Scale shapes:
 - MinHash-LSH / SimHash: the candidate join is an EQUI-join on
   (band_id, band_hash) — the O(n²) pair space never materializes;
   only same-bucket candidates are verified. This is the 100 TB path.
-- Brute-force cosine is the CORRECTNESS baseline (O(n²) cross join,
-  broadcast one side); sim_ann_lsh is the scale path.
+- Brute-force cosine is the CORRECTNESS baseline — the pair space is
+  enumerated through a blocked (qblk, cblk) cell equi-join, never a
+  cross join or full-table broadcast; sim_ann_lsh is the scale path.
+- Broadcast hints on computed corpus-sized frames are SIZE-GATED via
+  session.broadcast_if_fits (round-5 review): at test scale they
+  broadcast, past the cap the same joins shuffle on their equi-keys.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
-from linux_logs_spark.session import default_parallelism
+from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import (
     LANG_MARKERS,
     ROLLING_MOD,
@@ -32,7 +36,6 @@ from linux_logs_spark.functions.text import (
     words,
 )
 from linux_logs_spark.functions.vector import (
-    dot_const_raw,
     dot_unrolled_raw,
     norm_unrolled_raw,
 )
@@ -105,6 +108,13 @@ w0 AS (
 """
 
 
+# Estimated broadcast-relation bytes per row for the small frames the
+# similarity/dedup paths hint: (id, count) rows ≈ 64 B with UnsafeRow
+# overhead; a bucketed embedding row (64 floats + norm + ids) ≈ 600 B.
+_COUNT_ROW_BYTES = 64
+_EMBED_ROW_BYTES = 600
+
+
 def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) for doc pairs within
     (lang, source) blocks, word-set Jaccard over words with per-block
@@ -149,9 +159,19 @@ def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na.n") + F.col("nb.n") - F.col("n_common")
     )
+    # nw is per-DOCUMENT (corpus-sized, not a dim): hint the broadcast
+    # only while it fits (round-5 review) — the parquet metadata count
+    # is cheap, and past the cap the same joins shuffle on doc_id.
+    n_docs = d.count()
     return (
-        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        inter.join(
+            broadcast_if_fits(na, n_docs, _COUNT_ROW_BYTES),
+            F.col("doc_a") == F.col("na.doc_id"),
+        )
+        .join(
+            broadcast_if_fits(nb, n_docs, _COUNT_ROW_BYTES),
+            F.col("doc_b") == F.col("nb.doc_id"),
+        )
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
@@ -323,7 +343,19 @@ SIMHASH_BITS = 48
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 48-bit signature from word-hash bit votes,
     banded into 4×12-bit keys for candidate generation, verified by
-    Hamming distance (bit_count(xor) <= 6). All JVM expressions."""
+    Hamming distance. All JVM expressions.
+
+    Threshold/banding alignment (Manku et al., WWW'07, round-5
+    review): with 4 bands, any pair within Hamming distance 3 differs
+    in at most 3 bands, so BY PIGEONHOLE at least one band matches
+    exactly — candidate generation is therefore COMPLETE for d ≤ 3
+    and the query returns exactly {pairs : hamming ≤ 3}. The verify
+    filter used to accept d ≤ 6, where 4-band detection is only
+    probabilistic (a 4-bit-difference pair with one flipped bit per
+    band collides in no band) — that silently-lossy region is now
+    excluded rather than partially reported. To widen the exact
+    radius to d, band into d+1 keys of 48/(d+1) bits and re-balance
+    keys-per-band against bucket collision volume."""
     d = load(spark, sf_dir, "documents")
     per_word = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
@@ -394,7 +426,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 6)
+        # 3 = the radius the 4-band pigeonhole makes exact (docstring)
+        .filter(F.col("hamming") <= 3)
     )
 
 
@@ -496,9 +529,33 @@ def _topk_cache_put(key: tuple[str, str], df: DataFrame) -> None:
     for old_key in [k for k in _topk_cache if k != key]:
         try:
             _topk_cache.pop(old_key).unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except Exception as exc:
+            # Tolerate a stopped session (nothing left to release) but
+            # don't swallow the evidence: a Py4J error here usually
+            # means the JVM is broken and the NEXT pipeline will fail
+            # far from this cause.
+            import sys
+
+            print(f"_topk_cache evict: {exc}", file=sys.stderr)
     _topk_cache[key] = df
+
+
+def _topk_cache_get(key: tuple[str, str]):
+    """Cache hit only if the cached frame's session is still usable.
+
+    The key is (applicationId, sf_dir) so the expensive scan is shared
+    across the driver's per-query newSession() clones (same JVM/app);
+    the probe catches the one unsafe case — the owning session was
+    stopped — and rebuilds instead of serving a dead plan."""
+    df = _topk_cache.get(key)
+    if df is None:
+        return None
+    try:
+        _ = df.schema  # touches the owning session's JVM handle
+        return df
+    except Exception:
+        _topk_cache.pop(key, None)
+        return None
 
 _COSINE_RANKED_SQL = """
 WITH pairs AS (
@@ -542,8 +599,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches recomputed the dots, and a persist() of the half-pairs
     cost more than it saved at both sf0.01 and sf0.1.)"""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _topk_cache:
-        return _topk_cache[key]
+    cached = _topk_cache_get(key)
+    if cached is not None:
+        return cached
     e = load(spark, sf_dir, "embeddings")
     qb, cb = F.lit(DEDUP_QUERY_BLOCKS), F.lit(DEDUP_CAND_BLOCKS)
     # Round-robin repartition spreads the probe when the cell join
@@ -683,7 +741,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over every candidate pair (~4× slower at sf0.1). The exchange
     # also pre-satisfies the ranking window's distribution.
     a = bucketed.repartition(default_parallelism(), "vec_id").alias("a")
-    b = F.broadcast(bucketed.alias("b"))
+    # Index side fits one executor at test scale → broadcast; past the
+    # cap the SAME join shuffles on the bucket key (whose cardinality
+    # is 2^N_PLANES — raise N_PLANES with the corpus so reducers stay
+    # busy). An unconditional hint would cap the scale path at one
+    # executor's memory with no fallback (round-5 review).
+    b = broadcast_if_fits(bucketed.alias("b"), e.count(), _EMBED_ROW_BYTES)
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -842,7 +905,7 @@ WITH hits AS (
        {hit_cols}
   FROM documents
 ), scored AS (
-  SELECT *, greatest(h_en, h_de, h_es, h_fr, h_zh) AS mx FROM hits
+  SELECT *, greatest({", ".join(f"h_{lang}" for lang in LANG_MARKERS)}) AS mx FROM hits
 )
 SELECT doc_id, lang, CASE {case} END AS pred_lang,
        (CASE {case} END = lang) AS is_correct

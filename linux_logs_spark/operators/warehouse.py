@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dec, dsum, oracle_dsum
-from linux_logs_spark.session import default_parallelism
+from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
 from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
 from linux_logs_spark.registry import register
@@ -531,8 +531,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_unrolled_raw(raw).alias("qn"),
         F.explode(probe_cells(raw)).alias("cell"),
     ).repartition(default_parallelism(), "vec_id")
+    # Index side broadcasts only while it fits one executor (round-5
+    # review): past the cap the SAME candidate join shuffles on the
+    # cell id — at scale N_IVF_CELLS grows ~sqrt(n), so the cell key
+    # has the cardinality a shuffle join needs.
+    from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
+
     cand = probes.alias("q").join(
-        F.broadcast(indexed.alias("x")),
+        broadcast_if_fits(indexed.alias("x"), e.count(), _EMBED_ROW_BYTES),
         (F.col("q.cell") == F.col("x.cell"))
         & (F.col("q.vec_id") != F.col("x.vec_id")),
     )

@@ -48,3 +48,24 @@ def dot_const_raw(a: Column, coeffs: list[float]) -> Column:
     no per-row array construction) — LSH hyperplane projections."""
     terms = [a[i].cast("double") * F.lit(c) for i, c in enumerate(coeffs)]
     return functools.reduce(operator.add, terms)
+
+
+def block_pair_keys(id_col: str, n_own: int, n_other: int, own_name: str, other_name: str):
+    """The blocked pair-enumeration key geometry shared by the exact
+    cosine scans (dedup_embedding_cosine, sim_cosine_topk,
+    extras.sim_cosine_blocked): hash this side's id into its own block
+    axis and replicate the row across every block of the OTHER axis,
+    so each (qblk, cblk) cell of the pair space meets exactly once in
+    a plain equi-join on [own, other]. Centralized because a drift in
+    this geometry (modulus, explode range, hash) between the three
+    call sites silently drops or duplicates pair cells — the column
+    NAMES stay per-site, the math lives here.
+
+    Returns the two key columns to append to a select().
+    """
+    from pyspark.sql import functions as F
+
+    return [
+        F.pmod(F.xxhash64(id_col), F.lit(n_own)).cast("int").alias(own_name),
+        F.explode(F.sequence(F.lit(0), F.lit(n_other) - 1)).alias(other_name),
+    ]

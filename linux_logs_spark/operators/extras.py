@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
+from linux_logs_spark.functions.vector import block_pair_keys
 from linux_logs_spark.registry import register
 
 
@@ -216,7 +217,6 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    qb, cb = F.lit(SIM_QUERY_BLOCKS), F.lit(SIM_CAND_BLOCKS)
     # Every query block must meet every candidate block exactly once:
     # replicate each query row across the CB candidate blocks and each
     # candidate row across the QB query blocks, then cogroup on the
@@ -224,14 +224,12 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.select(
         "vec_id",
         "embedding",
-        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
-        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
+        *block_pair_keys("vec_id", SIM_QUERY_BLOCKS, SIM_CAND_BLOCKS, "qblk", "cblk"),
     )
     cands = e.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
-        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
-        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
+        *block_pair_keys("vec_id", SIM_CAND_BLOCKS, SIM_QUERY_BLOCKS, "cblk", "qblk"),
     )
 
     def gemm_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

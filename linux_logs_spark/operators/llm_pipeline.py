@@ -36,6 +36,7 @@ from linux_logs_spark.functions.text import (
     words,
 )
 from linux_logs_spark.functions.vector import (
+    block_pair_keys,
     dot_unrolled_raw,
     norm_unrolled_raw,
 )
@@ -476,7 +477,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair dot stays the JVM left-fold (not a GEMM) so rounded sims
     hash-match the DuckDB oracle exactly."""
     e = load(spark, sf_dir, "embeddings")
-    qb, cb = F.lit(DEDUP_QUERY_BLOCKS), F.lit(DEDUP_CAND_BLOCKS)
     # The fixture is one parquet split: when the cell join resolves to
     # a broadcast-hash (small side fits), the probe side would run as a
     # SINGLE task — round-robin repartition spreads the per-cell dot
@@ -490,15 +490,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("va"),
         norm_unrolled_raw(F.col("embedding")).alias("na"),
-        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
-        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
+        *block_pair_keys("vec_id", DEDUP_QUERY_BLOCKS, DEDUP_CAND_BLOCKS, "qblk", "cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("vb"),
         norm_unrolled_raw(F.col("embedding")).alias("nb"),
-        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
-        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
+        *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
     sim = F.round(
         dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
@@ -603,7 +601,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     e = load(spark, sf_dir, "embeddings")
-    qb, cb = F.lit(DEDUP_QUERY_BLOCKS), F.lit(DEDUP_CAND_BLOCKS)
     # Round-robin repartition spreads the probe when the cell join
     # resolves to broadcast-hash (the fixture is ONE parquet split —
     # without it the probe runs as a single task); the ranking
@@ -616,15 +613,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("va"),
         norm_unrolled_raw(F.col("embedding")).alias("na"),
-        F.pmod(F.xxhash64("vec_id"), qb).cast("int").alias("qblk"),
-        F.explode(F.sequence(F.lit(0), cb - 1)).alias("cblk"),
+        *block_pair_keys("vec_id", DEDUP_QUERY_BLOCKS, DEDUP_CAND_BLOCKS, "qblk", "cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
         norm_unrolled_raw(F.col("embedding")).alias("nb"),
-        F.pmod(F.xxhash64("vec_id"), cb).cast("int").alias("cblk"),
-        F.explode(F.sequence(F.lit(0), qb - 1)).alias("qblk"),
+        *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
     pairs = (
         a.join(b, ["qblk", "cblk"])

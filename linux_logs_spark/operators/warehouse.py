@@ -248,7 +248,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders and the dims broadcast, so lineitem shuffles exactly once
     (the per-customer aggregate), and top-20 is TakeOrderedAndProject
     with c_custkey as the unique tie-break. c_acctbal passes through
-    ungrouped-arithmetic-free, so the double is bit-identical."""
+    ungrouped-arithmetic-free, so the double is bit-identical.
+    (customer is treated as a broadcastable dim per house style —
+    q3/q5 do the same; when customer outgrows executors the standing
+    answer is the bucketed co-located join, see
+    join_bucketed_colocated / SCALING.md, not a bigger broadcast.)"""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))

@@ -78,11 +78,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = nanos_ts_to_micros(df)
+    cache[key] = df
+    return df
+
+
+def nanos_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Floor-truncate an epoch-nanos LongType column to a µs timestamp
+    (no-op if the column is already a timestamp).
+
+    THE single definition of the ns→µs rule: DuckDB coerces
+    TIMESTAMP(NANOS) to µs by truncation, so both the batch reader
+    (load) and the streaming source (streaming.queries._events_stream)
+    must apply exactly this expression — a second copy that drifted to
+    rounding would break every borderline-timestamp oracle compare."""
+    if dict(df.dtypes).get(col) == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    cache[key] = df
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 

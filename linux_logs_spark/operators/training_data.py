@@ -231,6 +231,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, F.col("doc_a") == F.col("doc_id"))
@@ -250,8 +251,20 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:  # min-propagation: sum strictly decreases until fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Min-label propagation spreads one hop per round, so a
+        # component with graph diameter > CC_MAX_ITERS would exit the
+        # loop with labels that LOOK valid but disagree with the
+        # recursive-CTE oracle — fail loudly instead of returning a
+        # silently-wrong clustering (round-5 review).
+        raise RuntimeError(
+            f"dedup_clusters_cc: no fixpoint after {CC_MAX_ITERS} rounds "
+            "(a component's diameter exceeds the iteration rail); raise "
+            "CC_MAX_ITERS or switch to large-star/small-star contraction"
+        )
     return labels
 
 

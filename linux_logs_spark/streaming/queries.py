@@ -25,33 +25,54 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load, table_path
+from linux_logs_spark.catalog import load, nanos_ts_to_micros, table_path
 from linux_logs_spark.registry import register
 
 _counter = itertools.count()
 
+# Bounded memory-sink retention for _run (see its docstring): callers
+# materialize the returned frame promptly, so keeping the last few
+# views is enough headroom while preventing unbounded driver growth.
+_sink_names: list[str] = []
+_SINK_KEEP = 4
+
 
 def _staged_events_dir(sf_dir: str) -> str:
-    """Copy events.parquet into REPO/.scratch/<sf>/stream_events/ once
-    (idempotent on size match) and return the directory path."""
+    """Copy events.parquet into a scratch staging dir once (idempotent
+    on size+mtime match) and return the directory path.
+
+    The staging dir embeds a hash of the FULL normalized sf_dir path
+    (round-5 review): keying by basename alone would let two data
+    roots that share a basename (or a regenerated dataset whose file
+    size happens to match) silently serve stale or foreign events to
+    every streaming query while the oracle reads the real sf_dir."""
+    import hashlib
     import shutil
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(repo_root, ".scratch", tag, "stream_events")
+    from linux_logs_spark.operators.scans import _scratch
+
+    norm = os.path.normpath(sf_dir)
+    path_tag = hashlib.md5(norm.encode()).hexdigest()[:8]
+    d = _scratch(sf_dir, f"stream_events_{path_tag}")
     os.makedirs(d, exist_ok=True)
     src = table_path(sf_dir, "events")
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+    st = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != st.st_size
+        or os.path.getmtime(dst) != st.st_mtime
+    ):
         shutil.copyfile(src, dst)
+        os.utime(dst, (st.st_atime, st.st_mtime))  # carry mtime for the check
     # Exactly ONE staged file ⇒ availableNow processes all events in a
     # single micro-batch. stream_stream_join's batch-oracle equivalence
     # DEPENDS on this: with input split across micro-batches, watermark
-    # state eviction could drop cross-batch matches. Keep the
-    # invariant explicit so a future staging change fails loudly
-    # instead of silently breaking the oracle.
+    # state eviction could drop cross-batch matches. A real raise, not
+    # an assert — the invariant must hold under `python -O` too.
     staged = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
-    assert staged == ["events.parquet"], f"staging invariant broken: {staged}"
+    if staged != ["events.parquet"]:
+        raise RuntimeError(f"staging invariant broken: {staged}")
     return d
 
 
@@ -62,16 +83,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanosAsLong); the stream converts to a µs timestamp exactly like
     catalog.load, then floors to whole seconds (see module docstring).
     """
-    batch = load(spark, sf_dir, "events")  # also asserts session confs
+    # load() runs first for its side effect: it asserts the session
+    # confs (nanosAsLong, UTC) the schema probe below depends on.
+    load(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # The file-stream source only accepts a DIRECTORY (events.parquet is
     # a single file, and option("basePath") is rejected for files), so
     # stage the file into a scratch dir once and stream that.
     src_dir = _staged_events_dir(sf_dir)
     src = spark.readStream.schema(raw_schema).parquet(src_dir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _ = batch.schema  # keep the lazy batch plan alive for schema parity
+    src = nanos_ts_to_micros(src)  # ONE ns→µs rule, shared with load()
     return src.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
 
 
@@ -99,6 +120,18 @@ def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # Memory sinks hold their full result set in the driver until the
+    # view is dropped; a long session looping the 11 streaming queries
+    # would otherwise accumulate every past result (round-5 review).
+    # Keep a few so just-returned lazy frames stay readable while the
+    # caller materializes them, drop everything older.
+    _sink_names.append(name)
+    while len(_sink_names) > _SINK_KEEP:
+        stale = _sink_names.pop(0)
+        try:
+            spark.catalog.dropTempView(stale)
+        except Exception:
+            pass  # a different session created it — freed with that session
     return spark.table(name)
 
 
@@ -239,10 +272,10 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back aggregate must equal the batch answer."""
     import shutil
 
+    from linux_logs_spark.operators.scans import _scratch
+
     src = _events_stream(spark, sf_dir)
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    target = os.path.join(repo_root, ".scratch", tag, "foreach_batch_out")
+    target = _scratch(sf_dir, "foreach_batch_out")
     shutil.rmtree(target, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -276,10 +309,12 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):
-        total_n, total_v = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            total_n += len(pdf)
-            total_v += float(pdf["value"].sum())
+        prev = state.get if state.exists else (0, 0.0)
+        # ONE fold definition for all three stateful paths (round-5
+        # review): UserTotals, this legacy processor, and the
+        # transformWithState fallback all call accumulate_totals, so
+        # the equivalence test_stateful_processor.py pins can't drift.
+        total_n, total_v = accumulate_totals(prev, pdfs)
         state.update((total_n, total_v))
         import pandas as pd
 

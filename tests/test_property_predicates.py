@@ -63,3 +63,60 @@ def test_random_predicates_match_duckdb(spark, sf_dir, p):
     """
     issues = compare_frames(sdf.toPandas(), run_oracle(sql, sf_dir))
     assert not issues, f"{p}: {issues}"
+
+
+def test_block_pair_keys_covers_every_pair_exactly_once(spark):
+    """The centralized blocked pair-enumeration geometry
+    (functions/vector.block_pair_keys): for ANY (QB, CB) block config,
+    every ordered id pair must meet in EXACTLY one (qblk, cblk) cell —
+    zero would silently drop pairs from the exact cosine scans,
+    two would double-count them."""
+    from pyspark.sql import functions as F
+
+    from linux_logs_spark.functions.vector import block_pair_keys
+
+    ids = spark.range(0, 97).select(F.col("id").alias("vec_id"))
+    for qb, cb in ((1, 1), (2, 3), (8, 8), (5, 1)):
+        a = ids.select(
+            F.col("vec_id").alias("ida"),
+            *block_pair_keys("vec_id", qb, cb, "qblk", "cblk"),
+        )
+        b = ids.select(
+            F.col("vec_id").alias("idb"),
+            *block_pair_keys("vec_id", cb, qb, "cblk", "qblk"),
+        )
+        meets = (
+            a.join(b, ["qblk", "cblk"])
+            .groupBy("ida", "idb")
+            .count()
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.min("count").alias("min_meets"),
+                F.max("count").alias("max_meets"),
+            )
+            .collect()[0]
+        )
+        assert meets["n_pairs"] == 97 * 97, (qb, cb, meets)
+        assert meets["min_meets"] == 1 and meets["max_meets"] == 1, (qb, cb, meets)
+
+
+def test_broadcast_if_fits_gates_on_estimate(spark, sf_dir):
+    """session.broadcast_if_fits: under the cap the frame comes back
+    broadcast-hinted; over the cap it is returned UNCHANGED so the
+    join can fall back to a shuffle at scale."""
+    from pyspark.sql import functions as F
+
+    from linux_logs_spark.catalog import load
+    from linux_logs_spark.session import BROADCAST_CAP_BYTES, broadcast_if_fits
+
+    df = load(spark, sf_dir, "nation")
+    over = broadcast_if_fits(df, BROADCAST_CAP_BYTES, 2)  # 2x the cap
+    assert over is df
+    under = broadcast_if_fits(df, 10, 10)
+    assert under is not df
+    joined = load(spark, sf_dir, "customer").join(
+        under, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    from linux_logs_spark.plans.explain import assert_in_plan
+
+    assert_in_plan(joined, "BroadcastHashJoin")

@@ -137,8 +137,11 @@ def log_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate each day's last 10 minutes into the next partition as
     carry rows for the trailing frame."""
     e = load(spark, sf_dir, "events")
+    # F.floor, not cast-truncation: cast('long') truncates toward zero
+    # and diverges from the oracle's // (floor) for pre-epoch
+    # timestamps — same idiom as the week/minute buckets below.
     per_min = e.groupBy(
-        (F.unix_timestamp("ts") / 60).cast("long").alias("minute")
+        F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("minute")
     ).agg(F.count("*").alias("n"))
     trail = Window.orderBy("minute").rowsBetween(-10, -1)
     with_avg = per_min.withColumn(
@@ -296,10 +299,18 @@ def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    c = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # Cohort week as a window-min over the SAME distinct frame rather
+    # than a groupBy + self-join: the groupBy/join form re-derived uw
+    # from a second full events scan (verified: two FileScans, zero
+    # ReusedExchange — round-5 review), doubling the dominant I/O at
+    # scale. The window reuses uw's user_id distribution, so events
+    # are scanned and distinct-shuffled exactly once.
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
     return (
-        uw.join(c, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        uw.withColumn("cohort_week", cohort)
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
 

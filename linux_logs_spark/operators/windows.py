@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
+from linux_logs_spark.functions.compat import dec
 from linux_logs_spark.registry import register
 
 
@@ -108,7 +109,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = ob.rowsBetween(-2, Window.currentRow)
-    dec_price = F.col("o_totalprice").cast("decimal(25,2)")
+    dec_price = dec("o_totalprice", 2)  # compat-owned precision
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -146,7 +147,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_returnflag",
         "l_quantity",
-        F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+        F.sum(dec("l_extendedprice", 2))
         .over(w)
         .cast("double")
         .alias("near_qty_price"),
@@ -305,7 +306,8 @@ SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
        CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS last_ts_s
 FROM (
   SELECT *, row_number() OVER (
-           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
   FROM events
 )
 WHERE rn = 1
@@ -318,10 +320,13 @@ def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter as WindowGroupLimit, so each partition keeps a 1-row
     running max instead of fully sorting its group — at 100 TB the
     sort cost is per-key-streaming, not |events| log |events|.
-    event_id breaks timestamp ties deterministically."""
+    Ordering keys are WHOLE SECONDS + event_id (module convention,
+    round-5 review): ranking on raw ts was only cross-engine-stable
+    while both engines truncated ns→µs identically — floored seconds
+    with the id tiebreak is deterministic by construction."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.unix_timestamp("ts").desc(), F.col("event_id").desc()
     )
     return (
         e.withColumn("rn", F.row_number().over(w))

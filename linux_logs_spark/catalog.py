@@ -58,22 +58,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
     rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as epoch-nanos LongType and we floor-truncate to a µs timestamp —
-    exactly what DuckDB produces when it coerces ns→µs, so oracle
-    comparisons agree.
+    as epoch-nanos LongType and we truncate to a µs timestamp (see
+    nanos_ts_to_micros — the single ns→µs rule), matching DuckDB's
+    coercion so oracle comparisons agree.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     cache = _session_df_cache(spark)
     key = (os.path.normpath(sf_dir), name)
+    # Re-asserted on EVERY call (not just cache misses): the driver
+    # hands us ITS session, and timestamps must render in UTC to
+    # hash-match the UTC-naive DuckDB oracle. INDEPENDENT try blocks
+    # (round-5 review): if nanosAsLong is static in some session and
+    # throws, the UTC re-assert must still run — one shared block
+    # would skip it and silently hash in the driver's local zone.
     try:
-        # Re-asserted on EVERY call (not just cache misses): the driver
-        # hands us ITS session, and timestamps must render in UTC to
-        # hash-match the UTC-naive DuckDB oracle.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # static conf in some sessions; builder sets it too
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -85,14 +91,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def nanos_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Floor-truncate an epoch-nanos LongType column to a µs timestamp
+    """Truncate an epoch-nanos LongType column to a µs timestamp
     (no-op if the column is already a timestamp).
 
-    THE single definition of the ns→µs rule: DuckDB coerces
-    TIMESTAMP(NANOS) to µs by truncation, so both the batch reader
+    THE single definition of the ns→µs rule: integer `div` —
+    truncation toward zero, which matches DuckDB's ns→µs coercion on
+    the post-epoch data this engine targets. Both the batch reader
     (load) and the streaming source (streaming.queries._events_stream)
     must apply exactly this expression — a second copy that drifted to
-    rounding would break every borderline-timestamp oracle compare."""
+    rounding (or flooring) would break borderline-timestamp oracle
+    compares. NOTE: for PRE-1970 sub-µs values, truncation and floor
+    differ by 1 µs; if fixtures ever go pre-epoch, settle the floor
+    question against DuckDB empirically before changing anything."""
     if dict(df.dtypes).get(col) == "bigint":
         from pyspark.sql import functions as F
 

@@ -257,7 +257,7 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        array_to_string(list_transform(string_split(p_name, ' '),
-           w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+           w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
                                             AS title_name,
        reverse(p_name)                      AS reversed,
        left(p_name, 4)                      AS prefix,

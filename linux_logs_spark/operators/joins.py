@@ -390,22 +390,31 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the plain shuffle join — that IS the oracle."""
     import os
 
-    from linux_logs_spark.operators.scans import _scratch
+    from linux_logs_spark.catalog import table_path
+    from linux_logs_spark.operators.scans import _scratch, _scratch_tag
 
     wh = _scratch(sf_dir, "bucketed")
-    # Table names carry the sf tag: catalog tables are context-global
-    # and name-keyed, so a shared name would silently serve one
-    # sf_dir's buckets to another sf_dir's query.
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Table names carry the sf tag (now path-hashed, see _scratch_tag):
+    # catalog tables are context-global and name-keyed, so a shared
+    # name would silently serve one sf_dir's buckets to another
+    # sf_dir's query.
+    tag = _scratch_tag(sf_dir)
     for tbl, src_name, key in (
         (f"bq_orders_{tag}", "orders", "o_orderkey"),
         (f"bq_lineitem_{tag}", "lineitem", "l_orderkey"),
     ):
-        # Idempotent per (sf_dir, table): rebuild only when absent.
-        marker = os.path.join(wh, tbl, "_SUCCESS")
-        if not os.path.exists(marker) or tbl not in [
-            t.name for t in spark.catalog.listTables()
-        ]:
+        # Idempotent per (sf_dir, table): rebuild when absent OR when
+        # the source parquet changed (round-5 review — a regenerated
+        # dataset at the same path must not be answered from stale
+        # bucket copies; the fingerprint is the source's size+mtime).
+        src_stat = os.stat(table_path(sf_dir, src_name))
+        fingerprint = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
+        marker = os.path.join(wh, tbl, "_FINGERPRINT")
+        stale = True
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                stale = fh.read().strip() != fingerprint
+        if stale or tbl not in [t.name for t in spark.catalog.listTables()]:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (
                 load(spark, sf_dir, src_name)
@@ -416,6 +425,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("path", os.path.join(wh, tbl))
                 .saveAsTable(tbl)
             )
+            with open(marker, "w") as fh:
+                fh.write(fingerprint)
     o = spark.table(f"bq_orders_{tag}")
     li = spark.table(f"bq_lineitem_{tag}")
     # merge hint: at test scale orders fits the broadcast threshold

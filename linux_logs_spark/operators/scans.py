@@ -25,9 +25,24 @@ from linux_logs_spark.registry import register
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", ".scratch")
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Scratch/catalog tag for an sf_dir: basename PLUS a hash of the
+    full normalized path (round-5 review) — basename alone would let
+    two data roots sharing a final path component (/a/sf0.01 and
+    /b/sf0.01) clobber each other's staged state and serve one
+    dataset's staging to the other's query."""
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    return (
+        os.path.basename(norm).replace(".", "_")
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
+
+
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.abspath(os.path.join(_SCRATCH, tag, name))
+    path = os.path.abspath(os.path.join(_SCRATCH, _scratch_tag(sf_dir), name))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
 
@@ -219,8 +234,6 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw line preserved in _corrupt_record for replay/debugging —
     the quarantine-table pattern. Paths are sf-local scratch, so
     rows-only by declaration (deterministic: same 53 lines per sf)."""
-    import os
-
     path = _scratch(sf_dir, "events_csv_dirty")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):

@@ -46,14 +46,12 @@ def _staged_events_dir(sf_dir: str) -> str:
     roots that share a basename (or a regenerated dataset whose file
     size happens to match) silently serve stale or foreign events to
     every streaming query while the oracle reads the real sf_dir."""
-    import hashlib
     import shutil
 
     from linux_logs_spark.operators.scans import _scratch
 
-    norm = os.path.normpath(sf_dir)
-    path_tag = hashlib.md5(norm.encode()).hexdigest()[:8]
-    d = _scratch(sf_dir, f"stream_events_{path_tag}")
+    # _scratch embeds a hash of the full sf_dir path (see _scratch_tag)
+    d = _scratch(sf_dir, "stream_events")
     os.makedirs(d, exist_ok=True)
     src = table_path(sf_dir, "events")
     dst = os.path.join(d, "events.parquet")

@@ -37,6 +37,11 @@ def _canon_cell(v: Any) -> Any:
     """Normalize one value so Spark/DuckDB representations compare equal."""
     if v is None:
         return None
+    # pd.NaT FIRST: it is not an instance of pd.Timestamp and NaT != NaT,
+    # so without this branch two frames that AGREE on a null timestamp
+    # are reported as mismatched (round-5 review, reproduced).
+    if v is pd.NaT:
+        return None
     if isinstance(v, (np.ndarray, list, tuple)):
         return tuple(_canon_cell(x) for x in v)
     if isinstance(v, np.generic):

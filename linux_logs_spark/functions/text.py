@@ -70,14 +70,18 @@ def rolling_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over character codepoints, mod a
     64-bit-safe prime: h = (h*31 + code(ch)) % M, left to right.
     Matches DuckDB's list_reduce fold exactly (0-init ≡ first-element
-    seed because 0*31+c == c)."""
+    seed because 0*31+c == c). Empty text is pinned to 0 explicitly:
+    sequence(1, 0) yields a DESCENDING [1, 0] (two bogus positions),
+    the same hazard word_shingles guards against — the old fold only
+    returned 0 for '' by the coincidence 0*31+0=0 (round-5 review)."""
     t = F.col(text) if isinstance(text, str) else text
     codes = F.transform(
         F.sequence(F.lit(1), F.length(t)),
         lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
     )
-    return F.aggregate(
+    fold = F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_MOD),
     )
+    return F.when(F.length(t) > 0, fold).otherwise(F.lit(0).cast("long"))

@@ -113,4 +113,10 @@ SELECT o_custkey AS c_custkey FROM orders
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o.distinct()).distinct()
+    # subtract() IS SQL EXCEPT (distinct). The previous
+    # exceptAll(distinct).distinct() form diverged on duplicate LEFT
+    # rows: exceptAll removes only one occurrence per right match, so
+    # a doubled left key survived into the result while SQL EXCEPT
+    # excludes it (round-5 review; latent only because c_custkey is
+    # unique in the fixture).
+    return c.subtract(o)

@@ -65,7 +65,11 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def chars_per_word(n_chars: pd.Series, text: pd.Series) -> pd.Series:
         n_words = text.str.count(" ") + 1
-        return n_chars.astype("float64") / (1.0 + n_words)
+        res = n_chars.astype("float64") / (1.0 + n_words)
+        # Nullable Float64 so a NULL text yields SQL NULL (the oracle's
+        # length(NULL) arithmetic), not a NaN that breaks the hash
+        # (round-5 review; str.count on null is NaN, which propagates).
+        return res.astype("Float64")
 
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -123,8 +127,11 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["n_chars"].astype("float64")
         z = (x - x.mean()) / x.std(ddof=1)
+        # Float64: a single-row group's std(ddof=1) is NaN — surface it
+        # as SQL NULL like the oracle's stddev_samp (round-5 review).
         return pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z.round(6)}
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+             "z_chars": z.round(6).astype("Float64")}
         )
 
     d = load(spark, sf_dir, "documents")
@@ -153,13 +160,20 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json as _json
 
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="prop_key: string, prop_val: int")
     class ExplodeProps:
         def eval(self, event_id: int, props: str):  # noqa: ANN001
-            for k, v in sorted(_json.loads(props).items()):
-                yield k, int(v)
+            # NULL/empty props mirror the oracle's props ->> 'k': one
+            # row with a NULL value, never a worker TypeError or a
+            # silently dropped event (round-5 review).
+            data = _json.loads(props) if props else {}
+            if not data:
+                yield "k", None
+                return
+            for k, v in sorted(data.items()):
+                yield k, (int(v) if v is not None else None)
 
     spark.udtf.register("explode_props", ExplodeProps)
     e = load(spark, sf_dir, "events")

@@ -64,8 +64,12 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Re-assert runtime-settable correctness-critical confs in case we
-    # inherited a session built elsewhere (e.g. the driver's).
+    # inherited a session built elsewhere (e.g. the driver's). ANSI is
+    # included (round-5 review): a pre-built Spark-3-style session
+    # with ansi.enabled=false silently changes cast/element_at
+    # semantics the oracles rely on.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -64,7 +64,9 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # NULL payload (e.g. a null source text) behaves as
+                # empty media, not a worker TypeError (round-5 review)
+                b = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
                 hist = np.bincount(b >> shift, minlength=FEATURE_BINS)
                 # serialize at the boundary: the driver's canonicalizer
                 # cannot handle list cells in pandas
@@ -90,7 +92,7 @@ def resize_media(media: DataFrame) -> DataFrame:
             out_w = pdf["width"].clip(upper=RESIZE_MAX)
             out_h = pdf["height"].clip(upper=RESIZE_MAX)
             n_out = [
-                min(len(bytes(b)), int(w) + int(h))
+                min(len(bytes(b)) if b is not None else 0, int(w) + int(h))
                 for b, w, h in zip(pdf["payload"], out_w, out_h)
             ]
             yield pd.DataFrame(
@@ -123,7 +125,7 @@ def frame_sample_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                b = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
                 n_frames = -(-len(b) // FRAME_BYTES)
                 n_sampled = -(-n_frames // FRAME_STRIDE)
                 first_sum = int(b[:FRAME_BYTES].sum())

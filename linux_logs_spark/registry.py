@@ -105,48 +105,48 @@ def _ensure_loaded() -> None:
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.6, "agg_approx_percentile": 0.16, "agg_bool": 0.2, "agg_collect": 0.22,
-    "agg_conditional_family": 0.35, "agg_count_distinct": 0.26, "agg_cube": 0.28, "agg_distinct_rows": 0.17,
-    "agg_global": 0.31, "agg_groupby": 0.35, "agg_groupby_sql": 0.38, "agg_grouping_sets": 0.19,
-    "agg_having": 0.2, "agg_histogram": 0.2, "agg_hll_sketch_rollup": 0.34, "agg_min_max_by": 0.16,
-    "agg_mode": 0.25, "agg_percentile": 0.36, "agg_pivot": 0.37, "agg_regression_family": 0.32,
-    "agg_rollup": 0.28, "agg_stats": 0.29, "agg_string_concat": 0.22, "agg_unpivot": 0.12,
-    "corpus_mix_rebalance": 0.34, "cust_order_intervals": 0.38, "cust_rfm_segments": 1.85, "decontam_ngram_overlap": 0.72,
-    "dedup_clusters_cc": 3.14, "dedup_edit_verify": 1.4, "dedup_embedding_cosine": 2.73, "dedup_exact": 0.18,
-    "dedup_exact_hash": 0.16, "dedup_near_minhash": 1.2, "dedup_ngram_jaccard": 0.89, "dedup_simhash": 2.0,
-    "doc_chunk": 0.17, "emb_centroid_outliers": 0.56, "emb_label_centroid": 0.22, "emb_neighborhood_purity": 0.74,
-    "emb_pca_power": 0.37, "fn_array": 0.16, "fn_array_agg": 0.13, "fn_bitwise": 0.26,
-    "fn_conditional": 0.33, "fn_datetime": 0.57, "fn_hash": 0.1, "fn_interval": 0.2,
-    "fn_json": 0.27, "fn_map": 0.23, "fn_math": 0.15, "fn_posexplode": 0.13,
-    "fn_regex": 0.14, "fn_string": 0.14, "fn_string_extended": 0.17, "fn_trig": 0.14,
-    "join_asof": 0.29, "join_broadcast": 0.27, "join_bucketed_colocated": 0.95, "join_cross": 0.13,
-    "join_full_outer": 0.32, "join_inner_equi": 0.35, "join_inner_equi_sql": 0.42, "join_left_anti": 0.13,
-    "join_left_outer": 0.27, "join_left_semi": 0.15, "join_null_safe": 0.29, "join_range_binned": 0.53,
-    "join_self_multi": 0.25, "join_skew_salted": 0.29, "join_theta_range": 0.14, "limit_topk": 0.12,
-    "log_anomaly_zscore": 0.3, "log_burst_detect": 0.29, "log_corr_matrix": 0.41, "log_error_rate_hourly": 0.23,
-    "log_error_rate_hourly_sql": 0.21, "log_event_transitions": 0.26, "log_gap_fill": 0.33, "log_retention_cohorts": 0.35,
-    "log_rollup_multires": 0.92, "log_search": 0.25, "log_seasonality_profile": 0.28, "log_slo_burn": 0.29,
-    "log_top_services": 0.27, "log_type_hour_matrix": 0.26, "log_user_funnel": 0.21, "multimodal_features": 0.27,
-    "multimodal_frame_sample": 0.27, "multimodal_join": 0.15, "multimodal_resize": 0.24, "pack_sequences": 0.2,
-    "part_copurchase": 0.64, "pipeline_corpus_prep": 0.52, "q_case_when": 0.32, "q_exists_correlated": 0.15,
-    "q_filter_basic": 0.19, "q_filter_basic_sql": 0.21, "q_filter_in_between": 0.13, "q_filter_like": 0.1,
-    "q_project": 1.18, "q_subquery_scalar": 0.22, "sample_stratified": 0.24, "scan_binary_files": 0.15,
-    "scan_csv_malformed": 0.23, "scan_csv_roundtrip": 0.32, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.19,
-    "scan_parquet": 0.05, "scan_text_parse": 0.29, "scd2_merge": 0.17, "sessionize": 0.39,
-    "set_except": 0.28, "set_intersect": 0.24, "set_union_all": 0.17, "set_union_distinct": 0.22,
-    "sim_ann_ivf": 2.41, "sim_ann_lsh": 1.74, "sim_cosine_blocked": 0.57, "sim_cosine_topk": 3.18,
-    "sim_knn_label": 0.67, "sink_parquet_partitioned": 0.91, "sort_multi": 0.45, "split_train_holdout": 0.1,
-    "stream_custom_state": 0.99, "stream_dedup": 1.0, "stream_foreach_batch": 0.59, "stream_session": 1.1,
-    "stream_sliding": 1.05, "stream_static_join": 0.71, "stream_stream_join": 2.58, "stream_text_tail": 1.05,
-    "stream_transform_with_state": 0.84, "stream_tumbling": 0.97, "stream_watermark_late": 1.19, "table_column_stats": 0.62,
-    "text_fingerprint": 0.28, "text_lang_id": 0.27, "text_lang_stats": 0.28, "text_ngram_topk": 0.43,
-    "text_quality_score": 0.16, "text_repetition_score": 0.31, "text_tfidf": 0.63, "text_token_count_bpe": 0.12,
-    "text_tokenize_counts": 0.17, "topk_per_group": 0.33, "tpch_q10": 0.38, "tpch_q14": 0.26,
-    "tpch_q15": 0.51, "tpch_q18": 0.58, "tpch_q3": 0.33, "tpch_q5": 0.29,
-    "tpch_q6": 0.16, "tpch_q7": 0.59, "udaf_pandas_agg": 0.27, "udf_pandas_scalar": 0.24,
-    "udf_python": 0.33, "udtf_apply_in_pandas": 0.29, "udtf_python_native": 0.43, "vocab_build": 0.22,
-    "win_first_last": 0.31, "win_lag_lead": 0.36, "win_latest_per_key": 0.21, "win_nth_value": 0.27,
-    "win_range_frame": 1.86, "win_ranking": 0.61, "win_ranking_sql": 0.67, "win_running": 0.7,
+    "agg_approx_distinct": 0.67, "agg_approx_percentile": 0.29, "agg_bool": 0.22, "agg_collect": 0.26,
+    "agg_conditional_family": 0.33, "agg_count_distinct": 0.31, "agg_cube": 0.3, "agg_distinct_rows": 0.25,
+    "agg_global": 0.32, "agg_groupby": 0.37, "agg_groupby_sql": 0.36, "agg_grouping_sets": 0.22,
+    "agg_having": 0.2, "agg_histogram": 0.25, "agg_hll_sketch_rollup": 0.4, "agg_min_max_by": 0.27,
+    "agg_mode": 0.26, "agg_percentile": 0.38, "agg_pivot": 0.28, "agg_regression_family": 0.3,
+    "agg_rollup": 0.29, "agg_stats": 0.26, "agg_string_concat": 0.24, "agg_unpivot": 0.16,
+    "corpus_mix_rebalance": 0.32, "cust_order_intervals": 0.31, "cust_rfm_segments": 1.91, "decontam_ngram_overlap": 0.75,
+    "dedup_clusters_cc": 3.74, "dedup_edit_verify": 1.23, "dedup_embedding_cosine": 4.17, "dedup_exact": 0.23,
+    "dedup_exact_hash": 0.28, "dedup_near_minhash": 1.08, "dedup_ngram_jaccard": 1.02, "dedup_simhash": 1.84,
+    "doc_chunk": 0.23, "emb_centroid_outliers": 0.68, "emb_label_centroid": 0.24, "emb_neighborhood_purity": 0.77,
+    "emb_pca_power": 0.35, "fn_array": 0.22, "fn_array_agg": 0.21, "fn_bitwise": 0.24,
+    "fn_conditional": 0.33, "fn_datetime": 0.64, "fn_hash": 0.16, "fn_interval": 0.24,
+    "fn_json": 0.27, "fn_map": 0.24, "fn_math": 0.22, "fn_posexplode": 0.26,
+    "fn_regex": 0.2, "fn_string": 1.44, "fn_string_extended": 0.16, "fn_trig": 0.25,
+    "join_asof": 0.24, "join_broadcast": 0.32, "join_bucketed_colocated": 1.02, "join_cross": 0.23,
+    "join_full_outer": 0.28, "join_inner_equi": 0.42, "join_inner_equi_sql": 0.47, "join_left_anti": 0.22,
+    "join_left_outer": 0.31, "join_left_semi": 0.25, "join_null_safe": 0.33, "join_range_binned": 0.42,
+    "join_self_multi": 0.28, "join_skew_salted": 0.32, "join_theta_range": 0.25, "limit_topk": 0.15,
+    "log_anomaly_zscore": 0.31, "log_burst_detect": 0.32, "log_corr_matrix": 0.41, "log_error_rate_hourly": 0.22,
+    "log_error_rate_hourly_sql": 0.25, "log_event_transitions": 0.32, "log_gap_fill": 0.35, "log_retention_cohorts": 0.37,
+    "log_rollup_multires": 0.9, "log_search": 0.29, "log_seasonality_profile": 0.3, "log_slo_burn": 0.32,
+    "log_top_services": 0.24, "log_type_hour_matrix": 0.29, "log_user_funnel": 0.25, "multimodal_features": 0.22,
+    "multimodal_frame_sample": 0.22, "multimodal_join": 0.26, "multimodal_resize": 0.28, "pack_sequences": 0.28,
+    "part_copurchase": 0.69, "pipeline_corpus_prep": 0.66, "q_case_when": 0.25, "q_exists_correlated": 0.32,
+    "q_filter_basic": 0.21, "q_filter_basic_sql": 0.23, "q_filter_in_between": 0.19, "q_filter_like": 0.14,
+    "q_project": 1.3, "q_subquery_scalar": 0.27, "sample_stratified": 0.23, "scan_binary_files": 0.29,
+    "scan_csv_malformed": 0.25, "scan_csv_roundtrip": 0.31, "scan_json_lines": 0.25, "scan_orc_roundtrip": 0.21,
+    "scan_parquet": 0.05, "scan_text_parse": 0.27, "scd2_merge": 0.27, "sessionize": 0.42,
+    "set_except": 0.18, "set_intersect": 0.25, "set_union_all": 0.26, "set_union_distinct": 0.24,
+    "sim_ann_ivf": 2.26, "sim_ann_lsh": 1.69, "sim_cosine_blocked": 0.68, "sim_cosine_topk": 0.38,
+    "sim_knn_label": 3.59, "sink_parquet_partitioned": 1.05, "sort_multi": 0.47, "split_train_holdout": 0.15,
+    "stream_custom_state": 0.94, "stream_dedup": 1.02, "stream_foreach_batch": 0.69, "stream_session": 0.98,
+    "stream_sliding": 0.91, "stream_static_join": 0.78, "stream_stream_join": 3.02, "stream_text_tail": 0.89,
+    "stream_transform_with_state": 1.03, "stream_tumbling": 0.87, "stream_watermark_late": 1.15, "table_column_stats": 0.61,
+    "text_fingerprint": 0.32, "text_lang_id": 0.23, "text_lang_stats": 0.26, "text_ngram_topk": 0.5,
+    "text_quality_score": 0.31, "text_repetition_score": 0.33, "text_tfidf": 0.67, "text_token_count_bpe": 0.17,
+    "text_tokenize_counts": 0.22, "topk_per_group": 0.25, "tpch_q10": 0.42, "tpch_q14": 0.27,
+    "tpch_q15": 0.42, "tpch_q18": 0.42, "tpch_q3": 0.38, "tpch_q5": 0.33,
+    "tpch_q6": 0.3, "tpch_q7": 0.57, "udaf_pandas_agg": 0.25, "udf_pandas_scalar": 0.26,
+    "udf_python": 0.3, "udtf_apply_in_pandas": 0.27, "udtf_python_native": 0.37, "vocab_build": 0.24,
+    "win_first_last": 0.28, "win_lag_lead": 0.45, "win_latest_per_key": 0.24, "win_nth_value": 0.31,
+    "win_range_frame": 1.78, "win_ranking": 0.65, "win_ranking_sql": 0.7, "win_running": 0.73,
 }
 
 _DEFAULT_COST = 0.9

@@ -62,6 +62,12 @@ HEADLINE = (
     "udtf_apply_in_pandas",
     "multimodal_join",
     "pipeline_corpus_prep",
+    # round-5 additions worth per-round tracking
+    "tpch_q18",
+    "join_range_binned",
+    "dedup_edit_verify",
+    "table_column_stats",
+    "stream_text_tail",
 )
 
 

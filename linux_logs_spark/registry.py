@@ -152,40 +152,57 @@ _MEASURED_COST: dict[str, float] = {
 _DEFAULT_COST = 0.9
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names with a driver CORRECTNESS row in any past round.
+def _last_verified_round() -> dict[str, int]:
+    """name → most recent round with a driver CORRECTNESS row (0 = never).
 
     Read from the committed ``VERIFIED_HISTORY.json`` at the repo root
     (regenerated each round from the driver's ``CORRECTNESS_r*.json``
-    files). Missing/unreadable file → empty set, which degrades to the
-    old pure cheapest-first ordering.
+    files via scripts/update_verified_history.py). Entries look like
+    ``"r5"`` or ``"r4:rows-only"``; the round number is what matters
+    for ordering. Missing/unreadable file → empty dict, which degrades
+    to pure cheapest-first ordering.
     """
     import json
+    import re
     from pathlib import Path
 
     path = Path(__file__).resolve().parent.parent / "VERIFIED_HISTORY.json"
+    out: dict[str, int] = {}
     try:
         data = json.loads(path.read_text())
-        return frozenset(data["verified"])
+        for name, rounds in data["verified"].items():
+            nums = [int(m.group(1)) for r in rounds for m in [re.match(r"r(\d+)", r)] if m]
+            if nums:
+                out[name] = max(nums)
     except Exception:
-        return frozenset()
+        return {}
+    return out
+
+
+def _driver_verified() -> frozenset[str]:
+    """Names with any driver CORRECTNESS row (kept for tests/tools)."""
+    return frozenset(_last_verified_round())
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Registry in driver-iteration order.
 
-    The driver's correctness pass runs ~50 queries per round in this
-    dict's order. Three rounds of pure cheapest-first re-verified the
-    same cheap head while ~59 queries never produced a CORRECTNESS
-    row, so the primary sort key is now "never driver-verified first"
-    (cheapest-first within each class): every budgeted driver window
-    extends the signed set instead of re-signing it.
+    The driver's correctness pass signs ~50 CORRECTNESS rows per round
+    in this dict's order. Rounds 1–3 used pure cheapest-first, which
+    re-verified the same cheap head forever; rounds 4–5 used
+    never-verified-first, which closed the gap to 168/168 signed. With
+    everything signed at least once, never-first degenerates back to
+    cheapest-first and a rewritten expensive query would never be
+    re-signed — so the primary key is now the LAST round each query was
+    signed (ascending, never = 0), i.e. stalest-signature-first,
+    cheapest-first within a round cohort. Each driver window therefore
+    refreshes the oldest evidence instead of re-stamping last round's.
     """
     _ensure_loaded()
-    verified = _driver_verified()
+    last = _last_verified_round()
     names = sorted(
         _REGISTRY,
-        key=lambda n: (n in verified, _MEASURED_COST.get(n, _DEFAULT_COST)),
+        key=lambda n: (last.get(n, 0), _MEASURED_COST.get(n, _DEFAULT_COST)),
     )
     return {n: _REGISTRY[n] for n in names}
 

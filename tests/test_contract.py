@@ -86,24 +86,20 @@ def test_all_queries_have_measured_cost():
     assert not missing, f"add measured sf0.01 costs for: {missing}"
 
 
-def test_never_driver_verified_queries_come_first():
+def test_stalest_signature_queries_come_first():
     """The driver signs ~50 CORRECTNESS rows per round in all_queries()
-    order; queries absent from VERIFIED_HISTORY.json must lead so each
-    round extends the signed set instead of re-signing the cheap head."""
-    from linux_logs_spark.registry import _driver_verified
+    order. With all queries signed at least once, the ordering must be
+    stalest-signature-first (last-verified round ascending, never = 0)
+    so each driver window refreshes the oldest evidence — a rewritten
+    r1-era query gets re-signed instead of the same cheap head."""
+    from linux_logs_spark.registry import _last_verified_round
 
-    verified = _driver_verified()
-    assert verified, "VERIFIED_HISTORY.json missing or empty"
-    order = list(_SPECS)
-    never = [n for n in order if n not in verified]
-    assert never, "every query driver-verified — drop this guard"
-    first_seen_verified = min(
-        (order.index(n) for n in order if n in verified), default=len(order)
-    )
-    last_never = max(order.index(n) for n in never)
-    assert last_never < first_seen_verified, (
-        "all_queries() must yield never-driver-verified queries before "
-        "already-verified ones"
+    last = _last_verified_round()
+    assert last, "VERIFIED_HISTORY.json missing or empty"
+    rounds = [last.get(n, 0) for n in _SPECS]
+    assert rounds == sorted(rounds), (
+        "all_queries() must yield queries in ascending last-verified-round "
+        "order (never-verified first)"
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.registry import register
+from linux_logs_spark.session import broadcast_if_fits
 
 
 @register(
@@ -480,7 +481,11 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths, applied to time. Windows (one per user after the min-agg)
     broadcast here; when the window side outgrows broadcast, the same
     plan shuffle-joins on the bin id, whose cardinality grows with the
-    time span, not with data volume. Whole seconds + event_id keep
+    time span, not with data volume. wb is a COMPUTED per-user frame,
+    so the hint is size-gated (round-6 advice item): users ≤ events,
+    making the parquet metadata row count × ≤2 bins a sound upper
+    bound on wb's rows — past the cap the shuffle-on-bin fallback
+    actually engages instead of OOMing. Whole seconds + event_id keep
     every value engine-exact."""
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_timestamp("ts").alias("s")
@@ -501,8 +506,9 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     eb = e.withColumn("bin", (F.col("s") / b).cast("long"))
+    n_events = load(spark, sf_dir, "events").count()  # parquet metadata count
     return (
-        eb.join(F.broadcast(wb), "bin")
+        eb.join(broadcast_if_fits(wb, 2 * n_events, 48), "bin")
         .filter((F.col("s") >= F.col("w_start")) & (F.col("s") < F.col("w_end")))
         .groupBy("w_user", "w_start")
         .agg(F.count("*").alias("n_events"))

@@ -223,20 +223,33 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: levenshtein is O(len²) per pair, so it must only ever
     run on candidates — here the df-capped posting-list join bounds
     the pair count, the prefix bounds per-pair cost at 80², and the
-    candidate frame (small) BROADCASTS into the documents scan twice
-    to fetch prefixes — the corpus is never collected, shuffled on
-    text, or self-joined."""
+    candidate frame broadcasts into the documents scan twice to fetch
+    prefixes — the corpus is never collected, shuffled on text, or
+    self-joined. The candidate frame is COMPUTED and worst-case grows
+    with the corpus, so both hints are size-gated (round-6 advice
+    item): pairs is localCheckpoint'd (truncating the multi-stage
+    lineage so the second join doesn't recompute the blocked join)
+    and its EXACT count feeds broadcast_if_fits — past the cap both
+    joins shuffle on doc_id, correct at any scale."""
     d = load(spark, sf_dir, "documents")
-    pairs = blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.4)
+    pairs = blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.4).localCheckpoint()
+    n_pairs = pairs.count()  # checkpointed → count is metadata-cheap
     pref = d.select("doc_id", F.substring("text", 1, 80).alias("p"))
     with_a = (
         pref.alias("da")
-        .join(F.broadcast(pairs), F.col("da.doc_id") == F.col("doc_a"))
+        .join(
+            broadcast_if_fits(pairs, n_pairs, _COUNT_ROW_BYTES),
+            F.col("da.doc_id") == F.col("doc_a"),
+        )
         .select("doc_a", "doc_b", "jaccard", F.col("da.p").alias("pa"))
     )
+    # with_a = pairs + an 80-char prefix per row (~2× the bytes).
     return (
         pref.alias("db")
-        .join(F.broadcast(with_a), F.col("db.doc_id") == F.col("doc_b"))
+        .join(
+            broadcast_if_fits(with_a, n_pairs, 2 * _COUNT_ROW_BYTES + 160),
+            F.col("db.doc_id") == F.col("doc_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

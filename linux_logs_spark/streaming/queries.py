@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,11 +31,14 @@ from linux_logs_spark.registry import register
 
 _counter = itertools.count()
 
-# Bounded memory-sink retention for _run (see its docstring): callers
-# materialize the returned frame promptly, so keeping the last few
-# views is enough headroom while preventing unbounded driver growth.
-_sink_names: list[str] = []
-_SINK_KEEP = 4
+# Memory-sink retention for _run (see its docstring), keyed to the
+# liveness of the frame _run RETURNED (round-6 advice item: a fixed
+# keep-last-4 count silently broke any caller that held a returned
+# frame across 4 newer streaming runs — an implicit contract enforced
+# only by a comment). name → weakref to the returned DataFrame; a view
+# is dropped only once its frame has been garbage-collected, so a
+# late-materializing caller can never hit TABLE_OR_VIEW_NOT_FOUND.
+_sink_refs: dict[str, "weakref.ref[DataFrame]"] = {}
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -121,16 +125,21 @@ def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
     # Memory sinks hold their full result set in the driver until the
     # view is dropped; a long session looping the 11 streaming queries
     # would otherwise accumulate every past result (round-5 review).
-    # Keep a few so just-returned lazy frames stay readable while the
-    # caller materializes them, drop everything older.
-    _sink_names.append(name)
-    while len(_sink_names) > _SINK_KEEP:
-        stale = _sink_names.pop(0)
-        try:
-            spark.catalog.dropTempView(stale)
-        except Exception:
-            pass  # a different session created it — freed with that session
-    return spark.table(name)
+    # Retention is keyed to the returned frame's liveness: each view
+    # stays as long as the caller holds the DataFrame returned here;
+    # once that frame is garbage-collected, the next _run drops the
+    # view. CPython refcounting frees promptly, so a driver that loops
+    # materialize-then-discard keeps at most one stale view pending.
+    out = spark.table(name)
+    _sink_refs[name] = weakref.ref(out)
+    for stale, ref in list(_sink_refs.items()):
+        if stale != name and ref() is None:
+            _sink_refs.pop(stale)
+            try:
+                spark.catalog.dropTempView(stale)
+            except Exception:
+                pass  # a different session created it — freed with that session
+    return out
 
 
 @register(

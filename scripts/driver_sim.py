@@ -141,7 +141,7 @@ def main() -> None:
     # happened in round 5 and took a git restore to undo).
     if args.names:
         out = "driver_sim_results_subset.json"
-    elif args.sf_dir.rstrip("/").endswith("sf0.01"):
+    elif os.path.basename(args.sf_dir.rstrip("/")) == "sf0.01":
         out = "driver_sim_results.json"
     else:
         tag = os.path.basename(args.sf_dir.rstrip("/"))

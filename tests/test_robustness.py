@@ -51,3 +51,25 @@ def test_query_is_timezone_independent(spark, sf_dir, name):
     assert spec.oracle is not None, name
     issues = compare_frames(pdf, run_oracle(spec.oracle, sf_dir))
     assert not issues, f"{name} under non-UTC session: " + "; ".join(issues)
+
+
+def test_memory_sink_view_lives_while_returned_frame_is_held(spark, sf_dir):
+    """Memory-sink retention is keyed to the liveness of the frame
+    _run returns (round-6 advice item): a caller may hold a returned
+    lazy frame across many newer streaming runs and materialize it
+    late — the old fixed keep-last-4 eviction raised
+    TABLE_OR_VIEW_NOT_FOUND here. Dead frames' views must still be
+    dropped so a looping driver doesn't accumulate every result."""
+    from linux_logs_spark.streaming import queries as sq
+
+    held = sq.stream_tumbling(spark, sf_dir)
+    held_names = {n for n, r in sq._sink_refs.items() if r() is held}
+    for _ in range(5):
+        # returned frame is discarded each iteration → weakref dies →
+        # the NEXT _run drops its view
+        sq.stream_tumbling(spark, sf_dir).count()
+    assert held.count() > 0  # late materialization still works
+    # held's view survived; all but (held, latest, latest-1-pending) dropped
+    assert held_names <= set(sq._sink_refs)
+    live = {n for n, r in sq._sink_refs.items() if r() is not None}
+    assert len(sq._sink_refs) <= len(live) + 1

@@ -698,13 +698,49 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
-@register("sim_ann_lsh", "llm", oracle=None)  # approximate by design → rows-only
+# The hyperplanes are a deterministic sin series, so DuckDB can replay
+# the whole index: recompute each plane with list_transform, take the
+# projection sign via list_dot_product (both engines' projections agree
+# to ~1e-15; a sign flip needs |proj| < 1e-14 — vanishing for
+# continuous data), bucket-join, and rank by the SAME round-6 cosine
+# the exact-family oracles already hash-match (vector.py's left fold ≡
+# DuckDB list_cosine_similarity under round-6). Graduated from
+# rows-only in round 6 (the r5 verdict's item 1): "approximate" means
+# approximate NEIGHBORS, not a nondeterministic computation.
+_LSH_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(dv,
+                 list_transform(range(0, 64), i -> sin(1.0 + p.j * 64 + i))) >= 0
+               THEN CAST(power(2, 7 - p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS j) p
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id, bb.vec_id AS neighbor_id,
+         round(list_cosine_similarity(va.dv, vb.dv), 6) AS sim
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = bb.vec_id
+)
+SELECT vec_id, neighbor_id, sim,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS nn_rank
+FROM pairs
+QUALIFY nn_rank <= 5
+"""
+
+
+@register("sim_ann_lsh", "llm", oracle=_LSH_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: 8 signed projections
     → 256 buckets → exact cosine only within the bucket. The scale
     path: the join is an equi-join on bucket, never a cross join.
     Hyperplanes are deterministic driver-side constants (sin series),
-    so results are reproducible run-to-run.
+    so results are reproducible run-to-run — and the DuckDB oracle
+    replays the full index (see _LSH_ORACLE).
 
     Bucket assignment runs as an Arrow-batched pandas UDF — one numpy
     float64 GEMM of the batch against the 8×64 plane matrix (the same
@@ -1038,12 +1074,39 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", "llm", oracle=None)  # mapInPandas plumbing → rows-only
+# The fake payload is the utf-8 text and the bin index is byte >> 4 —
+# exactly the HIGH HEX NIBBLE of each byte, so DuckDB replays the
+# histogram by counting odd-position characters of hex(encode(text)).
+# Graduated from rows-only in round 6: with this, every multimodal
+# query (join/features/resize/frame_sample) is hash-verified
+# end-to-end through the binary plumbing.
+_BYTE_HIST_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h FROM documents
+),
+o AS (
+  SELECT doc_id, CAST(strlen(h) / 2 AS BIGINT) AS n_bytes,
+         list_transform(range(1, CAST(strlen(h) AS BIGINT), 2),
+                        i -> substr(h, CAST(i AS INT), 1)) AS odd
+  FROM b
+)
+SELECT doc_id, n_bytes,
+       array_to_string(
+         list_transform(range(0, 16), k ->
+           CAST(len(list_filter(odd,
+                c -> c = substr('0123456789ABCDEF', CAST(k AS INT) + 1, 1))) AS VARCHAR)),
+         '|') AS features
+FROM o
+"""
+
+
+@register("multimodal_features", "llm", oracle=_BYTE_HIST_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the real multimodal
     plumbing (binary column + metadata struct + Arrow-batched
     mapInPandas). Codecs are stubbed (sources/multimodal.py); the
-    histogram features are deterministic."""
+    histogram features are deterministic and the oracle replays them
+    from the hex encoding (see _BYTE_HIST_ORACLE)."""
     d = load(spark, sf_dir, "documents")
     media = with_media_columns(d)
     return byte_histogram_features(media)

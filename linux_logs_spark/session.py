@@ -59,6 +59,24 @@ def get_spark(
         # default HDFS-backed state store (works everywhere).
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    # 100 TB streaming story (opt-in, default off): the HDFS-backed
+    # state store keeps every key's state ON HEAP, so a stateful query
+    # whose state (per-user totals, dedup keys, stream-stream join
+    # buffers) outgrows executor memory OOMs. RocksDB spills state to
+    # local disk with incremental checkpointing — the right provider
+    # once state >> heap. Off by default here because local tests run
+    # tiny state and the JVM-side RocksDB dependency is pure overhead
+    # at that scale; a cluster deployment sets
+    # SPARK_GRAFT_ROCKSDB_STATE=1 (or passes the conf directly).
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ).config(
+            # bound recovery time: changelog checkpointing ships deltas
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -487,9 +487,9 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound on wb's rows — past the cap the shuffle-on-bin fallback
     actually engages instead of OOMing. Whole seconds + event_id keep
     every value engine-exact."""
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_timestamp("ts").alias("s")
-    )
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", F.unix_timestamp("ts").alias("s"))
+    n_events = ev.count()  # parquet metadata count — no second load
     b = F.lit(RANGE_BIN_S).cast("long")
     w = (
         e.groupBy(F.col("user_id").alias("w_user"))
@@ -506,9 +506,8 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     eb = e.withColumn("bin", (F.col("s") / b).cast("long"))
-    n_events = load(spark, sf_dir, "events").count()  # parquet metadata count
     return (
-        eb.join(broadcast_if_fits(wb, 2 * n_events, 48), "bin")
+        eb.join(broadcast_if_fits(wb, 2 * n_events, 64), "bin")
         .filter((F.col("s") >= F.col("w_start")) & (F.col("s") < F.col("w_end")))
         .groupBy("w_user", "w_start")
         .agg(F.count("*").alias("n_events"))

@@ -153,14 +153,21 @@ _DEFAULT_COST = 0.9
 
 
 def _last_verified_round() -> dict[str, int]:
-    """name → most recent round with a driver CORRECTNESS row (0 = never).
+    """name → most recent round whose driver signature still counts
+    (0 / absent = effectively never verified).
 
     Read from the committed ``VERIFIED_HISTORY.json`` at the repo root
     (regenerated each round from the driver's ``CORRECTNESS_r*.json``
     files via scripts/update_verified_history.py). Entries look like
-    ``"r5"`` or ``"r4:rows-only"``; the round number is what matters
-    for ordering. Missing/unreadable file → empty dict, which degrades
-    to pure cheapest-first ordering.
+    ``"r5"`` or ``"r4:rows-only"``. A rows-only signature counts ONLY
+    while the query still has no oracle (it is then the strongest
+    evidence possible); once a query GAINS an oracle, its old
+    rows-only rounds are ignored so the new oracle sorts to the front
+    of the driver window instead of waiting 2–3 rounds behind its
+    stale weak signature (round-6 review finding — the five queries
+    graduated in round 6 would otherwise go driver-unchecked).
+    Missing/unreadable file → empty dict, which degrades to pure
+    cheapest-first ordering.
     """
     import json
     import re
@@ -171,17 +178,18 @@ def _last_verified_round() -> dict[str, int]:
     try:
         data = json.loads(path.read_text())
         for name, rounds in data["verified"].items():
-            nums = [int(m.group(1)) for r in rounds for m in [re.match(r"r(\d+)", r)] if m]
+            has_oracle = name in _REGISTRY and _REGISTRY[name].oracle is not None
+            nums = [
+                int(m.group(1))
+                for r in rounds
+                for m in [re.match(r"r(\d+)(:rows-only)?$", r)]
+                if m and not (has_oracle and m.group(2))
+            ]
             if nums:
                 out[name] = max(nums)
     except Exception:
         return {}
     return out
-
-
-def _driver_verified() -> frozenset[str]:
-    """Names with any driver CORRECTNESS row (kept for tests/tools)."""
-    return frozenset(_last_verified_round())
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -36,9 +36,11 @@ _counter = itertools.count()
 # keep-last-4 count silently broke any caller that held a returned
 # frame across 4 newer streaming runs — an implicit contract enforced
 # only by a comment). name → weakref to the returned DataFrame; a view
-# is dropped only once its frame has been garbage-collected, so a
-# late-materializing caller can never hit TABLE_OR_VIEW_NOT_FOUND.
+# is dropped only once its frame has been garbage-collected AND it has
+# fallen out of the most-recent window, so a late-materializing caller
+# does not hit TABLE_OR_VIEW_NOT_FOUND.
 _sink_refs: dict[str, "weakref.ref[DataFrame]"] = {}
+_SINK_KEEP_FLOOR = 4
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -126,14 +128,19 @@ def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
     # view is dropped; a long session looping the 11 streaming queries
     # would otherwise accumulate every past result (round-5 review).
     # Retention is keyed to the returned frame's liveness: each view
-    # stays as long as the caller holds the DataFrame returned here;
-    # once that frame is garbage-collected, the next _run drops the
-    # view. CPython refcounting frees promptly, so a driver that loops
-    # materialize-then-discard keeps at most one stale view pending.
+    # stays as long as the caller holds the DataFrame returned here
+    # (classic PySpark resolves spark.table eagerly, so even a DERIVED
+    # frame keeps working after the view drops; the liveness key and
+    # the keep-last floor below are for name-resolving clients like
+    # Spark Connect, where a held derived frame would re-resolve the
+    # view name late — round-6 review). A view is dropped only when
+    # its returned frame is garbage-collected AND at least
+    # _SINK_KEEP_FLOOR newer runs exist.
     out = spark.table(name)
     _sink_refs[name] = weakref.ref(out)
+    recent = set(list(_sink_refs)[-_SINK_KEEP_FLOOR:])
     for stale, ref in list(_sink_refs.items()):
-        if stale != name and ref() is None:
+        if stale not in recent and ref() is None:
             _sink_refs.pop(stale)
             try:
                 spark.catalog.dropTempView(stale)

@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Scale rehearsal: do the heavy dedup/similarity plans survive 10×?
+
+The blocked-pair and banding docstrings claim the plans "survive 100×
+by raising the knobs". This script makes the first decade of that
+claim MEASURED instead of asserted (r5 verdict item 3):
+
+1. ``--gen``: synthesize a ~10× documents (50k rows) + embeddings
+   (20k rows) dataset into ``.scale10/`` with the exact sf0.1 parquet
+   schemas — fresh seeded text sampled from the real per-language
+   sf0.1 vocabulary (NOT a row copy: replicating rows 10× would give
+   every doc 10 exact twins and blow the pair space artificially),
+   plus ~3% planted near-duplicates so the dedup family has real work.
+   The other eight tables are copied from sf0.1 so ``load()`` works
+   unchanged.
+2. ``--run``: run the heavy family at sf0.1 (baseline knobs) and at
+   ``.scale10`` (block knobs raised ~√10, exactly the documented
+   scale-up move), recording wall seconds, result rows, and total
+   shuffle-write bytes (Spark UI REST API) per query.
+
+Results land in ``scale_rehearsal.json``; SCALING.md quotes them.
+Serialize with any other Spark work on this box (single-JVM rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(REPO, ".scale10")
+SEED = 20260814
+N_DOCS = 50_000
+N_VECS = 20_000
+NEAR_DUP_FRAC = 0.03
+
+HEAVY = [
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "decontam_ngram_overlap",
+    "sim_cosine_blocked",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+]
+
+# knob → 10× value, each the documented scale-up move for its family:
+# - blocked-cosine blocks scale ~√10 so per-task memory (one pair
+#   cell) stays CONSTANT while the cell count absorbs the growth;
+# - LSH planes 4 → 8 (buckets 16 → 256) keeps the mean bucket
+#   occupancy — and thus Σ bucket² candidate volume per vector —
+#   level as n grows (K = log2(n/occupancy) — the sim_ann_lsh
+#   docstring's sizing rule);
+# - IVF cells follow the ~√n rule (16 → 128 at 10×) for the same
+#   candidates-per-probe parity.
+KNOBS_10X = {
+    ("linux_logs_spark.operators.llm_pipeline", "DEDUP_QUERY_BLOCKS"): 25,
+    ("linux_logs_spark.operators.llm_pipeline", "DEDUP_CAND_BLOCKS"): 25,
+    ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 8,
+    ("linux_logs_spark.operators.warehouse", "N_IVF_CELLS"): 128,
+    ("linux_logs_spark.operators.extras", "SIM_QUERY_BLOCKS"): 13,
+    ("linux_logs_spark.operators.extras", "SIM_CAND_BLOCKS"): 13,
+}
+
+
+def gen() -> None:
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+
+    # --- documents: per-lang vocab + length/source distributions from
+    # the real sf0.1 corpus, Zipf-ish sampling per doc.
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, source, len(string_split(text, ' ')) AS n_words
+        FROM read_parquet('{SF1_DIR}/documents.parquet')
+        """
+    ).fetchall()
+    langs = sorted({r[0] for r in rows})
+    lang_sources: dict[str, list[str]] = {}
+    lang_lens: dict[str, list[int]] = {}
+    for lang, source, n_words in rows:
+        lang_sources.setdefault(lang, []).append(source)
+        lang_lens.setdefault(lang, []).append(n_words)
+    vocab = {
+        lang: [
+            w
+            for (w,) in con.execute(
+                f"""
+                SELECT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM read_parquet('{SF1_DIR}/documents.parquet')
+                  WHERE lang = ?
+                ) GROUP BY word ORDER BY count(*) DESC, word
+                """,
+                [lang],
+            ).fetchall()
+            if w
+        ]
+        for lang in langs
+    }
+    con.close()
+    # Real corpora carry a LONG RARE-WORD TAIL (Heaps/Zipf): content
+    # words have tiny document frequency, and that is the design
+    # assumption behind df-capped posting-list blocking. The sf
+    # testdata generator instead uses a FIXED 31-word/lang vocabulary
+    # at every SF — no tail at all. Run 1 of this rehearsal
+    # (scale_rehearsal_run1_fixedvocab.json) measured the consequence:
+    # at 10× every word's per-block df blows past WORD_DF_CAP and the
+    # word-posting paths lose all postings (0 pairs), while the
+    # 3-gram-SHINGLE paths (minhash, decontam) keep working because
+    # shingling re-lengthens the tail (31³ possible shingles). The
+    # canonical rehearsal therefore extends the vocab with a ~30×
+    # synthetic rare tail (Zipf-weighted to ranks 30..990), sized so
+    # tail-word per-block df lands in single digits at 500 docs/block
+    # — the regime real text occupies.
+    for lang in langs:
+        base = vocab[lang]
+        extra = [f"{base[i % len(base)]}x{i}" for i in range(30 * len(base))]
+        vocab[lang] = base + extra
+
+    doc_ids, texts, doc_langs, doc_sources = [], [], [], []
+    lang_choices = rng.choice(langs, size=N_DOCS)
+    for i in range(N_DOCS):
+        lang = str(lang_choices[i])
+        v = vocab[lang]
+        # Zipf-ish: rank r weight 1/(r+10) — matches a natural-corpus
+        # head-heavy df profile closely enough for blocking behavior
+        ranks = np.arange(len(v))
+        w = 1.0 / (ranks + 10)
+        n = int(rng.choice(lang_lens[lang]))
+        words = rng.choice(v, size=max(n, 1), p=w / w.sum())
+        doc_ids.append(i)
+        texts.append(" ".join(words))
+        doc_langs.append(lang)
+        doc_sources.append(str(rng.choice(lang_sources[lang])))
+    # planted near-dups: overwrite the tail with mutated copies of
+    # random earlier docs (same lang/source → same block, detectable)
+    n_dup = int(N_DOCS * NEAR_DUP_FRAC)
+    for j in range(N_DOCS - n_dup, N_DOCS):
+        src_idx = int(rng.integers(0, N_DOCS - n_dup))
+        toks = texts[src_idx].split(" ")
+        for _ in range(max(1, len(toks) // 20)):  # ~5% token edits
+            toks[int(rng.integers(0, len(toks)))] = str(
+                rng.choice(vocab[doc_langs[src_idx]])
+            )
+        texts[j] = " ".join(toks)
+        doc_langs[j] = doc_langs[src_idx]
+        doc_sources[j] = doc_sources[src_idx]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(doc_langs, pa.string()),
+            "source": pa.array(doc_sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(SCALE_DIR, "documents.parquet"))
+
+    # --- embeddings: the real table is UNIT-NORM and essentially
+    # isotropic (measured: per-label center norms ≈ 0.07, same-label
+    # mean cosine ≈ 0.005), so the 10× set is isotropic unit vectors —
+    # run 1 of this rehearsal generated 10 TIGHT gaussian clusters
+    # instead, which skewed every LSH bucket/IVF cell and inflated the
+    # candidate volume quadratically; keep the geometry honest.
+    orig = pq.read_table(os.path.join(SF1_DIR, "embeddings.parquet"))
+    emb_schema = orig.schema
+    labels = rng.integers(0, 10, size=N_VECS)
+    vecs = rng.normal(0, 1.0, size=(N_VECS, 64))
+    n_vdup = int(N_VECS * NEAR_DUP_FRAC)
+    for j in range(N_VECS - n_vdup, N_VECS):
+        src_idx = int(rng.integers(0, N_VECS - n_vdup))
+        vecs[j] = vecs[src_idx] + rng.normal(0, 0.05, size=64)
+        labels[j] = labels[src_idx]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v.astype("float32") for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    emb = emb.cast(emb_schema)
+    pq.write_table(emb, os.path.join(SCALE_DIR, "embeddings.parquet"))
+
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        shutil.copy(
+            os.path.join(SF1_DIR, f"{t}.parquet"),
+            os.path.join(SCALE_DIR, f"{t}.parquet"),
+        )
+    print(f"generated {N_DOCS} docs / {N_VECS} vecs in {SCALE_DIR}")
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages so far
+    (UI REST API — the session must run with spark.ui.enabled=true).
+    uiWebUrl, not a hardcoded :4040 — a busy port silently rebinds to
+    4041 and would null every measurement (round-6 review)."""
+    app_id = spark.sparkContext.applicationId
+    ui = spark.sparkContext.uiWebUrl
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def _set_knobs(values: dict) -> dict:
+    import importlib
+
+    old = {}
+    for (mod_name, attr), val in values.items():
+        mod = importlib.import_module(mod_name)
+        old[(mod_name, attr)] = getattr(mod, attr)
+        setattr(mod, attr, val)
+    return old
+
+
+def run(only: list[str] | None = None) -> None:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from linux_logs_spark.registry import all_queries
+    from linux_logs_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal", extra_conf={"spark.ui.enabled": "true"})
+    specs = all_queries()
+    global HEAVY
+    if only:
+        HEAVY = [n for n in HEAVY if n in only]
+    # merge into an existing results file so a subset re-run (after a
+    # data regen) updates only its own rows
+    dest = os.path.join(REPO, "scale_rehearsal.json")
+    out: dict[str, dict] = {}
+    if os.path.exists(dest):
+        with open(dest) as fh:
+            out = json.load(fh).get("queries", {})
+    for tag, sf_dir, knobs in (
+        ("1x", SF1_DIR, {}),
+        ("10x", SCALE_DIR, KNOBS_10X),
+    ):
+        old = _set_knobs(knobs)
+        try:
+            for name in HEAVY:
+                sw0 = _shuffle_write_bytes(spark)
+                t0 = time.monotonic()
+                n_rows = specs[name].fn(spark, sf_dir).count()
+                wall = time.monotonic() - t0
+                sw1 = _shuffle_write_bytes(spark)
+                rec = {
+                    "wall_s": round(wall, 2),
+                    "rows": n_rows,
+                    "shuffle_write_mb": round((sw1 - sw0) / 2**20, 1)
+                    if sw0 >= 0 and sw1 >= 0
+                    else None,
+                }
+                out.setdefault(name, {})[tag] = rec
+                print(f"{tag:>4} {name:28} {wall:7.2f}s {n_rows:>9} rows "
+                      f"{rec['shuffle_write_mb']} MB shuffle", flush=True)
+        finally:
+            _set_knobs(old)
+    with open(dest, "w") as fh:
+        json.dump(
+            {"n_docs_10x": N_DOCS, "n_vecs_10x": N_VECS, "seed": SEED,
+             "knobs_10x": {f"{m}.{a}": v for (m, a), v in KNOBS_10X.items()},
+             "queries": out},
+            fh, indent=1,
+        )
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--queries", help="comma-separated subset of the heavy family")
+    args = ap.parse_args()
+    if args.gen:
+        gen()
+    if args.run:
+        run(args.queries.split(",") if args.queries else None)
+    if not (args.gen or args.run):
+        ap.error("pass --gen and/or --run")

@@ -69,7 +69,8 @@ def test_memory_sink_view_lives_while_returned_frame_is_held(spark, sf_dir):
         # the NEXT _run drops its view
         sq.stream_tumbling(spark, sf_dir).count()
     assert held.count() > 0  # late materialization still works
-    # held's view survived; all but (held, latest, latest-1-pending) dropped
+    # held's view survived; dead views outside the keep-floor window
+    # were dropped, so retention is bounded by live frames + the floor
     assert held_names <= set(sq._sink_refs)
     live = {n for n, r in sq._sink_refs.items() if r() is not None}
-    assert len(sq._sink_refs) <= len(live) + 1
+    assert len(sq._sink_refs) <= len(live) + sq._SINK_KEEP_FLOOR

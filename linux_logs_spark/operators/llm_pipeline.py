@@ -695,28 +695,52 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8
+# Plane count sizes the bucket fan-out (2^K buckets): pick
+# K ≈ log2(n / target_occupancy) so per-bucket candidate lists stay
+# ~constant as the corpus grows — the rehearsal's 10× pass runs K=8
+# (scripts/scale_rehearsal.py). 4 ⇒ 16 buckets, occupancy ~31 at
+# sf0.001 where the recall gate runs.
+N_PLANES = 4
 
 
-# The hyperplanes are a deterministic sin series, so DuckDB can replay
-# the whole index: recompute each plane with list_transform, take the
-# projection sign via list_dot_product (both engines' projections agree
-# to ~1e-15; a sign flip needs |proj| < 1e-14 — vanishing for
-# continuous data), bucket-join, and rank by the SAME round-6 cosine
-# the exact-family oracles already hash-match (vector.py's left fold ≡
-# DuckDB list_cosine_similarity under round-6). Graduated from
-# rows-only in round 6 (the r5 verdict's item 1): "approximate" means
-# approximate NEIGHBORS, not a nondeterministic computation.
-_LSH_ORACLE = """
+def lsh_plane(j: int, i: int) -> float:
+    """Element i of hyperplane j: a sampled sinusoid whose FREQUENCY
+    (j+1) differs per plane, so the K plane vectors are linearly
+    independent (distinct integer frequencies ≤ K don't alias for
+    K·1 rad < 2π·K, verified: rank == K for K ≤ 11). The round-6
+    scale rehearsal caught the previous phase-shift-only series
+    sin(1 + j·64 + i): every plane was a phase shift of ONE sinusoid,
+    i.e. a linear combination of {sin(1+i), cos(1+i)} — rank 2 — so K
+    planes produced only ~2K occupied buckets (a 2-D line arrangement)
+    instead of 2^K, and candidate volume stayed ~n²/2K: quadratic at
+    any scale, with the K knob a no-op. Closed form (not a PRNG) so
+    the DuckDB oracle can replay it."""
+    import math
+
+    return math.sin((i + 1.0) * (j + 1.0) + j)
+
+
+# The hyperplanes are a deterministic closed-form series, so DuckDB can
+# replay the whole index: recompute each plane with list_transform,
+# take the projection sign via list_dot_product (both engines'
+# projections agree to ~1e-15; a sign flip needs |proj| < 1e-14 —
+# vanishing for continuous data), bucket-join, and rank by the SAME
+# round-6 cosine the exact-family oracles already hash-match
+# (vector.py's left fold ≡ DuckDB list_cosine_similarity under
+# round-6). Graduated from rows-only in round 6 (the r5 verdict's
+# item 1): "approximate" means approximate NEIGHBORS, not a
+# nondeterministic computation. Built from N_PLANES/lsh_plane so the
+# oracle cannot drift from the engine's constants.
+_LSH_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
 ),
 b AS (
   SELECT vec_id,
          CAST(sum(CASE WHEN list_dot_product(dv,
-                 list_transform(range(0, 64), i -> sin(1.0 + p.j * 64 + i))) >= 0
-               THEN CAST(power(2, 7 - p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS j) p
+                 list_transform(range(0, 64), i -> sin((i + 1) * (p.j + 1) + p.j))) >= 0
+               THEN CAST(power(2, {N_PLANES - 1} - p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN (SELECT unnest(range(0, {N_PLANES})) AS j) p
   GROUP BY vec_id
 ),
 pairs AS (
@@ -735,29 +759,29 @@ QUALIFY nn_rank <= 5
 
 @register("sim_ann_lsh", "llm", oracle=_LSH_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8 signed projections
-    → 256 buckets → exact cosine only within the bucket. The scale
-    path: the join is an equi-join on bucket, never a cross join.
-    Hyperplanes are deterministic driver-side constants (sin series),
+    """Approximate NN via random-hyperplane LSH: K signed projections
+    → 2^K buckets → exact cosine only within the bucket. The scale
+    path: the join is an equi-join on bucket, never a cross join, and
+    K grows as log2(n / occupancy) so candidate volume stays ~n·const
+    (see lsh_plane for the rank-degeneracy bug the round-6 rehearsal
+    caught here). Hyperplanes are deterministic driver-side constants,
     so results are reproducible run-to-run — and the DuckDB oracle
     replays the full index (see _LSH_ORACLE).
 
     Bucket assignment runs as an Arrow-batched pandas UDF — one numpy
-    float64 GEMM of the batch against the 8×64 plane matrix (the same
+    float64 GEMM of the batch against the K×64 plane matrix (the same
     blocked-matmul shape a 100 TB run would use). A JVM-expression
     form of the 512-term projection exceeded janino's 64 KB method
     limit: a single Catalyst expression cannot be split across
     generated methods, so codegen failed and the whole stage ran
     interpreted. The within-bucket verification dot stays a JVM
     codegen'd fold."""
-    import math
-
     import numpy as np
     import pandas as pd
 
     dim = 64
     planes_mat = np.array(
-        [[math.sin(1.0 + j * dim + i) for i in range(dim)] for j in range(N_PLANES)],
+        [[lsh_plane(j, i) for i in range(dim)] for j in range(N_PLANES)],
         dtype=np.float64,
     )
     weights = (2 ** np.arange(N_PLANES - 1, -1, -1)).astype(np.int64)

@@ -15,11 +15,14 @@ On ABSOLUTE recall of the cosine-ANN paths: the synthetic embeddings
 are uniform random vectors, which have no neighborhood structure —
 top-5 cosine neighbors are spread almost uniformly across buckets, so
 ANY bucketing ANN has low recall on them (curse of dimensionality).
-The observed constants (LSH ≈ 0.09, IVF ≈ 0.31 at sf0.001) are
+The observed constants (LSH ≈ 0.128, IVF ≈ 0.31 at sf0.001) are
 data-limited, not implementation defects; on clustered real
 embeddings the same pipelines bucket neighbors together. The tests
 pin the constants so a silent pipeline change (different plane seeds,
 wrong bucket join, dropped verify stage) shows up as a recall shift.
+(Round 6 re-pinned LSH after the scale rehearsal exposed the rank-2
+plane degeneracy — see lsh_plane — and the fix changed both the
+bucketing and, upward, the recall.)
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def exact_top5(spark, sf_dir):
 def test_lsh_recall_at_5(spark, sf_dir, exact_top5):
     lsh = _pairs(_Q["sim_ann_lsh"].fn(spark, sf_dir))
     recall = len(lsh & exact_top5) / len(exact_top5)
-    assert recall >= 0.08, f"recall@5 {recall:.3f} (observed 0.094)"
+    assert recall >= 0.10, f"recall@5 {recall:.3f} (observed 0.128, round-6 planes)"
 
 
 def test_ivf_recall_at_5(spark, sf_dir, exact_top5):

@@ -522,6 +522,165 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_shingle_jaccard",
+    "llm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 3)
+),
+n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+""",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram shingle Jaccard ≥ 0.5 pairs — the ground truth the
+    minhash sketch approximates (tests/test_ann_quality.py measured
+    this brute-force in pandas; this registers it as a first-class
+    distributed query with a DuckDB oracle, closing the loop: sketch
+    recall is now checkable against an oracle-verified exact query).
+
+    Scale shape: a posting-list equi-join on ``xxhash64(shingle)``
+    (8-byte shuffle keys; the oracle joins the raw string — hash
+    keying is semantics-preserving modulo xxhash64 collisions, the
+    same caveat as decontam). Unlike the word-posting family there is
+    NO df cap — exactness forbids dropping postings — so cost is
+    Σ df² over shingles. That is the documented tradeoff: shingle df
+    is naturally tiny on real long-tail corpora (the round-6 10×
+    rehearsal measured shingle paths surviving a corpus whose WORD
+    postings collapsed), and on pathological corpora (identical
+    boilerplate everywhere) an exact pairwise answer is Ω(n²) rows
+    anyway — no plan escapes its own output size."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(word_shingles(words("text"), 3)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    n_docs = d.count()
+    na, nb = n.alias("na"), n.alias("nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            broadcast_if_fits(na, n_docs, _COUNT_ROW_BYTES),
+            F.col("doc_a") == F.col("na.doc_id"),
+        )
+        .join(
+            broadcast_if_fits(nb, n_docs, _COUNT_ROW_BYTES),
+            F.col("doc_b") == F.col("nb.doc_id"),
+        )
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# Scrub patterns: RE2 (DuckDB) and java.util.regex (Spark) agree on
+# this conservative subset — char classes, bounded quantifiers, no
+# backrefs/lookaround. Keep it that way: oracle parity depends on it.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@register(
+    "doc_pii_scrub",
+    "llm",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 3 = 1
+              THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       lower(sha256(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                   '{_PII_IPV4}', '<IP>', 'g'))) AS scrubbed_sha
+FROM staged
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting — a mandatory stage of any real
+    training-data pipeline: count and replace email/IPv4 literals,
+    emit the scrubbed text's digest so downstream exact-dedup keys on
+    scrubbed content. The synthetic corpus contains no PII, so the
+    query STAGES deterministic PII into a slice of documents first
+    (doc_id-derived, replayed identically by the oracle) — the scrub
+    path is then exercised on true positives and true negatives alike.
+
+    Scale shape: pure map-side (regexp_extract_all + regexp_replace +
+    sha2 inside whole-stage codegen) — zero shuffles, linear scan, the
+    same plan at 100 TB. Patterns stay in the RE2∩java.util.regex
+    dialect so the DuckDB oracle replays byte-identically."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 # sim_knn_label / emb_neighborhood_purity build on sim_cosine_topk's

@@ -566,3 +566,56 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.alias("kept_docs"),
         )
     )
+
+
+# 8 shards via md5 hex-prefix range bucketing: thresholds '2','4',...
+# are single hex chars, so shard = Σ (h >= t) — expressible identically
+# in Spark and DuckDB (md5 yields the same lowercase hex in both).
+N_SHUFFLE_SHARDS = 8
+_SHARD_THRESHOLDS = ["2", "4", "6", "8", "a", "c", "e"]
+
+
+@register(
+    "shuffle_shard",
+    "llm",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+s AS (
+  SELECT doc_id, hx,
+         {' + '.join(f"CAST(hx >= '{t}' AS BIGINT)" for t in _SHARD_THRESHOLDS)} AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+FROM s
+""",
+)
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → training shards: the export step
+    every training run needs (examples must reach the data loader in a
+    reproducible pseudo-random order, sharded for parallel readers).
+    md5(doc_id) is the permutation key: shard = hex-prefix range
+    bucket (map-side, no shuffle to ASSIGN), position-within-shard =
+    one window per shard ordered by the hash — i.e. exactly the
+    repartition + sortWithinPartitions plan a file export would run,
+    expressed declaratively so the oracle can replay it.
+
+    Scale shape: ONE exchange on shard (8-way here; thousands at
+    100 TB) and a per-shard sort — no global sort, no driver
+    involvement. Deterministic across cluster sizes because both the
+    shard and the order derive from content (md5), not from partition
+    layout — the split_train_holdout reproducibility property applied
+    to ordering."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = sum(
+        (h >= t).cast("long") for t in _SHARD_THRESHOLDS
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        d.select("doc_id", h.alias("hx"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -983,3 +983,65 @@ def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "emb_quantize_int8",
+    "llm",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+q AS (
+  SELECT vec_id, dv,
+         list_max(list_transform(dv, x -> abs(x))) / 127 AS scale
+  FROM v
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       round(list_max(list_transform(dv,
+             x -> abs(round(x / scale) * scale - x))), 9) AS max_abs_err,
+       round(list_sum(list_transform(dv,
+             x -> abs(round(x / scale) * scale - x))) / 64, 9) AS mean_abs_err
+FROM q
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization accounting — the
+    compression step an ANN serving tier runs before shipping vectors
+    (4× smaller than float32, 8× than float64): per-vector scale =
+    max|x|/127, q = round(x/scale), and the reconstruction-error stats
+    (max / mean absolute error) that decide whether int8 is safe for
+    the retrieval threshold in use.
+
+    Scale shape: pure map-side over the embedding scan — zero
+    shuffles, one pass, whole-stage codegen (unrolled per-element
+    expressions like the cosine family; the scale factor is computed
+    in its OWN projection so Catalyst's CollapseProject keeps it a
+    single codegen local instead of inlining the 64-term max into all
+    128 downstream uses). Error sums use the left-assoc fold that
+    matches DuckDB's list_sum accumulation (vector.py), so the oracle
+    hash-matches under round-9. Unit-norm input ⇒ scale > 0; an
+    all-zero vector would yield scale 0 and IEEE Inf/NaN — acceptable
+    for an accounting query, and impossible on this table."""
+    import functools
+    import operator
+
+    e = load(spark, sf_dir, "embeddings")
+    raw = F.col("embedding")
+    absd = [F.abs(raw[i].cast("double")) for i in range(64)]
+    step1 = e.select(
+        "vec_id", "embedding", (F.greatest(*absd) / F.lit(127.0)).alias("scale")
+    )
+    sc = F.col("scale")
+    errs = [
+        F.abs(
+            F.round(raw[i].cast("double") / sc, 0) * sc - raw[i].cast("double")
+        )
+        for i in range(64)
+    ]
+    sum_err = functools.reduce(operator.add, errs)
+    return step1.select(
+        "vec_id",
+        F.round(sc, 9).alias("scale"),
+        F.round(F.greatest(*errs), 9).alias("max_abs_err"),
+        F.round(sum_err / F.lit(64.0), 9).alias("mean_abs_err"),
+    )

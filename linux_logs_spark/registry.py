@@ -113,6 +113,7 @@ _MEASURED_COST: dict[str, float] = {
     "agg_rollup": 0.33, "agg_stats": 0.26, "agg_string_concat": 0.33, "agg_unpivot": 0.12,
     "corpus_mix_rebalance": 0.35, "cust_order_intervals": 0.36, "cust_rfm_segments": 2.08, "decontam_ngram_overlap": 0.99,
     "dedup_clusters_cc": 3.87, "dedup_edit_verify": 1.69, "dedup_embedding_cosine": 2.51, "dedup_exact": 0.21,
+    "dedup_shingle_jaccard": 1.3, "doc_pii_scrub": 0.2, "shuffle_shard": 0.23, "emb_quantize_int8": 1.16,
     "dedup_exact_hash": 0.19, "dedup_near_minhash": 1.07, "dedup_ngram_jaccard": 1.31, "dedup_simhash": 1.89,
     "doc_chunk": 0.23, "emb_centroid_outliers": 0.66, "emb_label_centroid": 0.26, "emb_neighborhood_purity": 0.91,
     "emb_pca_power": 0.53, "fn_array": 0.14, "fn_array_agg": 0.14, "fn_bitwise": 0.25,

@@ -89,3 +89,33 @@ def test_minhash_recall_vs_exact_shingle_jaccard(spark, sf_dir):
     recall = len(exact & mh) / max(len(exact), 1)
     assert recall >= 0.85, f"recall {recall:.3f} ({len(mh)} found / {len(exact)} true)"
     assert not (mh - exact), f"false positives: {sorted(mh - exact)[:5]}"
+
+
+def test_registered_exact_shingle_query_matches_brute_force(spark, sf_dir):
+    """dedup_shingle_jaccard (round 6) registers the exact shingle
+    ground truth as a first-class distributed query; it must agree
+    pair-for-pair with the independent pandas brute force the minhash
+    recall gate uses — tying the oracle-verified query and the recall
+    measurement to the same truth."""
+    docs = [
+        (r["doc_id"], r["text"].split(" "))
+        for r in spark.read.parquet(sf_dir + "/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    shingle_sets = {
+        d: frozenset(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+        if len(ws) >= 3
+        else frozenset()
+        for d, ws in docs
+    }
+    exact = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(shingle_sets.items()), 2):
+        if sa and sb:
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.5:
+                exact.add((a, b))
+    got = _pairs(_Q["dedup_shingle_jaccard"].fn(spark, sf_dir), "doc_a", "doc_b")
+    assert got == exact, (
+        f"{len(got - exact)} extra, {len(exact - got)} missing of {len(exact)}"
+    )

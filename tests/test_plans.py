@@ -371,3 +371,28 @@ def test_dedup_near_minhash_band_join_is_equijoin(spark, sf_dir):
     assert keys and all(
         not re.search(r"(?<![0-9A-Za-z_])(?:sh|w)#\d", ln) for ln in keys
     ), keys
+
+
+def test_shuffle_shard_single_exchange_no_global_sort(spark, sf_dir):
+    """The shard export must be repartition-by-shard + sort-within:
+    one hash exchange, and no rangepartitioning (a global sort would
+    serialize the corpus through one ordering pass at 100 TB)."""
+    plan = plan_string(_Q["shuffle_shard"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    # formatted explain puts the node name and its hashpartitioning
+    # arguments on separate lines — count Exchange NODES
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_dedup_shingle_jaccard_joins_on_hashes(spark, sf_dir):
+    """The exact shingle posting join must be an equi-join on the
+    8-byte xxhash64 key — no cartesian, and no shingle string in any
+    join key list."""
+    plan = plan_string(_Q["dedup_shingle_jaccard"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "xxhash64" in plan, plan
+    keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
+    assert keys and all("shingle#" not in ln for ln in keys), keys

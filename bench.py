@@ -68,6 +68,12 @@ HEADLINE = (
     "dedup_edit_verify",
     "table_column_stats",
     "stream_text_tail",
+    # round-6 additions worth per-round tracking
+    "sim_ann_lsh",
+    "dedup_shingle_jaccard",
+    "doc_pii_scrub",
+    "shuffle_shard",
+    "emb_quantize_int8",
 )
 
 

@@ -196,7 +196,22 @@ SIM_QUERY_BLOCKS = 4
 SIM_CAND_BLOCKS = 4
 
 
-@register("sim_cosine_blocked", "llm", oracle=None)  # BLAS order ≠ fold → rows-only
+# sim_cosine_blocked shares sim_cosine_topk's oracle: both emit the
+# per-query top-5 with sim ROUNDED TO 6 DIGITS BEFORE ranking and
+# (sim desc, neighbor_id) tie-break, so the only cross-engine delta is
+# sub-ulp BLAS-vs-fold summation order — which round-6 absorbs, the
+# same accepted-boundary class as the LSH/IVF oracles (graduated from
+# rows-only in round 6; verified hash-green at sf0.001/0.01/0.1).
+def _cosine_topk_oracle() -> str:
+    from linux_logs_spark.operators.llm_pipeline import _COSINE_RANKED_SQL
+
+    return (
+        _COSINE_RANKED_SQL
+        + "SELECT vec_id, neighbor_id, sim, nn_rank FROM ranked WHERE nn_rank <= 5"
+    )
+
+
+@register("sim_cosine_blocked", "llm", oracle=_cosine_topk_oracle())
 def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB brute-force path: block×block matrix multiply with NO
     driver-side materialization. Queries hash into QB blocks and
@@ -209,8 +224,9 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² pair space, and per-task memory is (n/QB + n/CB)·dim doubles —
     both bounded by the block knobs, unlike the previous broadcast of
     the full candidate matrix. Results equal sim_cosine_topk up to
-    BLAS summation order (~1 ulp), hence rows-only: the exact fold
-    version remains the oracle-checked baseline."""
+    BLAS summation order (~1 ulp), which the round-6-before-rank
+    convention absorbs — so it shares sim_cosine_topk's oracle (see
+    _cosine_topk_oracle)."""
     import numpy as np
     import pandas as pd
 

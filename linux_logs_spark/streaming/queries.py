@@ -236,12 +236,34 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, "complete")
 
 
-@register("stream_watermark_late", "streaming", oracle=None)  # late-drop → rows-only
+# Under availableNow's single micro-batch nothing arrives late, so the
+# append-mode output is exactly the batch windowed agg RESTRICTED to
+# windows the final watermark closed: window_end <= max(event_time) -
+# 10 min. The emission boundary is `<=` — pinned empirically with a
+# synthetic corpus whose first window ends exactly AT the watermark
+# (round 6: that window IS emitted). Event time is ts floored to whole
+# seconds (module ns→µs→s rule), hence the floor(epoch(...)) forms.
+_WATERMARK_LATE_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_s,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), wm AS (
+  SELECT CAST(floor(epoch(max(ts))) - 600 AS BIGINT) AS w FROM events
+)
+SELECT window_start_s, event_type, n FROM b, wm
+WHERE window_start_s + 300 <= w
+"""
+
+
+@register("stream_watermark_late", "streaming", oracle=_WATERMARK_LATE_SQL)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + append-mode windowed agg: only windows the 10-min
     watermark has closed are emitted, so the result is a strict subset
-    of the batch answer (the final open windows stay in state) —
-    inherently rows-only."""
+    of the batch answer (the final open windows stay in state) — and
+    under availableNow that subset is deterministic, so the oracle
+    replays it (see _WATERMARK_LATE_SQL; graduated from rows-only in
+    round 6)."""
     src = _events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "10 minutes")

@@ -93,3 +93,18 @@ class TestExactNtile:
 
     def test_other_tile_counts(self, spark):
         self._check(spark, [(i, float(i % 5)) for i in range(23)], tiles=10)
+
+
+def test_shuffle_shard_invariant_under_input_partitioning(spark, sf_dir):
+    """The shard export's whole value is reproducibility: shard id AND
+    within-shard position must be content-derived (md5), identical
+    whatever the input partitioning or session shuffle width — a
+    1000-executor export and a laptop run must produce byte-identical
+    shard files."""
+    from linux_logs_spark.registry import all_queries
+
+    fn = all_queries()["shuffle_shard"].fn
+    baseline = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.shuffle.partitions", "3")
+    assert {tuple(r) for r in fn(clone, sf_dir).collect()} == baseline

@@ -120,3 +120,21 @@ def test_broadcast_if_fits_gates_on_estimate(spark, sf_dir):
     from linux_logs_spark.plans.explain import assert_in_plan
 
     assert_in_plan(joined, "BroadcastHashJoin")
+
+
+def test_lsh_planes_are_full_rank_for_any_k():
+    """The round-6 rehearsal caught a rank-2 plane series (every plane
+    a phase shift of one sinusoid → K planes gave ~2K buckets, not
+    2^K, and the K knob was a no-op). Pin the invariant the fix
+    depends on: the frequency-varied lsh_plane matrix is FULL RANK for
+    every K the knob story uses (default 4 through the 10× rehearsal's
+    8 and beyond), so 2^K buckets are actually reachable."""
+    import numpy as np
+
+    from linux_logs_spark.operators.llm_pipeline import lsh_plane
+
+    for k in range(2, 12):
+        planes = np.array(
+            [[lsh_plane(j, i) for i in range(64)] for j in range(k)]
+        )
+        assert np.linalg.matrix_rank(planes) == k, f"rank deficient at K={k}"

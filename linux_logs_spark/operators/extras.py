@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.functions.vector import block_pair_keys
+from linux_logs_spark.operators.llm_pipeline import COSINE_TOPK_ORACLE
 from linux_logs_spark.registry import register
 
 
@@ -196,22 +197,15 @@ SIM_QUERY_BLOCKS = 4
 SIM_CAND_BLOCKS = 4
 
 
-# sim_cosine_blocked shares sim_cosine_topk's oracle: both emit the
-# per-query top-5 with sim ROUNDED TO 6 DIGITS BEFORE ranking and
-# (sim desc, neighbor_id) tie-break, so the only cross-engine delta is
-# sub-ulp BLAS-vs-fold summation order — which round-6 absorbs, the
-# same accepted-boundary class as the LSH/IVF oracles (graduated from
-# rows-only in round 6; verified hash-green at sf0.001/0.01/0.1).
-def _cosine_topk_oracle() -> str:
-    from linux_logs_spark.operators.llm_pipeline import _COSINE_RANKED_SQL
-
-    return (
-        _COSINE_RANKED_SQL
-        + "SELECT vec_id, neighbor_id, sim, nn_rank FROM ranked WHERE nn_rank <= 5"
-    )
-
-
-@register("sim_cosine_blocked", "llm", oracle=_cosine_topk_oracle())
+# sim_cosine_blocked shares sim_cosine_topk's oracle CONSTANT: both
+# emit the per-query top-5 with sim rounded half-away-from-zero to 6
+# digits BEFORE ranking and (sim desc, neighbor_id) tie-break, so the
+# only cross-engine delta is sub-ulp BLAS-vs-fold summation order —
+# which round-6 absorbs, the same accepted-boundary class as the
+# LSH/IVF oracles (graduated from rows-only in round 6; verified
+# hash-green at sf0.001/0.01/0.1). Importing the constant makes oracle
+# drift between the two registrations structurally impossible.
+@register("sim_cosine_blocked", "llm", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB brute-force path: block×block matrix multiply with NO
     driver-side materialization. Queries hash into QB blocks and
@@ -266,7 +260,12 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (sim, neighbor_id) exactly like sim_cosine_topk; full lexsort
         # (not argpartition) keeps the lowest neighbor_id on rank-5
         # boundary ties, matching the baseline's row_number order.
-        sims = np.round(sims, 6)
+        # HALF-AWAY-FROM-ZERO, not np.round (half-to-even): the shared
+        # oracle and Spark F.round both round .5 away from zero, and a
+        # convention mismatch at an exact 0.5e-6 boundary would flip
+        # the 6th digit and flake the graduation oracle (round-6
+        # review). copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule.
+        sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
         out = []
         for r, vid in enumerate(qids):
             row = sims[r].copy()

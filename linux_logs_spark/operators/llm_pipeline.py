@@ -116,41 +116,49 @@ _COUNT_ROW_BYTES = 64
 _EMBED_ROW_BYTES = 600
 
 
-def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_common, jaccard) for doc pairs within
-    (lang, source) blocks, word-set Jaccard over words with per-block
-    df ≤ WORD_DF_CAP.
+def posting_jaccard_pairs(
+    d: DataFrame,
+    postings,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    df_cap: int | None = WORD_DF_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) for doc pairs sharing posting
+    units (an array Column: words, shingles, …) within ``block_cols``
+    blocks, optionally df-capped per block.
 
-    The 100 TB-safe shape (round-3 verdict item 3): the posting list
-    projects to ``xxhash64(word)`` immediately after explode, so every
-    downstream shuffle carries 8-byte longs, never word strings (the
-    same fix as decontam_ngram_overlap); the df-cap window runs on the
-    exact key the self-join shuffles on, so the exchange is reused;
-    and the cap bounds any word's pair contribution at cap²/2
-    regardless of corpus size. Oracles join on the raw word — hash
-    keying is semantics-preserving (xxhash64 injective in practice;
-    a collision would only merge two words, as in decontam)."""
+    ONE definition of the subtle posting-join pipeline (round-6 review:
+    the shingle variant had duplicated it line-for-line). The 100 TB-
+    safe shape (round-3 verdict item 3): the posting list projects to
+    ``xxhash64(unit)`` immediately after explode, so every downstream
+    shuffle carries 8-byte longs, never strings (same fix as
+    decontam_ngram_overlap); when a df cap is given, its window runs
+    on the exact key the self-join shuffles on, so the exchange is
+    reused, and the cap bounds any unit's pair contribution at cap²/2
+    regardless of corpus size (``df_cap=None`` = exact semantics: cost
+    is Σ df² — only safe for naturally-rare units like shingles).
+    Oracles join on the raw string — hash keying is semantics-
+    preserving (xxhash64 injective in practice; a collision would only
+    merge two units, as in decontam)."""
+    cols = ["doc_id", *block_cols]
     w = (
-        d.select("doc_id", "lang", "source", F.explode(words("text")).alias("word"))
-        .select("doc_id", "lang", "source", F.xxhash64("word").alias("wh"))
+        d.select(*cols, F.explode(postings).alias("unit"))
+        .select(*cols, F.xxhash64("unit").alias("wh"))
         .distinct()
     )
-    wb = Window.partitionBy("lang", "source", "wh")
-    w = (
-        w.withColumn("df", F.count("*").over(wb))
-        .filter(F.col("df") <= WORD_DF_CAP)
-        .drop("df")
-    )
+    if df_cap is not None:
+        wb = Window.partitionBy(*block_cols, "wh")
+        w = (
+            w.withColumn("df", F.count("*").over(wb))
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
+        )
     nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = w.alias("a"), w.alias("b")
+    cond = (F.col("a.wh") == F.col("b.wh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = (
-        a.join(
-            b,
-            (F.col("a.wh") == F.col("b.wh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -174,6 +182,15 @@ def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
             F.col("doc_b") == F.col("nb.doc_id"),
         )
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+    )
+
+
+def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """Word-set Jaccard pairs within (lang, source) blocks, per-block
+    df ≤ WORD_DF_CAP — the capped configuration of
+    posting_jaccard_pairs shared by the dedup/edit-verify/CC family."""
+    return posting_jaccard_pairs(
+        d, words("text"), block_cols=("lang", "source"), df_cap=WORD_DF_CAP
     )
 
 
@@ -565,35 +582,9 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate everywhere) an exact pairwise answer is Ω(n²) rows
     anyway — no plan escapes its own output size."""
     d = load(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(word_shingles(words("text"), 3)).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .distinct()
-    )
-    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    n_docs = d.count()
-    na, nb = n.alias("na"), n.alias("nb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("n_common")
-    )
-    return (
-        inter.join(
-            broadcast_if_fits(na, n_docs, _COUNT_ROW_BYTES),
-            F.col("doc_a") == F.col("na.doc_id"),
-        )
-        .join(
-            broadcast_if_fits(nb, n_docs, _COUNT_ROW_BYTES),
-            F.col("doc_b") == F.col("nb.doc_id"),
-        )
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return posting_jaccard_pairs(
+        d, word_shingles(words("text"), 3), block_cols=(), df_cap=None
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 # Scrub patterns: RE2 (DuckDB) and java.util.regex (Spark) agree on
@@ -742,12 +733,17 @@ WITH pairs AS (
 """
 
 
-@register(
-    "sim_cosine_topk",
-    "llm",
-    oracle=_COSINE_RANKED_SQL
-    + "SELECT vec_id, neighbor_id, sim, nn_rank FROM ranked WHERE nn_rank <= 5",
+# ONE constant for the exact top-5 oracle: sim_cosine_topk registers
+# it and extras.sim_cosine_blocked imports it — the graduation claim
+# "both queries are checked against the SAME oracle" is structural,
+# not a hand-kept copy (round-6 review).
+COSINE_TOPK_ORACLE = (
+    _COSINE_RANKED_SQL
+    + "SELECT vec_id, neighbor_id, sim, nn_rank FROM ranked WHERE nn_rank <= 5"
 )
+
+
+@register("sim_cosine_topk", "llm", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector — the exact
     baseline, enumerated through the same blocked (qblk, cblk) cell

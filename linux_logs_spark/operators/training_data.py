@@ -568,11 +568,17 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 8 shards via md5 hex-prefix range bucketing: thresholds '2','4',...
-# are single hex chars, so shard = Σ (h >= t) — expressible identically
-# in Spark and DuckDB (md5 yields the same lowercase hex in both).
+# Shards via md5 hex-prefix range bucketing: shard = Σ (h >= t) over
+# evenly spaced hex-prefix thresholds — expressible identically in
+# Spark and DuckDB (md5 yields the same lowercase hex in both). The
+# thresholds DERIVE from the count (round-6 review: a free-standing
+# list let the constant silently lie); power-of-two counts ≤ 16 give
+# single-char thresholds, larger counts would use longer prefixes.
 N_SHUFFLE_SHARDS = 8
-_SHARD_THRESHOLDS = ["2", "4", "6", "8", "a", "c", "e"]
+assert 16 % N_SHUFFLE_SHARDS == 0 and N_SHUFFLE_SHARDS <= 16
+_SHARD_THRESHOLDS = [
+    format(i * 16 // N_SHUFFLE_SHARDS, "x") for i in range(1, N_SHUFFLE_SHARDS)
+]
 
 
 @register(

@@ -101,7 +101,10 @@ def _ensure_loaded() -> None:
 # driver's verified set (this table: full 168-query 2-pass run on a
 # QUIET host (round-6 regen after the oracle graduations + LSH
 # plane fix; cost_s = min of passes; 168/168 clean, zero
-# mismatches, total 256.1 s).
+# mismatches, total 256.1 s — plus the four round-6 additions
+# dedup_shingle_jaccard/doc_pii_scrub/shuffle_shard/emb_quantize_int8
+# measured by a same-host 2-pass SUBSET run minutes later,
+# driver_sim_results_subset.json).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {

@@ -396,3 +396,22 @@ def test_dedup_shingle_jaccard_joins_on_hashes(spark, sf_dir):
     assert "xxhash64" in plan, plan
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
     assert keys and all("shingle#" not in ln for ln in keys), keys
+
+
+def test_doc_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """PII staging + regexp count/replace + sha2 is a pure per-row
+    projection: no exchange anywhere — the 100 TB plan is one linear
+    codegen'd scan."""
+    plan = plan_string(_Q["doc_pii_scrub"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_emb_quantize_is_shuffle_free_and_codegen(spark, sf_dir):
+    """Quantization accounting is map-side only, and the unrolled
+    per-element expressions must stay inside whole-stage codegen
+    (an interpreted 128-term projection would dominate at scale)."""
+    plan = plan_string(_Q["emb_quantize_int8"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    plan_cg = plan_string(_Q["emb_quantize_int8"].fn(spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan_cg, plan_cg
+    assert "Found 0" not in plan_cg.splitlines()[1], plan_cg

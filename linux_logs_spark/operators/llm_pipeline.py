@@ -370,32 +370,25 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 48
 
 
-@register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 48-bit signature from word-hash bit votes,
-    banded into 4×12-bit keys for candidate generation, verified by
-    Hamming distance. All JVM expressions.
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 48-bit signature table dedup_simhash
+    band-joins, extracted so tests can brute-force Hamming distance
+    over the SAME signatures the query uses (round 6).
 
-    Threshold/banding alignment (Manku et al., WWW'07, round-5
-    review): with 4 bands, any pair within Hamming distance 3 differs
-    in at most 3 bands, so BY PIGEONHOLE at least one band matches
-    exactly — candidate generation is therefore COMPLETE for d ≤ 3
-    and the query returns exactly {pairs : hamming ≤ 3}. The verify
-    filter used to accept d ≤ 6, where 4-band detection is only
-    probabilistic (a 4-bit-difference pair with one flipped bit per
-    band collides in no band) — that silently-lossy region is now
-    excluded rather than partially reported. To widen the exact
-    radius to d, band into d+1 keys of 48/(d+1) bits and re-balance
-    keys-per-band against bucket collision volume."""
-    d = load(spark, sf_dir, "documents")
+    Bit votes are a property of the WORD — computed once on the
+    distinct vocabulary (tiny dim) as 48 plain int columns, broadcast
+    into the posting list, and aggregated with 48 codegen'd sums.
+    (An array-of-votes fold over collect_list was interpreted per
+    element and ~20× slower.) The band self-join consumes the result
+    twice; without a cut Spark recomputes the explode→broadcast-join→
+    48-sum pipeline per side (4 parquet scans, zero ReusedExchange —
+    measured). Signatures are |docs| rows × 16 bytes, so materialize
+    once (localCheckpoint) and join the materialized table to itself:
+    at 100 TB this is the standard "signature table" shape (persist
+    signatures, then band-join)."""
     per_word = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
-    # Bit votes are a property of the WORD — compute them once on the
-    # distinct vocabulary (tiny dim) as 48 plain int columns, broadcast
-    # into the posting list, and aggregate with 48 codegen'd sums.
-    # (An array-of-votes fold over collect_list was interpreted per
-    # element and ~20× slower.)
     vocab = (
         per_word.select("word")
         .distinct()
@@ -417,14 +410,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     simhash = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):  # MSB-first to mirror the acc*2 fold
-        simhash = simhash * 2 + F.when(F.col(f"s{SIMHASH_BITS - 1 - j}") >= 0, 1).otherwise(0)
-    # The band self-join consumes `summed` twice; without a cut Spark
-    # recomputes the explode→broadcast-join→48-sum pipeline per side
-    # (4 parquet scans, zero ReusedExchange — measured). Signatures are
-    # |docs| rows × 16 bytes, so materialize them once and join the
-    # materialized table to itself: at 100 TB this is the standard
-    # "signature table" shape (persist signatures, then band-join).
-    summed = sums.select("doc_id", simhash.alias("simhash")).localCheckpoint()
+        simhash = simhash * 2 + F.when(
+            F.col(f"s{SIMHASH_BITS - 1 - j}") >= 0, 1
+        ).otherwise(0)
+    return sums.select("doc_id", simhash.alias("simhash")).localCheckpoint()
+
+
+@register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit signature from word-hash bit votes,
+    banded into 4×12-bit keys for candidate generation, verified by
+    Hamming distance. All JVM expressions.
+
+    Threshold/banding alignment (Manku et al., WWW'07, round-5
+    review): with 4 bands, any pair within Hamming distance 3 differs
+    in at most 3 bands, so BY PIGEONHOLE at least one band matches
+    exactly — candidate generation is therefore COMPLETE for d ≤ 3
+    and the query returns exactly {pairs : hamming ≤ 3}. The verify
+    filter used to accept d ≤ 6, where 4-band detection is only
+    probabilistic (a 4-bit-difference pair with one flipped bit per
+    band collides in no band) — that silently-lossy region is now
+    excluded rather than partially reported. To widen the exact
+    radius to d, band into d+1 keys of 48/(d+1) bits and re-balance
+    keys-per-band against bucket collision volume. The banding +
+    verify logic is pinned exactly (tests/test_ann_quality.py,
+    round 6): the query's pairs must equal brute-force Hamming ≤ 3
+    over the SAME engine-computed signatures — so rows-only covers
+    only the xxhash64 bit votes, not the candidate logic."""
+    d = load(spark, sf_dir, "documents")
+    summed = simhash_signatures(d)
     banded = summed.select(
         "doc_id",
         "simhash",

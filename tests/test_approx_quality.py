@@ -102,3 +102,36 @@ def test_stream_dedup_keeps_exactly_one_row_per_key(spark, sf_dir):
     assert len({(r["user_id"], r["event_type"]) for r in rows}) == n_keys
     input_ids = {r["event_id"] for r in e.select("event_id").collect()}
     assert all(r["event_id"] in input_ids for r in rows)
+
+
+def test_scan_binary_files_digests_match_hashlib(spark, sf_dir):
+    """scan_binary_files is rows-only because the oracle contract has
+    no filesystem view — but the digests ARE independently checkable:
+    recompute each file's sha256 and byte length with python hashlib
+    over the same directory and require exact agreement."""
+    import glob
+    import hashlib
+    import os
+
+    expected = {}
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        blob = open(p, "rb").read()
+        expected[os.path.basename(p)] = (len(blob), hashlib.sha256(blob).hexdigest())
+    rows = _Q["scan_binary_files"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, digest = expected[r["file_name"]]
+        assert (r["n_bytes"], r["sha256"]) == (n, digest), r["file_name"]
+
+
+def test_scan_csv_malformed_quarantine_counts_exact(spark, sf_dir):
+    """The staged dirty CSV carries exactly 50 clean rows and 3
+    deliberately broken ones; the quarantine accounting must see
+    precisely that split — every input byte accounted for."""
+    got = {r["category"]: r for r in _Q["scan_csv_malformed"].fn(spark, sf_dir).collect()}
+    assert set(got) == {"clean", "quarantined"}
+    assert (got["clean"]["n"], got["clean"]["n_complete"]) == (50, 50)
+    # 3 quarantined: the wrong-arity row still parses its 3 leading
+    # fields (complete=1); the bad-long and garbage rows do not
+    assert got["quarantined"]["n"] == 3
+    assert got["quarantined"]["n_complete"] < 3

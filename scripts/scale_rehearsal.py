@@ -41,6 +41,7 @@ NEAR_DUP_FRAC = 0.03
 
 HEAVY = [
     "dedup_near_minhash",
+    "dedup_shingle_jaccard",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",

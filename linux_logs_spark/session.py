@@ -68,6 +68,9 @@ def get_spark(
     # tiny state and the JVM-side RocksDB dependency is pure overhead
     # at that scale; a cluster deployment sets
     # SPARK_GRAFT_ROCKSDB_STATE=1 (or passes the conf directly).
+    # Smoke-verified round 6: stream_tumbling under the RocksDB
+    # provider returns the same rows as the default provider on this
+    # Spark build (the rocksdbjni dependency ships with Spark 4).
     if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",

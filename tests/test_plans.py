@@ -216,7 +216,11 @@ def test_jaccard_pairs_shuffle_hashes_not_words(spark, sf_dir):
     plan = plan_string(_Q["dedup_ngram_jaccard"].fn(spark, sf_dir))
     assert "xxhash64" in plan, plan
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
-    assert keys and all("word#" not in ln for ln in keys), keys
+    # the exploded posting column was renamed word → unit when the
+    # pipeline was parameterized (round 6); guard both names
+    assert keys and all(
+        "word#" not in ln and "unit#" not in ln for ln in keys
+    ), keys
     assert any("wh#" in ln for ln in keys), keys
 
 

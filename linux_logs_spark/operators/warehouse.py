@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
-from linux_logs_spark.functions.compat import dec, dsum, oracle_dsum
+from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, oracle_dsum
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
 from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
@@ -1044,4 +1044,150 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sc, 9).alias("scale"),
         F.round(F.greatest(*errs), 9).alias("max_abs_err"),
         F.round(sum_err / F.lit(64.0), 9).alias("mean_abs_err"),
+    )
+
+
+@register(
+    "tpch_q8",
+    "warehouse",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {oracle_dsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+         / {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape, adapted to the reduced
+    schema): NATION_7's share of ECONOMY-part revenue sold into ASIA
+    customers, per order year.
+
+    Scale shape: the deepest broadcast star in the suite — SIX dims
+    (part-filtered, supplier, orders-date-pruned, customer, two nation
+    roles, region) broadcast around the lineitem fact, which is
+    shuffled exactly once for the per-year aggregate. Share =
+    DECIMAL-accumulated conditional volume ÷ DECIMAL-accumulated total
+    volume, divided once in double — bit-identical to the oracle's
+    formulation (both sums exact, one IEEE division)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0))
+    return (
+        base.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (dsum(nation_vol, 4) / dsum(vol, 4)).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    "warehouse",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape; the classic
+    o_comment NOT LIKE filter is dropped — the reduced schema carries
+    no comment column — leaving the structural heart: a LEFT join that
+    must preserve zero-order customers, a per-customer count, and a
+    distribution over counts).
+
+    Scale shape: customer ⟕ orders shuffles both sides on custkey
+    (both corpus-sized — no broadcast), the per-customer count reuses
+    that exchange's partitioning, and the second aggregate shuffles
+    only |distinct counts| rows. count(o_orderkey) (not count(*))
+    yields 0 for unmatched customers — the LEFT-join semantics the
+    query exists to exercise."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q17",
+    "warehouse",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS a_partkey,
+         0.2 * ({oracle_davg('l_quantity', 2)}) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {oracle_dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND l_quantity < qty_threshold
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape, brand-adapted:
+    no p_container in the reduced schema): revenue of Brand#13 line
+    items whose quantity is below 20% of that part's average — the
+    classic correlated scalar subquery, decorrelated into an
+    aggregate-join.
+
+    Scale shape: the per-part average is ONE groupBy over lineitem
+    (shuffle on partkey) joined back by partkey; the brand dim
+    broadcast-prunes the fact before the threshold join; the final
+    1-row aggregate is a partial+final. DECIMAL accumulation on both
+    the threshold average and the revenue sum keeps the single double
+    division (÷ 7.0) bit-identical to the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * davg("l_quantity", 2)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, F.col("a_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"))
     )

@@ -147,6 +147,7 @@ _MEASURED_COST: dict[str, float] = {
     "text_quality_score": 0.16, "text_repetition_score": 0.46, "text_tfidf": 0.76, "text_token_count_bpe": 0.13,
     "text_tokenize_counts": 0.21, "topk_per_group": 0.31, "tpch_q10": 0.4, "tpch_q14": 0.28,
     "tpch_q15": 0.4, "tpch_q18": 0.46, "tpch_q3": 0.39, "tpch_q5": 0.4,
+    "tpch_q8": 0.74, "tpch_q13": 0.4, "tpch_q17": 0.53,
     "tpch_q6": 0.21, "tpch_q7": 0.5, "udaf_pandas_agg": 0.35, "udf_pandas_scalar": 0.3,
     "udf_python": 0.37, "udtf_apply_in_pandas": 0.37, "udtf_python_native": 0.55, "vocab_build": 0.26,
     "win_first_last": 0.32, "win_lag_lead": 0.44, "win_latest_per_key": 0.25, "win_nth_value": 0.35,

@@ -419,3 +419,19 @@ def test_emb_quantize_is_shuffle_free_and_codegen(spark, sf_dir):
     plan_cg = plan_string(_Q["emb_quantize_int8"].fn(spark, sf_dir), mode="codegen")
     assert "WholeStageCodegen subtrees" in plan_cg, plan_cg
     assert "Found 0" not in plan_cg.splitlines()[1], plan_cg
+
+
+def test_tpch_q8_six_broadcast_dims_no_smj(spark, sf_dir):
+    """Q8's deepest star: all six dims broadcast around the lineitem
+    fact — the fact shuffles exactly once, for the per-year agg."""
+    plan = plan_string(_Q["tpch_q8"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q13_preserves_left_join(spark, sf_dir):
+    """Q13's heart is the LEFT join keeping zero-order customers —
+    Catalyst must not rewrite it to inner (count(o_orderkey) would
+    then lose the c_count=0 cohort)."""
+    plan = plan_string(_Q["tpch_q13"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan, plan

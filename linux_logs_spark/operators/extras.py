@@ -260,11 +260,16 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (sim, neighbor_id) exactly like sim_cosine_topk; full lexsort
         # (not argpartition) keeps the lowest neighbor_id on rank-5
         # boundary ties, matching the baseline's row_number order.
-        # HALF-AWAY-FROM-ZERO, not np.round (half-to-even): the shared
-        # oracle and Spark F.round both round .5 away from zero, and a
-        # convention mismatch at an exact 0.5e-6 boundary would flip
-        # the 6th digit and flake the graduation oracle (round-6
-        # review). copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule.
+        # HALF-AWAY-FROM-ZERO on the BINARY double, not np.round
+        # (half-to-even): DuckDB's round — the oracle side — rounds
+        # the binary double half away from zero, and a convention
+        # mismatch at an exact 0.5e-6 boundary would flip the 6th
+        # digit and flake the graduation oracle (round-6 review).
+        # copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule. (Spark
+        # F.round rounds the SHORTEST DECIMAL REPR half-up —
+        # compat.py failure mode 1 — so sim_cosine_topk's F.round
+        # carries a residual measure-zero boundary class vs the same
+        # oracle; this formula does not.)
         sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
         out = []
         for r, vid in enumerate(qids):

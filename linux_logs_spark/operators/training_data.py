@@ -575,7 +575,15 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list let the constant silently lie); power-of-two counts ≤ 16 give
 # single-char thresholds, larger counts would use longer prefixes.
 N_SHUFFLE_SHARDS = 8
-assert 16 % N_SHUFFLE_SHARDS == 0 and N_SHUFFLE_SHARDS <= 16
+if not (0 < N_SHUFFLE_SHARDS <= 16 and 16 % N_SHUFFLE_SHARDS == 0):
+    # a raise, not assert: asserts vanish under `python -O`, and a bad
+    # count would silently produce DUPLICATE thresholds — identically
+    # wrong shard math on the Spark and oracle sides (hash-green but
+    # corrupt). Counts > 16 need multi-char hex prefixes — implement
+    # that here before raising the constant past 16.
+    raise ValueError(
+        f"N_SHUFFLE_SHARDS={N_SHUFFLE_SHARDS} must be a power-of-two divisor of 16"
+    )
 _SHARD_THRESHOLDS = [
     format(i * 16 // N_SHUFFLE_SHARDS, "x") for i in range(1, N_SHUFFLE_SHARDS)
 ]

@@ -1073,21 +1073,29 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema): NATION_7's share of ECONOMY-part revenue sold into ASIA
     customers, per order year.
 
-    Scale shape: the deepest broadcast star in the suite — SIX dims
-    (part-filtered, supplier, orders-date-pruned, customer, two nation
-    roles, region) broadcast around the lineitem fact, which is
-    shuffled exactly once for the per-year aggregate. Share =
-    DECIMAL-accumulated conditional volume ÷ DECIMAL-accumulated total
-    volume, divided once in double — bit-identical to the oracle's
-    formulation (both sums exact, one IEEE division)."""
+    Scale shape: the deepest join star in the suite — six dims around
+    the lineitem fact, which is shuffled exactly once for the per-year
+    aggregate. The four TRUE dims (filtered part, supplier, two nation
+    roles, region) broadcast unconditionally; orders (date-pruned but
+    fact-proportional) and customer (corpus-sized — tpch_q13's own
+    characterization) are SIZE-GATED via broadcast_if_fits on their
+    parquet metadata counts, so past the cap those two joins shuffle
+    on their keys instead of OOMing an executor (round-6 review — the
+    same rule as the blocked-pair family). Share = DECIMAL-accumulated
+    conditional volume ÷ DECIMAL-accumulated total volume, divided
+    once in double — bit-identical to the oracle's formulation (both
+    sums exact, one IEEE division)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders").filter(
+    orders_all = load(spark, sf_dir, "orders")
+    o = orders_all.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     c = load(spark, sf_dir, "customer")
+    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
+    n_cust = c.count()
     n = load(spark, sf_dir, "nation")
     n1 = n.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
@@ -1100,8 +1108,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)

@@ -50,12 +50,24 @@ def test_theta_range_broadcasts_band_dim(spark, sf_dir):
     assert_in_plan(_Q["join_theta_range"].fn(spark, sf_dir), "BroadcastNestedLoopJoin")
 
 
+def _codegen_subtrees(spark, name, sf_dir) -> int:
+    """Count of WholeStageCodegen subtrees for a query's plan.
+
+    Round-6 review found BOTH prior forms of this check vacuous: the
+    'Found N WholeStageCodegen subtrees.' header is on splitlines()[0]
+    (not [1]), AND under AQE the pre-execution codegen report is
+    legitimately 'Found 0' because the final plan isn't resolved yet —
+    so probe on an AQE-off session clone and parse the count."""
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    plan = plan_string(_Q[name].fn(clone, sf_dir), mode="codegen")
+    m = re.match(r"Found (\d+) WholeStageCodegen subtrees", plan.splitlines()[0])
+    assert m, plan.splitlines()[:2]
+    return int(m.group(1))
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
-    # AQE hides *(n) markers until execution; codegen mode still
-    # reports the fused subtrees up front.
-    plan = plan_string(_Q["agg_groupby"].fn(spark, sf_dir), mode="codegen")
-    assert "WholeStageCodegen subtrees" in plan, plan
-    assert "Found 0" not in plan.splitlines()[1], plan
+    assert _codegen_subtrees(spark, "agg_groupby", sf_dir) >= 2  # scan+agg, final agg
 
 
 def test_semi_anti_are_broadcast_joins(spark, sf_dir):
@@ -399,7 +411,12 @@ def test_dedup_shingle_jaccard_joins_on_hashes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "xxhash64" in plan, plan
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
-    assert keys and all("shingle#" not in ln for ln in keys), keys
+    # the exploded posting column is `unit` since the pipeline was
+    # parameterized (round-6 review: the old shingle#-only guard went
+    # vacuous after the rename)
+    assert keys and all(
+        "shingle#" not in ln and "unit#" not in ln for ln in keys
+    ), keys
 
 
 def test_doc_pii_scrub_is_shuffle_free(spark, sf_dir):
@@ -416,14 +433,15 @@ def test_emb_quantize_is_shuffle_free_and_codegen(spark, sf_dir):
     (an interpreted 128-term projection would dominate at scale)."""
     plan = plan_string(_Q["emb_quantize_int8"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
-    plan_cg = plan_string(_Q["emb_quantize_int8"].fn(spark, sf_dir), mode="codegen")
-    assert "WholeStageCodegen subtrees" in plan_cg, plan_cg
-    assert "Found 0" not in plan_cg.splitlines()[1], plan_cg
+    assert _codegen_subtrees(spark, "emb_quantize_int8", sf_dir) >= 1
 
 
 def test_tpch_q8_six_broadcast_dims_no_smj(spark, sf_dir):
-    """Q8's deepest star: all six dims broadcast around the lineitem
-    fact — the fact shuffles exactly once, for the per-year agg."""
+    """Q8's deepest star AT TEST SCALE: all six dims broadcast around
+    the lineitem fact — the fact shuffles exactly once, for the
+    per-year agg. The orders/customer sides are size-gated
+    (broadcast_if_fits), so this pins the under-cap shape; past the
+    cap those two joins legitimately shuffle."""
     plan = plan_string(_Q["tpch_q8"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 6, plan
     assert "SortMergeJoin" not in plan, plan

@@ -1018,32 +1018,24 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its OWN projection so Catalyst's CollapseProject keeps it a
     single codegen local instead of inlining the 64-term max into all
     128 downstream uses). Error sums use the left-assoc fold that
-    matches DuckDB's list_sum accumulation (vector.py), so the oracle
-    hash-matches under round-9. Unit-norm input ⇒ scale > 0; an
-    all-zero vector would yield scale 0 and IEEE Inf/NaN — acceptable
-    for an accounting query, and impossible on this table."""
-    import functools
-    import operator
-
+    matches DuckDB's list_sum accumulation (vector.py — a bare `+`
+    chain in SQL parses left-associative), so the oracle hash-matches
+    under round-9. The projections are built as SQL STRINGS, not
+    Column objects: the Column form made ~1300 py4j round-trips and
+    plan CONSTRUCTION took 0.9 s warm vs 0.14 s execution (measured,
+    round 6); selectExpr ships two strings and Catalyst parses
+    JVM-side. Unit-norm input ⇒ scale > 0; an all-zero vector would
+    yield scale 0 and IEEE Inf/NaN — acceptable for an accounting
+    query, and impossible on this table."""
     e = load(spark, sf_dir, "embeddings")
-    raw = F.col("embedding")
-    absd = [F.abs(raw[i].cast("double")) for i in range(64)]
-    step1 = e.select(
-        "vec_id", "embedding", (F.greatest(*absd) / F.lit(127.0)).alias("scale")
-    )
-    sc = F.col("scale")
-    errs = [
-        F.abs(
-            F.round(raw[i].cast("double") / sc, 0) * sc - raw[i].cast("double")
-        )
-        for i in range(64)
-    ]
-    sum_err = functools.reduce(operator.add, errs)
-    return step1.select(
+    el = [f"cast(embedding[{i}] as double)" for i in range(64)]
+    scale = "greatest(" + ", ".join(f"abs({x})" for x in el) + ") / 127.0"
+    errs = [f"abs(round({x} / scale, 0) * scale - {x})" for x in el]
+    return e.selectExpr("vec_id", "embedding", f"({scale}) AS scale").selectExpr(
         "vec_id",
-        F.round(sc, 9).alias("scale"),
-        F.round(F.greatest(*errs), 9).alias("max_abs_err"),
-        F.round(sum_err / F.lit(64.0), 9).alias("mean_abs_err"),
+        "round(scale, 9) AS scale",
+        "round(greatest(" + ", ".join(errs) + "), 9) AS max_abs_err",
+        "round((" + " + ".join(errs) + ") / 64.0, 9) AS mean_abs_err",
     )
 
 

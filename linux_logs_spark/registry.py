@@ -120,7 +120,7 @@ _MEASURED_COST: dict[str, float] = {
     "agg_rollup": 0.33, "agg_stats": 0.26, "agg_string_concat": 0.33, "agg_unpivot": 0.12,
     "corpus_mix_rebalance": 0.35, "cust_order_intervals": 0.36, "cust_rfm_segments": 2.08, "decontam_ngram_overlap": 0.99,
     "dedup_clusters_cc": 3.87, "dedup_edit_verify": 1.69, "dedup_embedding_cosine": 2.51, "dedup_exact": 0.21,
-    "dedup_shingle_jaccard": 1.28, "doc_pii_scrub": 0.25, "shuffle_shard": 0.27, "emb_quantize_int8": 1.33,
+    "dedup_shingle_jaccard": 1.1, "doc_pii_scrub": 0.19, "shuffle_shard": 0.23, "emb_quantize_int8": 0.29,
     "dedup_exact_hash": 0.19, "dedup_near_minhash": 1.07, "dedup_ngram_jaccard": 1.31, "dedup_simhash": 1.89,
     "doc_chunk": 0.23, "emb_centroid_outliers": 0.66, "emb_label_centroid": 0.26, "emb_neighborhood_purity": 0.91,
     "emb_pca_power": 0.53, "fn_array": 0.14, "fn_array_agg": 0.14, "fn_bitwise": 0.25,
@@ -151,7 +151,7 @@ _MEASURED_COST: dict[str, float] = {
     "text_quality_score": 0.16, "text_repetition_score": 0.46, "text_tfidf": 0.76, "text_token_count_bpe": 0.13,
     "text_tokenize_counts": 0.21, "topk_per_group": 0.31, "tpch_q10": 0.4, "tpch_q14": 0.28,
     "tpch_q15": 0.4, "tpch_q18": 0.46, "tpch_q3": 0.39, "tpch_q5": 0.4,
-    "tpch_q8": 0.74, "tpch_q13": 0.37, "tpch_q17": 0.55,
+    "tpch_q8": 0.63, "tpch_q13": 0.27, "tpch_q17": 0.38,
     "tpch_q6": 0.21, "tpch_q7": 0.5, "udaf_pandas_agg": 0.35, "udf_pandas_scalar": 0.3,
     "udf_python": 0.37, "udtf_apply_in_pandas": 0.37, "udtf_python_native": 0.55, "vocab_build": 0.26,
     "win_first_last": 0.32, "win_lag_lead": 0.44, "win_latest_per_key": 0.25, "win_nth_value": 0.35,

@@ -37,8 +37,8 @@ from linux_logs_spark.functions.text import (
 )
 from linux_logs_spark.functions.vector import (
     block_pair_keys,
-    dot_unrolled_raw,
-    norm_unrolled_raw,
+    dot_unrolled_sql,
+    norm_unrolled_sql,
 )
 from linux_logs_spark.registry import register
 from linux_logs_spark.sources.multimodal import (
@@ -389,16 +389,17 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     per_word = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
+    # expressions built as SQL strings: the Column form made ~300 py4j
+    # round-trips (48 vote columns + 48 sums + a 48-step fold) and
+    # plan build dominated execution (round-6 measurement)
     vocab = (
         per_word.select("word")
         .distinct()
         .withColumn("h", F.xxhash64("word"))
-        .select(
+        .selectExpr(
             "word",
             *[
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias(f"v{j}")
+                f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END AS v{j}"
                 for j in range(SIMHASH_BITS)
             ],
         )
@@ -408,12 +409,13 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
     )
-    simhash = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):  # MSB-first to mirror the acc*2 fold
-        simhash = simhash * 2 + F.when(
-            F.col(f"s{SIMHASH_BITS - 1 - j}") >= 0, 1
-        ).otherwise(0)
-    return sums.select("doc_id", simhash.alias("simhash")).localCheckpoint()
+    # MSB-first acc*2 fold as one parsed expression
+    fold = "cast(0 as bigint)"
+    for j in range(SIMHASH_BITS):
+        fold = (
+            f"({fold}) * 2 + (CASE WHEN s{SIMHASH_BITS - 1 - j} >= 0 THEN 1 ELSE 0 END)"
+        )
+    return sums.selectExpr("doc_id", f"({fold}) AS simhash").localCheckpoint()
 
 
 @register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
@@ -533,17 +535,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.repartition(default_parallelism()).select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("va"),
-        norm_unrolled_raw(F.col("embedding")).alias("na"),
+        F.expr(norm_unrolled_sql("embedding")).alias("na"),
         *block_pair_keys("vec_id", DEDUP_QUERY_BLOCKS, DEDUP_CAND_BLOCKS, "qblk", "cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("vb"),
-        norm_unrolled_raw(F.col("embedding")).alias("nb"),
+        F.expr(norm_unrolled_sql("embedding")).alias("nb"),
         *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
     sim = F.round(
-        dot_unrolled_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, ["qblk", "cblk"])
@@ -794,13 +796,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.repartition(default_parallelism()).select(
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("va"),
-        norm_unrolled_raw(F.col("embedding")).alias("na"),
+        F.expr(norm_unrolled_sql("embedding")).alias("na"),
         *block_pair_keys("vec_id", DEDUP_QUERY_BLOCKS, DEDUP_CAND_BLOCKS, "qblk", "cblk"),
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
-        norm_unrolled_raw(F.col("embedding")).alias("nb"),
+        F.expr(norm_unrolled_sql("embedding")).alias("nb"),
         *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
     pairs = (
@@ -810,7 +812,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "neighbor_id",
             F.round(
-                dot_unrolled_raw(F.col("va"), F.col("vb"))
+                F.expr(dot_unrolled_sql("va", "vb"))
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("sim"),
@@ -969,7 +971,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
-        norm_unrolled_raw(raw).alias("nv"),
+        F.expr(norm_unrolled_sql("embedding")).alias("nv"),
         lsh_bucket(raw).alias("bucket"),
     )
     # Load-bearing repartition: the pandas-UDF eval node disables
@@ -992,7 +994,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
         F.round(
-            dot_unrolled_raw(F.col("a.v"), F.col("b.v"))
+            F.expr(dot_unrolled_sql("a.v", "b.v"))
             / (F.col("a.nv") * F.col("b.nv")),
             6,
         ).alias("sim"),

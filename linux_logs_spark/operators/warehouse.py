@@ -27,7 +27,7 @@ from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, oracle_dsum
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
-from linux_logs_spark.functions.vector import dot_unrolled_raw, norm_unrolled_raw
+from linux_logs_spark.functions.vector import dot_unrolled_sql, norm_unrolled_sql
 from linux_logs_spark.registry import register
 
 # ------------------------------------------------------- TPC-H composites
@@ -558,7 +558,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = e.select(
         "vec_id",
         raw.alias("v"),
-        norm_unrolled_raw(raw).alias("nv"),
+        F.expr(norm_unrolled_sql("embedding")).alias("nv"),
         primary_cell(raw).alias("cell"),
     )
     # The repartition below is load-bearing: a Python eval node in a
@@ -570,7 +570,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.select(
         "vec_id",
         raw.alias("qv"),
-        norm_unrolled_raw(raw).alias("qn"),
+        F.expr(norm_unrolled_sql("embedding")).alias("qn"),
         F.explode(probe_cells(raw)).alias("cell"),
     ).repartition(default_parallelism(), "vec_id")
     # Index side broadcasts only while it fits one executor (round-5
@@ -585,7 +585,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("q.vec_id") != F.col("x.vec_id")),
     )
     sim = F.round(
-        dot_unrolled_raw(F.col("q.qv"), F.col("x.v"))
+        F.expr(dot_unrolled_sql("q.qv", "x.v"))
         / (F.col("q.qn") * F.col("x.nv")),
         6,
     )

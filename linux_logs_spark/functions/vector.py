@@ -1,53 +1,35 @@
 """Vector math over ArrayType(FloatType) embedding columns.
 
-Only the *_raw forms survive; two earlier generations were measured
-and retired (round 2):
+Only the *_sql forms survive; three earlier generations were measured
+and retired:
 
 1. Higher-order folds (``F.aggregate``/``F.zip_with``) — interpreted
-   per element, ~100× slower than codegen inside an O(n²) pair loop.
+   per element, ~100× slower than codegen inside an O(n²) pair loop
+   (round 2).
 2. Unrolled sums over ``F.transform(v, cast)`` — the transform subtree
    inlined into every one of the 64 terms (~4k expression nodes per
    use; seconds of Catalyst analysis), and the fused expressions blew
-   janino's 64 KB method limit in sort-fused stages.
+   janino's 64 KB method limit in sort-fused stages (round 2).
+3. Unrolled sums built as driver-side COLUMN objects
+   (``a[i].cast("double") * b[i].cast("double")`` chains) — each of
+   the ~200 expression nodes cost a py4j round-trip, so plan
+   CONSTRUCTION dominated execution for every ANN query (measured
+   0.9–1.4 s build vs 0.1–0.8 s exec at sf0.01; round 6).
 
-The *_raw forms cast each ELEMENT at extraction
-(``a[i].cast("double")``): flat 4-node terms, bit-identical
-float→double math, whole-stage-codegen friendly. The
-``((a₀b₀+a₁b₁)+a₂b₂)+…`` left-association matches the oracle's
-(DuckDB list_* functions) accumulation order, so rounded similarities
-hash-match cross-engine.
+The *_sql forms emit the SAME expression as one SQL string parsed
+JVM-side: each element cast at extraction (``cast(a[i] as double)``,
+flat terms, whole-stage-codegen friendly), and a bare ``+`` chain
+parses LEFT-ASSOCIATIVE, so the ``((a₀b₀+a₁b₁)+a₂b₂)+…`` accumulation
+order matches the oracle's (DuckDB list_* functions) and rounded
+similarities hash-match cross-engine. Wrap with ``F.expr`` or embed
+in ``selectExpr``.
 """
 
 from __future__ import annotations
 
-import functools
-import operator
-
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
 # The embeddings table is fixed 64-dim (FIXTURES.md). Unrolled
 # expressions below need the dimension at plan time.
 EMBED_DIM = 64
-
-
-def dot_unrolled_raw(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
-    """Σ aᵢ·bᵢ over RAW float arrays as an explicit left-assoc sum,
-    casting each element to double at extraction."""
-    terms = [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
-    return functools.reduce(operator.add, terms)
-
-
-def norm_unrolled_raw(a: Column, dim: int = EMBED_DIM) -> Column:
-    """‖a‖₂ over a RAW float array (same left fold as the dot)."""
-    return F.sqrt(dot_unrolled_raw(a, a, dim))
-
-
-def dot_const_raw(a: Column, coeffs: list[float]) -> Column:
-    """Σ aᵢ·cᵢ against driver-side constant coefficients (codegen'd,
-    no per-row array construction) — LSH hyperplane projections."""
-    terms = [a[i].cast("double") * F.lit(c) for i, c in enumerate(coeffs)]
-    return functools.reduce(operator.add, terms)
 
 
 def block_pair_keys(id_col: str, n_own: int, n_other: int, own_name: str, other_name: str):
@@ -72,19 +54,14 @@ def block_pair_keys(id_col: str, n_own: int, n_other: int, own_name: str, other_
 
 
 def dot_unrolled_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
-    """SQL-string form of dot_unrolled_raw — the IDENTICAL left-assoc
-    expression tree (a bare `+` chain parses left-associative), but
-    parsed JVM-side from one string instead of ~200 py4j round-trips
-    building Column objects driver-side. Round 6 measured plan BUILD
-    dominating several ANN queries (e.g. 0.9 s build vs 0.14 s exec
-    for a 128-term projection); use this form in new unrolled-
-    expression call sites. `a`/`b` are column NAMES (alias-qualified
-    like 'a.v' is fine)."""
+    """Σ aᵢ·bᵢ as one left-assoc SQL string (module docstring,
+    retired form 3 explains why not Columns). `a`/`b` are column
+    NAMES (alias-qualified like 'a.v' is fine)."""
     return " + ".join(
         f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
     )
 
 
 def norm_unrolled_sql(a: str, dim: int = EMBED_DIM) -> str:
-    """SQL-string form of norm_unrolled_raw (same left fold)."""
+    """‖a‖₂ as one SQL string (same left fold as the dot)."""
     return f"sqrt({dot_unrolled_sql(a, a, dim)})"

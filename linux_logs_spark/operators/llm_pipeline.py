@@ -407,7 +407,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     sums = (
         per_word.join(F.broadcast(vocab), "word")
         .groupBy("doc_id")
-        .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
+        .agg(*[F.expr(f"sum(v{j}) AS s{j}") for j in range(SIMHASH_BITS)])
     )
     # MSB-first acc*2 fold as one parsed expression
     fold = "cast(0 as bigint)"

@@ -98,17 +98,11 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set (this table: full 168-query 2-pass run on a
-# QUIET host (round-6 regen after the oracle graduations + LSH
-# plane fix; cost_s = min of passes; 168/168 clean, zero
-# mismatches, total 256.1 s — plus the SEVEN round-6 additions
-# (dedup_shingle_jaccard/doc_pii_scrub/shuffle_shard/emb_quantize_int8
-# and tpch_q8/q13/q17) measured by one combined same-host 2-pass
-# SUBSET run whose artifact, driver_sim_results_subset.json, backs
-# exactly those seven entries; note the subset artifact ROTATES — it
-# holds only the most recent subset run, so re-run it combined when
-# adding queries mid-round or the provenance here goes stale,
-# round-6 review ×2).
+# driver's verified set. THIS TABLE: one full 175-query 2-pass run on
+# a QUIET host at round-6 close, AFTER the SQL-string expression-build
+# rewrite (cost_s = min of passes; 175/175 clean, zero mismatches,
+# total 165.2 s; artifact: driver_sim_results.json) — every entry from
+# that single run, one baseline, no subset mixing.
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {

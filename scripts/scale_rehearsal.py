@@ -39,6 +39,12 @@ N_DOCS = 50_000
 N_VECS = 20_000
 NEAR_DUP_FRAC = 0.03
 
+STREAMING = [
+    "stream_tumbling",
+    "stream_custom_state",
+    "stream_dedup",
+]
+
 HEAVY = [
     "dedup_near_minhash",
     "dedup_shingle_jaccard",
@@ -198,14 +204,45 @@ def gen() -> None:
     emb = emb.cast(emb_schema)
     pq.write_table(emb, os.path.join(SCALE_DIR, "embeddings.parquet"))
 
+    # --- events: ~10× (1M rows) with the sf0.1 distributions —
+    # uniform over the same 30-day span, 10× the user population,
+    # uniform 5-type mix, exact 2-decimal values — so the STREAMING
+    # rehearsal (--stream-run) measures stateful operators against a
+    # 10× event stream, not a copied 1× table.
+    import datetime as dt
+
+    n_events = 1_000_000
+    t0 = dt.datetime(2024, 1, 1).timestamp()
+    t1 = dt.datetime(2024, 1, 31).timestamp()
+    ts_us = rng.uniform(t0, t1, size=n_events) * 1e6
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(ts_us.astype("int64"), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 15_000, n_events), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["signup", "click", "error", "view", "purchase"], n_events),
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0.01, 490.02, n_events), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(ev, os.path.join(SCALE_DIR, "events.parquet"))
+
     for t in (
-        "region nation customer supplier part orders lineitem events".split()
+        "region nation customer supplier part orders lineitem".split()
     ):
         shutil.copy(
             os.path.join(SF1_DIR, f"{t}.parquet"),
             os.path.join(SCALE_DIR, f"{t}.parquet"),
         )
-    print(f"generated {N_DOCS} docs / {N_VECS} vecs in {SCALE_DIR}")
+    print(f"generated {N_DOCS} docs / {N_VECS} vecs / {n_events} events in {SCALE_DIR}")
 
 
 def _shuffle_write_bytes(spark) -> int:
@@ -293,10 +330,19 @@ if __name__ == "__main__":
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--queries", help="comma-separated subset of the heavy family")
+    ap.add_argument(
+        "--stream-run",
+        action="store_true",
+        help="run the STREAMING family at 1x and 10x (stateful ops on a "
+        "10x event stream; availableNow micro-batch end-to-end)",
+    )
     args = ap.parse_args()
     if args.gen:
         gen()
     if args.run:
         run(args.queries.split(",") if args.queries else None)
-    if not (args.gen or args.run):
-        ap.error("pass --gen and/or --run")
+    if args.stream_run:
+        HEAVY = STREAMING  # module scope — run() reads the global
+        run()
+    if not (args.gen or args.run or args.stream_run):
+        ap.error("pass --gen, --run and/or --stream-run")

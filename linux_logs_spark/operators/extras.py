@@ -18,6 +18,7 @@ from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.functions.vector import block_pair_keys
 from linux_logs_spark.operators.llm_pipeline import COSINE_TOPK_ORACLE
 from linux_logs_spark.registry import register
+from linux_logs_spark.session import broadcast_if_fits
 
 
 @register(
@@ -142,8 +143,13 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO emulation over immutable parquet (no Delta in this
     image): left-join the update set, project the merged row. At scale
     this is the standard copy-on-write upsert: join on the key,
-    rewrite affected partitions."""
+    rewrite affected partitions. The update set is a segment-filtered
+    slice of customer (~1/5 of a corpus-sized table), so its
+    broadcast is SIZE-GATED via broadcast_if_fits on the parquet
+    metadata count — past the cap the merge shuffles on the key, the
+    normal copy-on-write plan."""
     c = load(spark, sf_dir, "customer")
+    n_cust = c.count()  # parquet metadata — cheap upper bound
     updates = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .select(
@@ -151,7 +157,9 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") * 1.1).alias("new_acctbal"),
         )
     )
-    merged = c.join(F.broadcast(updates), c.c_custkey == updates.u_custkey, "left")
+    merged = c.join(
+        broadcast_if_fits(updates, n_cust, 32), c.c_custkey == updates.u_custkey, "left"
+    )
     return merged.select(
         "c_custkey",
         "c_name",

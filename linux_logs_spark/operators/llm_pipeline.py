@@ -849,12 +849,14 @@ WHERE rn = 1
 )
 def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority label among the 5 nearest neighbors (ties → smallest
-    label). Builds on the same ranked-neighbor plan as sim_cosine_topk."""
+    label). Builds on the same ranked-neighbor plan as sim_cosine_topk.
+    The label frame is |embeddings| rows — size-gated (16 B/row:
+    two longs), falling back to a key shuffle past the cap."""
     e = load(spark, sf_dir, "embeddings")
     topk = sim_cosine_topk(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        topk.join(broadcast_if_fits(labels, e.count(), 16), "neighbor_id")
         .groupBy("vec_id", "label")
         .agg(F.count("*").alias("votes"))
     )
@@ -1455,14 +1457,17 @@ def emb_neighborhood_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric's JOB here is to be the deterministic, oracle-checked eval
     pipeline a real embedding table plugs into."""
     e = load(spark, sf_dir, "embeddings")
+    n_vecs = e.count()  # parquet metadata — cheap upper bound
     topk = sim_cosine_topk(spark, sf_dir)
     ql = e.select(F.col("vec_id"), F.col("label"))
     nl = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
+    # |embeddings|-row label frames: size-gated (16 B/row — two
+    # longs); past the cap these enrich joins shuffle on their keys.
     nb = (
-        topk.join(F.broadcast(ql), "vec_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        topk.join(broadcast_if_fits(ql, n_vecs, 16), "vec_id")
+        .join(broadcast_if_fits(nl, n_vecs, 16), "neighbor_id")
         .select(
             "label",
             F.when(F.col("label") == F.col("n_label"), 1).otherwise(0).alias("same"),

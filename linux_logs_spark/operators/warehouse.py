@@ -52,20 +52,31 @@ LIMIT 10
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority (TPC-H Q3 shape): segment-filtered customers
-    broadcast into orders, orders into lineitem; one shuffle on the
+    joined into orders, orders into lineitem; one shuffle on the
     group key; top-10 via TakeOrderedAndProject with a unique
-    tie-break (revenue, o_orderdate, l_orderkey)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
+    tie-break (revenue, o_orderdate, l_orderkey).
+
+    Scale shape: orders (date-pruned but fact-proportional) and
+    customer (segment-filtered but corpus-sized) are SIZE-GATED via
+    broadcast_if_fits on their parquet metadata counts — same rule as
+    tpch_q8 — so past the cap those joins shuffle on their keys
+    instead of OOMing an executor; at test scale both still broadcast
+    (pinned in test_plans.py)."""
+    cust_all = load(spark, sf_dir, "customer")
+    c = cust_all.filter(F.col("c_mktsegment") == "BUILDING")
+    orders_all = load(spark, sf_dir, "orders")
+    o = orders_all.filter(
         F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
     )
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
     )
+    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
+    n_cust = cust_all.count()
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -93,11 +104,16 @@ GROUP BY n_name
 """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume (TPC-H Q5 shape): five broadcast dims
-    around the lineitem fact — the fact table is shuffled exactly once
-    (for the final n_name aggregate); every join is broadcast-hash."""
+    """Local-supplier volume (TPC-H Q5 shape): the TRUE dims
+    (supplier, nation, filtered region) broadcast unconditionally;
+    orders (one-year filter, fact-proportional) and customer
+    (corpus-sized, unfiltered) are SIZE-GATED via broadcast_if_fits
+    on parquet metadata counts — same rule as tpch_q8 — so the fact
+    table is shuffled exactly once at test scale and the two big
+    joins fall back to key shuffles past the cap."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
+    orders_all = load(spark, sf_dir, "orders")
+    o = orders_all.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
@@ -105,10 +121,12 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
+    n_cust = c.count()
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -249,20 +267,24 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-customer aggregate), and top-20 is TakeOrderedAndProject
     with c_custkey as the unique tie-break. c_acctbal passes through
     ungrouped-arithmetic-free, so the double is bit-identical.
-    (customer is treated as a broadcastable dim per house style —
-    q3/q5 do the same; when customer outgrows executors the standing
-    answer is the bucketed co-located join, see
-    join_bucketed_colocated / SCALING.md, not a bigger broadcast.)"""
+    Orders (quarter-filtered, fact-proportional) and customer
+    (corpus-sized) are SIZE-GATED via broadcast_if_fits on parquet
+    metadata counts — the tpch_q8 rule, not a prose appeal to the
+    bucketed join: past the cap these two joins shuffle on their
+    keys; at test scale they still broadcast (test_plans.py pin)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = load(spark, sf_dir, "orders").filter(
+    orders_all = load(spark, sf_dir, "orders")
+    o = orders_all.filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
+    n_cust = c.count()
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(

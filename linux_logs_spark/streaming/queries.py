@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, nanos_ts_to_micros, table_path
 from linux_logs_spark.registry import register
+from linux_logs_spark.session import broadcast_if_fits
 
 _counter = itertools.count()
 
@@ -406,10 +407,16 @@ FROM events e JOIN ua ON e.user_id = ua.user_id
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ static dimension enrichment: the static side (per-user
-    averages, batch-computed) broadcasts into every micro-batch."""
+    averages, batch-computed) broadcasts into every micro-batch when
+    it fits. The frame is |users| rows, so the broadcast is
+    SIZE-GATED via broadcast_if_fits on the distinct-user upper bound
+    (32 B/row: long key + double + hashmap overhead) — at 10⁸ users
+    the per-micro-batch enrich falls back to a key shuffle instead of
+    OOMing every trigger."""
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.count()  # parquet metadata — upper bound on |users|
     static_avg = (
-        load(spark, sf_dir, "events")
-        .groupBy("user_id")
+        ev.groupBy("user_id")
         .agg(
             (
                 F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
@@ -418,7 +425,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = _events_stream(spark, sf_dir)
-    joined = src.join(F.broadcast(static_avg), "user_id").select(
+    joined = src.join(broadcast_if_fits(static_avg, n_users, 32), "user_id").select(
         "event_id", "user_id", "event_type", "user_avg"
     )
     return _run(spark, joined, "append")

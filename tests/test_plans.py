@@ -453,3 +453,49 @@ def test_tpch_q13_preserves_left_join(spark, sf_dir):
     then lose the c_count=0 cohort)."""
     plan = plan_string(_Q["tpch_q13"].fn(spark, sf_dir))
     assert "LeftOuter" in plan, plan
+
+
+# ---- round-7 additions -------------------------------------------------
+
+
+def test_scd2_merge_update_set_broadcasts_at_test_scale(spark, sf_dir):
+    """The MERGE update set is a slice of corpus-sized customer, so it
+    is size-gated (broadcast_if_fits, round-6 review) — this pins the
+    under-cap shape: the left join still broadcasts the update set at
+    test scale; past the cap it legitimately shuffles on the key."""
+    plan = plan_string(_Q["scd2_merge"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sim_knn_label_vote_join_broadcasts_at_test_scale(spark, sf_dir):
+    """The |embeddings|-row label frame feeding the kNN vote join is
+    size-gated; under the cap it must still ride a broadcast."""
+    plan = plan_string(_Q["sim_knn_label"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_emb_neighborhood_purity_label_joins_broadcast(spark, sf_dir):
+    """Both gated label-enrich joins (query label + neighbor label)
+    must still broadcast at test scale."""
+    plan = plan_string(_Q["emb_neighborhood_purity"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_stream_static_join_gate_broadcasts_at_test_scale(spark, sf_dir):
+    """Mirrors stream_static_join's size gate with its batch twin: at
+    test scale the |users|-row per-user-average frame must still
+    broadcast into the enrich join. (The streaming plan itself is not
+    inspectable pre-run; the gate decision is identical because it is
+    taken batch-side, before readStream.)"""
+    from pyspark.sql import functions as F
+
+    from linux_logs_spark.catalog import load
+    from linux_logs_spark.session import broadcast_if_fits
+
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.count()
+    static_avg = ev.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    joined = ev.join(broadcast_if_fits(static_avg, n_users, 32), "user_id")
+    plan = plan_string(joined)
+    assert "BroadcastHashJoin" in plan, plan

@@ -65,3 +65,16 @@ def dot_unrolled_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
 def norm_unrolled_sql(a: str, dim: int = EMBED_DIM) -> str:
     """‖a‖₂ as one SQL string (same left fold as the dot)."""
     return f"sqrt({dot_unrolled_sql(a, a, dim)})"
+
+
+def round6_away_sql(expr: str) -> str:
+    """round(expr, 6) on the BINARY double, half AWAY from zero — the
+    convention DuckDB's round() applies and the numpy formula
+    sim_cosine_blocked uses (copysign(floor(|x|·1e6 + 0.5))/1e6).
+    Spark's F.round instead rounds the SHORTEST DECIMAL REPR half-up
+    (compat.py failure mode 1), which carries a measure-zero residual
+    class at exact 0.5e-6 boundaries vs a DuckDB-round oracle; this
+    expression removes it, so every registration sharing a rounded-sim
+    oracle (topk / blocked / LSH / IVF) uses ONE convention (round-6
+    advice)."""
+    return f"sign({expr}) * floor(abs({expr}) * 1e6 + 0.5) / 1e6"

@@ -273,11 +273,10 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the binary double half away from zero, and a convention
         # mismatch at an exact 0.5e-6 boundary would flip the 6th
         # digit and flake the graduation oracle (round-6 review).
-        # copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule. (Spark
-        # F.round rounds the SHORTEST DECIMAL REPR half-up —
-        # compat.py failure mode 1 — so sim_cosine_topk's F.round
-        # carries a residual measure-zero boundary class vs the same
-        # oracle; this formula does not.)
+        # copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule — the same
+        # formula vector.round6_away_sql gives every JVM-side sim
+        # (topk/LSH/IVF since round 7), so all registrations of a
+        # rounded-sim oracle share ONE convention.
         sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
         out = []
         for r, vid in enumerate(qids):

@@ -39,6 +39,7 @@ from linux_logs_spark.functions.vector import (
     block_pair_keys,
     dot_unrolled_sql,
     norm_unrolled_sql,
+    round6_away_sql,
 )
 from linux_logs_spark.registry import register
 from linux_logs_spark.sources.multimodal import (
@@ -544,13 +545,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(norm_unrolled_sql("embedding")).alias("nb"),
         *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
-    sim = F.round(
-        F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
-    )
+    raw_sim = F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["qblk", "cblk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", sim.alias("sim"))
+        .select("doc_a", "doc_b", raw_sim.alias("raw_sim"))
+        # round6_away in its own projection: one binary half-away-
+        # from-zero convention for every rounded-sim oracle (r6 advice)
+        .select("doc_a", "doc_b", F.expr(round6_away_sql("raw_sim")).alias("sim"))
         .filter(F.col("sim") >= 0.35)
     )
 
@@ -805,17 +807,26 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(norm_unrolled_sql("embedding")).alias("nb"),
         *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
+    # Raw sim in its own projection, round6_away in the next: ONE
+    # binary half-away-from-zero convention across every registration
+    # of a rounded-sim oracle (round-6 advice — F.round's shortest-
+    # decimal half-up carried a measure-zero boundary class vs DuckDB
+    # round). CollapseProject keeps raw_sim un-inlined: the dot chain
+    # is non-cheap and referenced twice (sign, abs).
     pairs = (
         a.join(b, ["qblk", "cblk"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(
-                F.expr(dot_unrolled_sql("va", "vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("sim"),
+            (
+                F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            ).alias("raw_sim"),
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.expr(round6_away_sql("raw_sim")).alias("sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -995,11 +1006,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
-        F.round(
-            F.expr(dot_unrolled_sql("a.v", "b.v"))
-            / (F.col("a.nv") * F.col("b.nv")),
-            6,
-        ).alias("sim"),
+        (
+            F.expr(dot_unrolled_sql("a.v", "b.v")) / (F.col("a.nv") * F.col("b.nv"))
+        ).alias("raw_sim"),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        # one binary half-away-from-zero rounding convention (r6 advice)
+        F.expr(round6_away_sql("raw_sim")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(

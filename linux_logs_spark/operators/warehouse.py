@@ -27,7 +27,11 @@ from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, oracle_dsum
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
-from linux_logs_spark.functions.vector import dot_unrolled_sql, norm_unrolled_sql
+from linux_logs_spark.functions.vector import (
+    dot_unrolled_sql,
+    norm_unrolled_sql,
+    round6_away_sql,
+)
 from linux_logs_spark.registry import register
 
 # ------------------------------------------------------- TPC-H composites
@@ -488,19 +492,22 @@ N_IVF_CELLS = 16
 N_PROBE = 2
 
 
-# Centroids are the 16 lowest vec_ids — fully deterministic, so DuckDB
-# replays the index: rank every vector's cosine against each centroid
-# (normalize-then-GEMM vs dot/norms agree to ~1e-15; an assignment flip
-# needs a near-exact centroid tie), take rk=1 as the assignment and
-# rk<=2 as the probes, then verify with the SAME round-6 cosine the
-# exact-family oracles hash-match. Graduated from rows-only in round 6
-# (the r5 verdict's item 1).
-_IVF_ORACLE = """
+# Centroids are the N_IVF_CELLS lowest vec_ids — fully deterministic,
+# so DuckDB replays the index: rank every vector's cosine against each
+# centroid (normalize-then-GEMM vs dot/norms agree to ~1e-15; an
+# assignment flip needs a near-exact centroid tie), take rk=1 as the
+# assignment and rk<=N_PROBE as the probes, then verify with the SAME
+# round-6 cosine the exact-family oracles hash-match. Graduated from
+# rows-only in round 6 (the r5 verdict's item 1). The oracle is an
+# f-string over N_IVF_CELLS/N_PROBE (round-6 advice) so retuning the
+# knobs — the documented scale-up move KNOBS_10X performs — cannot
+# silently desync engine and oracle, same rule as _LSH_ORACLE.
+_IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cell, dv AS cv FROM v WHERE vec_id < 16
+  SELECT vec_id AS cell, dv AS cv FROM v WHERE vec_id < {N_IVF_CELLS}
 ),
 ranked AS (
   SELECT v.vec_id, cent.cell,
@@ -510,7 +517,7 @@ ranked AS (
   FROM v CROSS JOIN cent
 ),
 assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
-probe  AS (SELECT vec_id, cell FROM ranked WHERE rk <= 2),
+probe  AS (SELECT vec_id, cell FROM ranked WHERE rk <= {N_PROBE}),
 pairs AS (
   SELECT p.vec_id, a.vec_id AS neighbor_id,
          round(list_cosine_similarity(vq.dv, va.dv), 6) AS sim
@@ -606,17 +613,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q.cell") == F.col("x.cell"))
         & (F.col("q.vec_id") != F.col("x.vec_id")),
     )
-    sim = F.round(
-        F.expr(dot_unrolled_sql("q.qv", "x.v"))
-        / (F.col("q.qn") * F.col("x.nv")),
-        6,
+    raw_sim = F.expr(dot_unrolled_sql("q.qv", "x.v")) / (
+        F.col("q.qn") * F.col("x.nv")
     )
     # pairs are already unique: each query probes 2 DISTINCT cells and
-    # a candidate lives in exactly 1 primary cell — no dedup shuffle
+    # a candidate lives in exactly 1 primary cell — no dedup shuffle.
+    # round6_away in its own projection: one binary half-away-from-
+    # zero convention for every rounded-sim oracle (round-6 advice).
     pairs = cand.select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("x.vec_id").alias("neighbor_id"),
-        sim.alias("sim"),
+        raw_sim.alias("raw_sim"),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.expr(round6_away_sql("raw_sim")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(

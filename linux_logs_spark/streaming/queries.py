@@ -40,6 +40,15 @@ _counter = itertools.count()
 # is dropped only once its frame has been garbage-collected AND it has
 # fallen out of the most-recent window, so a late-materializing caller
 # does not hit TABLE_OR_VIEW_NOT_FOUND.
+#
+# CONTRACT (round-6 advice): the liveness key is the EXACT object _run
+# returns. A name-resolving client (Spark Connect) that drops the
+# returned frame and holds only a frame DERIVED from it does NOT keep
+# the weakref alive — the view can be evicted before the derived frame
+# late-materializes. Such callers must keep a reference to the
+# returned frame itself for as long as they intend to re-resolve the
+# view name. (Classic PySpark callers are unaffected: spark.table
+# resolves eagerly, so derived frames survive the view drop.)
 _sink_refs: dict[str, "weakref.ref[DataFrame]"] = {}
 _SINK_KEEP_FLOOR = 4
 

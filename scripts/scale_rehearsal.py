@@ -261,14 +261,37 @@ def _shuffle_write_bytes(spark) -> int:
         return -1
 
 
+# import-time defaults of every knob _set_knobs has ever touched —
+# lets the restore call prove all knobs are back to baked-oracle state
+_KNOB_DEFAULTS: dict = {}
+
+
 def _set_knobs(values: dict) -> dict:
+    """Patch family knobs module-globally, returning the old values.
+
+    Also flips registry.knobs_patched whenever any knob differs from
+    its import-time value: registered oracle SQL (e.g. _IVF_ORACLE,
+    _LSH_ORACLE f-strings) was baked from the defaults, so
+    verify.run_oracle refuses to run while knobs are patched — the
+    count-only rehearsal never verifies, and this guard keeps that
+    combination impossible rather than merely unused (round-6 advice)."""
     import importlib
+
+    from linux_logs_spark import registry
 
     old = {}
     for (mod_name, attr), val in values.items():
         mod = importlib.import_module(mod_name)
-        old[(mod_name, attr)] = getattr(mod, attr)
+        current = getattr(mod, attr)
+        # snapshot the import-time default the first time we touch a
+        # knob — the restore call must be able to clear the flag
+        _KNOB_DEFAULTS.setdefault((mod_name, attr), current)
+        old[(mod_name, attr)] = current
         setattr(mod, attr, val)
+    registry.knobs_patched = any(
+        getattr(importlib.import_module(m), a) != default
+        for (m, a), default in _KNOB_DEFAULTS.items()
+    )
     return old
 
 

@@ -138,3 +138,29 @@ def test_lsh_planes_are_full_rank_for_any_k():
             [[lsh_plane(j, i) for i in range(64)] for j in range(k)]
         )
         assert np.linalg.matrix_rank(planes) == k, f"rank deficient at K={k}"
+
+
+def test_knob_patch_blocks_oracle_verification(spark, sf_dir):
+    """While scale_rehearsal has family knobs patched, registered
+    oracle SQL (baked from import-time defaults) must be unrunnable:
+    verify.run_oracle refuses, and a restore clears the latch
+    (round-6 advice — nothing previously guarded the combination)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import scale_rehearsal as sr
+
+    from linux_logs_spark import registry
+    from linux_logs_spark.verify import run_oracle
+
+    old = sr._set_knobs(sr.KNOBS_10X)
+    try:
+        assert registry.knobs_patched
+        with pytest.raises(AssertionError, match="knobs are"):
+            run_oracle("SELECT 1 AS one", sf_dir)
+    finally:
+        sr._set_knobs(old)
+    assert not registry.knobs_patched
+    assert run_oracle("SELECT 1 AS one", sf_dir).iloc[0, 0] == 1

@@ -55,6 +55,11 @@ HEAVY = [
     "sim_cosine_blocked",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    # fact⋈fact zero-exchange claim (round-6 verdict item 6): the 10x
+    # dir carries GENUINELY 10× orders/lineitem (key-shifted replicas,
+    # same per-key fan-out), so the bucketed join's wall/shuffle curve
+    # is a real scale datapoint, not a copy of the 1x one.
+    "join_bucketed_colocated",
 ]
 
 # knob → 10× value, each the documented scale-up move for its family:
@@ -235,13 +240,31 @@ def gen() -> None:
     )
     pq.write_table(ev, os.path.join(SCALE_DIR, "events.parquet"))
 
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    for t in "region nation customer supplier part".split():
         shutil.copy(
             os.path.join(SF1_DIR, f"{t}.parquet"),
             os.path.join(SCALE_DIR, f"{t}.parquet"),
         )
+    # orders/lineitem at REAL 10×: replicate with the order key shifted
+    # by replica index — per-key join fan-out (lines per order) is
+    # preserved exactly, so the bucketed fact⋈fact join sees 10× rows
+    # with the same key-distribution statistics (the statistics-match
+    # rule that burned the round-6 rehearsal's first documents gen).
+    con2 = duckdb.connect()  # the vocab connection closed above
+    key_span = con2.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{SF1_DIR}/orders.parquet')"
+    ).fetchone()[0]
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        con2.execute(
+            f"""
+            COPY (
+              SELECT t.* REPLACE ({key} + i * {key_span} AS {key})
+              FROM read_parquet('{SF1_DIR}/{t}.parquet') t
+              CROSS JOIN (SELECT unnest(range(10)) AS i)
+            ) TO '{os.path.join(SCALE_DIR, f"{t}.parquet")}' (FORMAT PARQUET)
+            """
+        )
+    con2.close()
     print(f"generated {N_DOCS} docs / {N_VECS} vecs / {n_events} events in {SCALE_DIR}")
 
 

@@ -264,12 +264,16 @@ GROUP BY n_name
 """,
 )
 def join_self_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way star join: both dims broadcast, single agg shuffle on n_name."""
+    """3-way star join, single agg shuffle on n_name. Nation is a true
+    dim (25 rows, unconditional broadcast); customer is corpus-sized,
+    so its broadcast is SIZE-GATED on the parquet metadata count —
+    past the cap the custkey join shuffles (round-7, closing the
+    q3/q5/q10 class everywhere)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_fits(c, c.count(), 96), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))

@@ -1097,22 +1097,29 @@ WHERE rn <= 3
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. df (vocab-sized) broadcasts
-    into the tf table; the corpus size joins in as a broadcast scalar
-    (no collect — stays one lazy plan)."""
+    into the tf table while it fits; the corpus size joins in as a
+    broadcast scalar (1 row, unconditional). The vocab is Heaps-law
+    unbounded at 100 TB, so the df broadcast is SIZE-GATED on an
+    exact checkpointed count (the dedup_edit_verify precedent —
+    there is no metadata proxy for |vocab|); past the cap the word
+    join shuffles, which is the right plan once vocab >> executor
+    memory. The localCheckpoint also keeps the df agg from being
+    recomputed for the count."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # df derives from tf (rows are already unique per (doc, word)):
     # one fewer pass over the exploded tokens and no countDistinct
     # shuffle — at 100 TB the token explosion is the dominant volume.
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
+    n_vocab = df.count()  # exact, on the checkpointed frame — no recompute
     n = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.round(
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(broadcast_if_fits(df, n_vocab, 24), "word")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", tfidf)
         .withColumn("rn", F.row_number().over(w))

@@ -499,3 +499,25 @@ def test_stream_static_join_gate_broadcasts_at_test_scale(spark, sf_dir):
     joined = ev.join(broadcast_if_fits(static_avg, n_users, 32), "user_id")
     plan = plan_string(joined)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_join_self_multi_customer_broadcasts_at_test_scale(spark, sf_dir):
+    """customer's broadcast is size-gated (round-7); under the cap the
+    star join must still run both joins as broadcasts."""
+    plan = plan_string(_Q["join_self_multi"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q7_gated_customer_still_broadcasts(spark, sf_dir):
+    """q7's nation-filtered customer is size-gated; under the cap all
+    four dim-enrich joins broadcast and only the fact-fact orderkey
+    join (plus aggs) shuffles."""
+    plan = plan_string(_Q["tpch_q7"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_text_tfidf_df_broadcasts_at_test_scale(spark, sf_dir):
+    """The vocab-sized df frame is size-gated on an exact checkpointed
+    count; under the cap the word join must still broadcast."""
+    plan = plan_string(_Q["text_tfidf"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan

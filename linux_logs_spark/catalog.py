@@ -90,6 +90,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (normpath(sf_dir), name) → (size, mtime_ns, num_rows). Process-wide
+# on purpose: the value is a property of the FILE, not of any session.
+_row_count_cache: dict[tuple[str, str], tuple[int, int, int]] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — no Spark job at all.
+
+    The broadcast size gates (session.broadcast_if_fits call sites)
+    need a cheap upper bound on a source table's rows; df.count()
+    launches a Spark job per call site per construction, which a
+    round-7 review measured as dozens of redundant jobs across a full
+    driver pass. The footer's num_rows is the same number for zero
+    jobs. Cached per file fingerprint (size + mtime) so a regenerated
+    dataset at the same path is never answered stale."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    st = os.stat(path)
+    key = (os.path.normpath(sf_dir), name)
+    hit = _row_count_cache.get(key)
+    if hit is not None and hit[0] == st.st_size and hit[1] == st.st_mtime_ns:
+        return hit[2]
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    _row_count_cache[key] = (st.st_size, st.st_mtime_ns, n)
+    return n
+
+
 def nanos_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
     """Truncate an epoch-nanos LongType column to a µs timestamp
     (no-op if the column is already a timestamp).

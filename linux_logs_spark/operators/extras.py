@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load
+from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.functions.vector import block_pair_keys
 from linux_logs_spark.operators.llm_pipeline import COSINE_TOPK_ORACLE
@@ -149,7 +149,7 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata count — past the cap the merge shuffles on the key, the
     normal copy-on-write plan."""
     c = load(spark, sf_dir, "customer")
-    n_cust = c.count()  # parquet metadata — cheap upper bound
+    n_cust = table_row_count(sf_dir, "customer")  # footer, no job
     updates = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load
+from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.registry import register
 from linux_logs_spark.session import broadcast_if_fits
@@ -273,7 +273,10 @@ def join_self_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
-        o.join(broadcast_if_fits(c, c.count(), 96), o.o_custkey == c.c_custkey)
+        o.join(
+            broadcast_if_fits(c, table_row_count(sf_dir, "customer"), 96),
+            o.o_custkey == c.c_custkey,
+        )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))

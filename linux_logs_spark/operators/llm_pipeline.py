@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load
+from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import (
     LANG_MARKERS,
@@ -122,6 +122,7 @@ def posting_jaccard_pairs(
     postings,
     block_cols: tuple[str, ...] = ("lang", "source"),
     df_cap: int | None = WORD_DF_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) for doc pairs sharing posting
     units (an array Column: words, shingles, …) within ``block_cols``
@@ -170,9 +171,12 @@ def posting_jaccard_pairs(
         F.col("na.n") + F.col("nb.n") - F.col("n_common")
     )
     # nw is per-DOCUMENT (corpus-sized, not a dim): hint the broadcast
-    # only while it fits (round-5 review) — the parquet metadata count
-    # is cheap, and past the cap the same joins shuffle on doc_id.
-    n_docs = d.count()
+    # only while it fits (round-5 review); past the cap the same joins
+    # shuffle on doc_id. Callers over a raw table pass the parquet
+    # FOOTER count (zero jobs); the d.count() fallback covers derived
+    # input frames.
+    if n_docs is None:
+        n_docs = d.count()
     return (
         inter.join(
             broadcast_if_fits(na, n_docs, _COUNT_ROW_BYTES),
@@ -186,12 +190,18 @@ def posting_jaccard_pairs(
     )
 
 
-def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
+def blocked_jaccard_pairs(d: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Word-set Jaccard pairs within (lang, source) blocks, per-block
     df ≤ WORD_DF_CAP — the capped configuration of
-    posting_jaccard_pairs shared by the dedup/edit-verify/CC family."""
+    posting_jaccard_pairs shared by the dedup/edit-verify/CC family.
+    Pass n_docs (footer count) when d is the raw documents table to
+    skip the gate's d.count() job."""
     return posting_jaccard_pairs(
-        d, words("text"), block_cols=("lang", "source"), df_cap=WORD_DF_CAP
+        d,
+        words("text"),
+        block_cols=("lang", "source"),
+        df_cap=WORD_DF_CAP,
+        n_docs=n_docs,
     )
 
 
@@ -214,7 +224,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shingle-similar; tests/test_ann_quality.py measures minhash
     recall against brute-force SHINGLE Jaccard for that reason."""
     d = load(spark, sf_dir, "documents")
-    return blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
+    n_docs = table_row_count(sf_dir, "documents")  # footer, no job
+    return blocked_jaccard_pairs(d, n_docs).filter(F.col("jaccard") >= 0.5)
 
 
 @register(
@@ -250,7 +261,11 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its EXACT count feeds broadcast_if_fits — past the cap both
     joins shuffle on doc_id, correct at any scale."""
     d = load(spark, sf_dir, "documents")
-    pairs = blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.4).localCheckpoint()
+    pairs = (
+        blocked_jaccard_pairs(d, table_row_count(sf_dir, "documents"))
+        .filter(F.col("jaccard") >= 0.4)
+        .localCheckpoint()
+    )
     n_pairs = pairs.count()  # checkpointed → count is metadata-cheap
     pref = d.select("doc_id", F.substring("text", 1, 80).alias("p"))
     with_a = (
@@ -601,7 +616,11 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway — no plan escapes its own output size."""
     d = load(spark, sf_dir, "documents")
     return posting_jaccard_pairs(
-        d, word_shingles(words("text"), 3), block_cols=(), df_cap=None
+        d,
+        word_shingles(words("text"), 3),
+        block_cols=(),
+        df_cap=None,
+        n_docs=table_row_count(sf_dir, "documents"),
     ).filter(F.col("jaccard") >= 0.5)
 
 
@@ -867,7 +886,10 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sim_cosine_topk(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
     votes = (
-        topk.join(broadcast_if_fits(labels, e.count(), 16), "neighbor_id")
+        topk.join(
+            broadcast_if_fits(labels, table_row_count(sf_dir, "embeddings"), 16),
+            "neighbor_id",
+        )
         .groupBy("vec_id", "label")
         .agg(F.count("*").alias("votes"))
     )
@@ -998,7 +1020,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 2^N_PLANES — raise N_PLANES with the corpus so reducers stay
     # busy). An unconditional hint would cap the scale path at one
     # executor's memory with no fallback (round-5 review).
-    b = broadcast_if_fits(bucketed.alias("b"), e.count(), _EMBED_ROW_BYTES)
+    b = broadcast_if_fits(
+        bucketed.alias("b"), table_row_count(sf_dir, "embeddings"), _EMBED_ROW_BYTES
+    )
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -1478,7 +1502,7 @@ def emb_neighborhood_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric's JOB here is to be the deterministic, oracle-checked eval
     pipeline a real embedding table plugs into."""
     e = load(spark, sf_dir, "embeddings")
-    n_vecs = e.count()  # parquet metadata — cheap upper bound
+    n_vecs = table_row_count(sf_dir, "embeddings")  # footer, no job
     topk = sim_cosine_topk(spark, sf_dir)
     ql = e.select(F.col("vec_id"), F.col("label"))
     nl = e.select(

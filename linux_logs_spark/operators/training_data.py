@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load
+from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.text import STOPWORDS, word_shingles, words
 from linux_logs_spark.operators.llm_pipeline import (
     _JACCARD_PAIRS_SQL,
@@ -216,7 +216,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed under a recursive CTE."""
     d = load(spark, sf_dir, "documents")
     edges0 = (
-        blocked_jaccard_pairs(d)
+        blocked_jaccard_pairs(d, table_row_count(sf_dir, "documents"))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )

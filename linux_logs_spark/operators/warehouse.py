@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linux_logs_spark.catalog import load
+from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, oracle_dsum
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import word_shingles, words
@@ -75,8 +75,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
     )
-    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
-    n_cust = cust_all.count()
+    n_orders = table_row_count(sf_dir, "orders")  # footer, no job
+    n_cust = table_row_count(sf_dir, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
@@ -125,8 +125,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
-    n_cust = c.count()
+    n_orders = table_row_count(sf_dir, "orders")  # footer, no job
+    n_cust = table_row_count(sf_dir, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
@@ -219,7 +219,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer filtered to 2 nations is still ~2/|nations| of a
     # corpus-sized table — size-gate its broadcast into orders
     # (round-7, q3/q5/q10 class); supplier and nation are true dims.
-    n_cust = cust_all.count()  # parquet metadata — cheap upper bound
+    n_cust = table_row_count(sf_dir, "customer")  # footer, no job
     cust = (
         cust_all
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -289,8 +289,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
-    n_cust = c.count()
+    n_orders = table_row_count(sf_dir, "orders")  # footer, no job
+    n_cust = table_row_count(sf_dir, "customer")
     return (
         li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
         .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
@@ -614,7 +614,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
 
     cand = probes.alias("q").join(
-        broadcast_if_fits(indexed.alias("x"), e.count(), _EMBED_ROW_BYTES),
+        broadcast_if_fits(indexed.alias("x"), table_row_count(sf_dir, "embeddings"), _EMBED_ROW_BYTES),
         (F.col("q.cell") == F.col("x.cell"))
         & (F.col("q.vec_id") != F.col("x.vec_id")),
     )
@@ -1124,8 +1124,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     c = load(spark, sf_dir, "customer")
-    n_orders = orders_all.count()  # parquet metadata — cheap upper bound
-    n_cust = c.count()
+    n_orders = table_row_count(sf_dir, "orders")  # footer, no job
+    n_cust = table_row_count(sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     n1 = n.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")

@@ -417,13 +417,15 @@ FROM events e JOIN ua ON e.user_id = ua.user_id
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ static dimension enrichment: the static side (per-user
     averages, batch-computed) broadcasts into every micro-batch when
-    it fits. The frame is |users| rows, so the broadcast is
-    SIZE-GATED via broadcast_if_fits on the distinct-user upper bound
-    (32 B/row: long key + double + hashmap overhead) — at 10⁸ users
-    the per-micro-batch enrich falls back to a key shuffle instead of
-    OOMing every trigger."""
+    it fits. The frame is |users| rows; the gate uses the EXACT row
+    count of the checkpointed aggregate (32 B/row: long key + double +
+    hashmap overhead) — |events| as a proxy overestimated ~67× and
+    would drop the broadcast long before the real frame outgrew the
+    cap (round-7 review). The localCheckpoint also computes the
+    static side ONCE instead of once per micro-batch. At 10⁸ users
+    the enrich falls back to a key shuffle instead of OOMing every
+    trigger."""
     ev = load(spark, sf_dir, "events")
-    n_users = ev.count()  # parquet metadata — upper bound on |users|
     static_avg = (
         ev.groupBy("user_id")
         .agg(
@@ -432,7 +434,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("value")
             ).alias("user_avg")
         )
+        .localCheckpoint(eager=True)
     )
+    n_users = static_avg.count()  # exact, on the checkpointed frame
     src = _events_stream(spark, sf_dir)
     joined = src.join(broadcast_if_fits(static_avg, n_users, 32), "user_id").select(
         "event_id", "user_id", "event_type", "user_avg"

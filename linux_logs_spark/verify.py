@@ -27,11 +27,13 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     # Oracle SQL was baked from the import-time knob defaults; while
     # scale_rehearsal has knobs patched, the comparison would pit a
     # patched engine against a default-knob oracle (round-6 advice).
-    assert not registry.knobs_patched, (
-        "oracle verification invoked while scale-rehearsal knobs are "
-        "patched — registered oracle SQL reflects the import-time "
-        "defaults, not the patched values"
-    )
+    # A real raise, not an assert — must hold under `python -O` too.
+    if registry.knobs_patched:
+        raise RuntimeError(
+            "oracle verification invoked while scale-rehearsal knobs are "
+            "patched — registered oracle SQL reflects the import-time "
+            "defaults, not the patched values"
+        )
     con = duckdb.connect()
     try:
         for t in TABLES:

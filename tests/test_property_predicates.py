@@ -145,11 +145,14 @@ def test_knob_patch_blocks_oracle_verification(spark, sf_dir):
     oracle SQL (baked from import-time defaults) must be unrunnable:
     verify.run_oracle refuses, and a restore clears the latch
     (round-6 advice — nothing previously guarded the combination)."""
+    import os
     import sys
 
     import pytest
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scripts")
+    )
     import scale_rehearsal as sr
 
     from linux_logs_spark import registry
@@ -158,7 +161,7 @@ def test_knob_patch_blocks_oracle_verification(spark, sf_dir):
     old = sr._set_knobs(sr.KNOBS_10X)
     try:
         assert registry.knobs_patched
-        with pytest.raises(AssertionError, match="knobs are"):
+        with pytest.raises(RuntimeError, match="knobs are"):
             run_oracle("SELECT 1 AS one", sf_dir)
     finally:
         sr._set_knobs(old)

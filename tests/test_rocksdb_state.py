@@ -21,22 +21,40 @@ _ROCKSDB = (
 )
 
 
+_HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
 @pytest.mark.parametrize("name", ["stream_tumbling", "stream_custom_state"])
 def test_rocksdb_state_store_matches_default_provider(spark, sf_dir, name):
-    specs = all_queries()
-    base = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+    # Pin BOTH providers explicitly (round-7 review): under
+    # SPARK_GRAFT_ROCKSDB_STATE=1 the session default is already
+    # RocksDB, which would make an implicit-default baseline compare
+    # RocksDB against itself; and restore the caller's conf afterwards
+    # instead of unsetting it out from under an env-configured session.
+    def prior(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
 
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
-    )
+    prior_provider, prior_changelog = prior(_PROVIDER_KEY), prior(_CHANGELOG_KEY)
+    specs = all_queries()
     try:
+        spark.conf.set(_PROVIDER_KEY, _HDFS)
+        base = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+        spark.conf.set(_CHANGELOG_KEY, "true")
         got = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
     finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        spark.conf.unset(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-        )
+        for key, val in ((_PROVIDER_KEY, prior_provider), (_CHANGELOG_KEY, prior_changelog)):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
 
     assert got == base

@@ -47,7 +47,15 @@ def _run_multibatch(spark, streamed, mode: str, name: str):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            finished = q.awaitTermination(240)
+            # a timed-out query is still running — reading the sink
+            # now would diff a partial aggregate and masquerade as a
+            # state-store bug (round-7 review)
+            assert finished, "availableNow drain did not finish in 240 s"
+        finally:
+            if q.isActive:
+                q.stop()
         # progress entries with rows actually processed = real triggers
         n_triggers = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0

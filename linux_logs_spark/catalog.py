@@ -115,7 +115,16 @@ def table_row_count(sf_dir: str, name: str) -> int:
         return hit[2]
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(path).metadata.num_rows
+    if os.path.isdir(path):
+        # Spark-written dataset (directory of part files) — e.g. the
+        # short-docs test fixture; the driver testdata is single files.
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
     _row_count_cache[key] = (st.st_size, st.st_mtime_ns, n)
     return n
 

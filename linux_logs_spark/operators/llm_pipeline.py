@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, table_row_count
+from linux_logs_spark.functions.compat import dsum
 from linux_logs_spark.session import broadcast_if_fits, default_parallelism
 from linux_logs_spark.functions.text import (
     LANG_MARKERS,
@@ -1521,4 +1522,75 @@ def emb_neighborhood_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.groupBy("label").agg(
         F.count("*").alias("n_neighbor_slots"),
         F.round(F.avg(F.col("same").cast("double")), 4).alias("purity"),
+    )
+
+
+@register(
+    "text_perplexity",
+    "llm",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+), cnt AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY 1
+), tot AS (SELECT count(*) AS total FROM tok)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       -(CAST(sum(CAST(round(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                       AS DECIMAL(25,6))) AS DOUBLE))
+         / CAST(sum(tf) AS BIGINT) AS cross_entropy
+FROM tf JOIN cnt USING (word) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM cross-entropy (the CCNet-style
+    perplexity quality filter: score every document against a language
+    model and drop the tails; here the LM is the corpus's own unigram
+    distribution, so the op is self-contained and oracle-replayable).
+
+    Float discipline — bit-identical cross-engine WITHOUT a final
+    rounding: each term tf·ln(cnt/total) is rounded to 6 digits with
+    the binary half-away-from-zero convention (round6_away_sql ≡
+    DuckDB round), making the per-term doubles identical; the per-doc
+    sum then runs in DECIMAL(25,6) (exact, order-independent — the
+    dsum rule applied to an irrational family), and the single IEEE
+    division by n_tokens is deterministic on identical inputs.
+
+    Scale shape: token explode → two hash aggregates (per-(doc,word),
+    per-word) — the same two-shuffle skeleton as text_tfidf; the
+    vocab-sized cnt frame is size-gated on its exact checkpointed
+    count; the 1-row total crossJoins as a broadcast scalar."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    cnt = (
+        tf.groupBy("word").agg(F.sum("tf").alias("cnt")).localCheckpoint(eager=True)
+    )
+    n_vocab = cnt.count()  # exact, on the checkpointed frame
+    tot = d.select(F.explode(words("text")).alias("w")).agg(
+        F.count("*").alias("total")
+    )
+    term_raw = F.col("tf").cast("double") * F.log(
+        F.col("cnt").cast("double") / F.col("total").cast("double")
+    )
+    return (
+        tf.join(broadcast_if_fits(cnt, n_vocab, 24), "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tf", term_raw.alias("term_raw"))
+        .select(
+            "doc_id", "tf", F.expr(round6_away_sql("term_raw")).alias("term6")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            dsum("term6", 6).alias("s6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.col("s6") / F.col("n_tokens")).alias("cross_entropy"),
+        )
     )

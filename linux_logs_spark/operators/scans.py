@@ -297,3 +297,88 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# Apache combined-log regex. Conservative RE2 ∩ java.util.regex
+# subset (char classes, \S/\w/\d, no backrefs/lookaround) — the same
+# dialect rule doc_pii_scrub documents; oracle parity depends on it.
+_APACHE_RE = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\w+) (\S+) [^"]*" (\d{3}) (\d+)$'
+)
+
+
+@register(
+    "scan_apache_log",
+    "scan",
+    oracle=rf"""
+WITH lines AS (
+  SELECT printf('10.%d.%d.%d - user%d [10/Jan/2024:13:55:%02d +0000] "%s /api/v%d/item/%d HTTP/1.1" %d %d',
+                doc_id % 256, (doc_id // 256) % 256, doc_id % 254 + 1,
+                doc_id % 50, doc_id % 60,
+                CASE doc_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                                WHEN 2 THEN 'PUT' ELSE 'DELETE' END,
+                doc_id % 3, doc_id,
+                CASE doc_id % 6 WHEN 3 THEN 301 WHEN 4 THEN 404
+                                WHEN 5 THEN 500 ELSE 200 END,
+                (doc_id * 37) % 5000) AS value
+  FROM documents
+)
+SELECT regexp_extract(value, '{_APACHE_RE}', 1) AS client_ip,
+       regexp_extract(value, '{_APACHE_RE}', 2) AS username,
+       regexp_extract(value, '{_APACHE_RE}', 3) AS ts_str,
+       regexp_extract(value, '{_APACHE_RE}', 4) AS method,
+       regexp_extract(value, '{_APACHE_RE}', 5) AS path,
+       CAST(regexp_extract(value, '{_APACHE_RE}', 6) AS BIGINT) AS status,
+       CAST(regexp_extract(value, '{_APACHE_RE}', 7) AS BIGINT) AS n_bytes
+FROM lines
+""",
+)
+def scan_apache_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second log format on the reference's core turf: Apache combined
+    access-log line → typed record, same round-trip discipline as
+    scan_text_parse (deterministic synthesis from documents → real
+    text file → spark.read.text → one codegen'd regexp_extract per
+    field, no Python). A log consolidator that only speaks syslog is
+    half a log consolidator; this is the web-server half. At 100 TB
+    the parse is embarrassingly parallel — file-split-per-task, no
+    shuffle anywhere in the plan."""
+    d = load(spark, sf_dir, "documents")
+    method = (
+        F.when(F.col("doc_id") % 4 == 0, "GET")
+        .when(F.col("doc_id") % 4 == 1, "POST")
+        .when(F.col("doc_id") % 4 == 2, "PUT")
+        .otherwise("DELETE")
+    )
+    status = (
+        F.when(F.col("doc_id") % 6 == 3, 301)
+        .when(F.col("doc_id") % 6 == 4, 404)
+        .when(F.col("doc_id") % 6 == 5, 500)
+        .otherwise(200)
+    )
+    lines = d.select(
+        F.format_string(
+            '10.%d.%d.%d - user%d [10/Jan/2024:13:55:%02d +0000] "%s /api/v%d/item/%d HTTP/1.1" %d %d',
+            F.col("doc_id") % 256,
+            (F.col("doc_id") / 256).cast("long") % 256,
+            F.col("doc_id") % 254 + 1,
+            F.col("doc_id") % 50,
+            F.col("doc_id") % 60,
+            method,
+            F.col("doc_id") % 3,
+            F.col("doc_id"),
+            status,
+            (F.col("doc_id") * 37) % 5000,
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "apache_log_txt")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.regexp_extract("value", _APACHE_RE, 1).alias("client_ip"),
+        F.regexp_extract("value", _APACHE_RE, 2).alias("username"),
+        F.regexp_extract("value", _APACHE_RE, 3).alias("ts_str"),
+        F.regexp_extract("value", _APACHE_RE, 4).alias("method"),
+        F.regexp_extract("value", _APACHE_RE, 5).alias("path"),
+        F.regexp_extract("value", _APACHE_RE, 6).cast("long").alias("status"),
+        F.regexp_extract("value", _APACHE_RE, 7).cast("long").alias("n_bytes"),
+    )

@@ -633,3 +633,63 @@ def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# Per-language token budget for corpus_budget_trim. Sized to bite at
+# every test sf (sf0.001 already carries >5k tokens per lang) so the
+# trim is exercised, not vacuously passing everything through.
+LANG_TOKEN_BUDGET = 5_000
+
+
+@register(
+    "corpus_budget_trim",
+    "llm",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), running AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY hx, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM running WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
+""",
+)
+def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus trim: keep a deterministic pseudo-random
+    sample of each language until its token budget is spent — the
+    data-mixing primitive behind 'N billion tokens of lang X' recipe
+    lines (corpus_mix_rebalance plans per-stratum RATES; this enforces
+    an absolute token CEILING). md5(doc_id) is the priority order, so
+    the kept set is reproducible across runs and cluster sizes
+    (split_train_holdout's property applied to a running sum).
+
+    Scale shape: one shuffle on lang partitions both the running-sum
+    window and the filter; the inclusive running sum ≤ budget is the
+    standard take-until-budget contract (never overshoots; may
+    undershoot by less than one document). Per-lang windows are
+    corpus-wide but the frame is ROWS-running — single pass, no
+    re-sort downstream."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )

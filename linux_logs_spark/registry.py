@@ -158,6 +158,11 @@ _MEASURED_COST: dict[str, float] = {
     "udtf_apply_in_pandas": 0.29, "udtf_python_native": 0.4, "vocab_build": 0.22, "win_first_last": 0.26,
     "win_lag_lead": 0.38, "win_latest_per_key": 0.21, "win_nth_value": 0.25, "win_range_frame": 1.65,
     "win_ranking": 0.61, "win_ranking_sql": 0.63, "win_running": 0.71,
+    # round-7 additions — provisional single-query subset measurements
+    # (driver_sim_results_subset.json); superseded by the round-7 full
+    # 2-pass refresh below when it lands.
+    "scan_apache_log": 0.61, "table_time_travel": 0.54, "text_perplexity": 1.05,
+    "corpus_budget_trim": 0.34,
 }
 
 _DEFAULT_COST = 0.9

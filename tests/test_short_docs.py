@@ -32,6 +32,10 @@ DOC_QUERIES = [
     "text_quality_score",
     "text_fingerprint",
     "text_token_count_bpe",
+    # round-7 additions over documents
+    "text_perplexity",
+    "corpus_budget_trim",
+    "scan_apache_log",
 ]
 
 

@@ -521,3 +521,36 @@ def test_text_tfidf_df_broadcasts_at_test_scale(spark, sf_dir):
     count; under the cap the word join must still broadcast."""
     plan = plan_string(_Q["text_tfidf"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_scan_apache_log_is_shuffle_free(spark, sf_dir):
+    """Parse plans must stay embarrassingly parallel: text scan →
+    regexp projections, zero exchanges."""
+    plan = plan_string(_Q["scan_apache_log"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_corpus_budget_trim_single_shuffle(spark, sf_dir):
+    """One hashpartitioning(lang) exchange serves the running-sum
+    window; the budget filter adds none."""
+    plan = plan_string(_Q["corpus_budget_trim"].fn(spark, sf_dir))
+    nodes = set(re.findall(r"\((\d+)\) (BroadcastExchange|Exchange)\b", plan))
+    shuffles = [n for n in nodes if n[1] == "Exchange"]
+    assert len(shuffles) == 1, plan
+
+
+def test_table_time_travel_diff_broadcasts_at_test_scale(spark, sf_dir):
+    """The as-of diff's v2 side is size-gated; under the cap it rides
+    a broadcast (past the cap the diff shuffles on the key)."""
+    plan = plan_string(_Q["table_time_travel"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_text_perplexity_two_aggregate_skeleton(spark, sf_dir):
+    """Same two-shuffle skeleton as text_tfidf: per-(doc,word) tf agg
+    and the per-doc reduction; the vocab join broadcasts under the
+    cap and the 1-row total crossJoins as a broadcast scalar — no
+    cartesian, no vocab shuffle at test scale."""
+    plan = plan_string(_Q["text_perplexity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan

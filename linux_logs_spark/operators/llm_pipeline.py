@@ -561,14 +561,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(norm_unrolled_sql("embedding")).alias("nb"),
         *block_pair_keys("vec_id", DEDUP_CAND_BLOCKS, DEDUP_QUERY_BLOCKS, "cblk", "qblk"),
     )
-    raw_sim = F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+    # DELIBERATE round6_away EXCEPTION (round-7, measured): this query
+    # keeps F.round. The threshold filter below is predicate-pushed
+    # through the projection with alias substitution, so the rounding
+    # formula is evaluated at BOTH the filter and the project site.
+    # F.round references its argument once → 2 copies of the 64-term
+    # dot, codegen'd (the shape this query always had). round6_away
+    # references it twice (sign, abs) → 4 copies, which blows janino's
+    # 64 KB method limit and drops the whole stage to interpreted
+    # (measured: cost 1.26→2.02 s, WholeStageCodegen spans 0). The
+    # shared-oracle pair (sim_cosine_topk/sim_cosine_blocked — the
+    # round-6 advice item) and the window-barriered LSH/IVF paths keep
+    # the round6_away convention; this query's own oracle has been
+    # hash-green with F.round's shortest-decimal half-up since round 3
+    # — the same accepted measure-zero boundary class.
+    sim = F.round(
+        F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         a.join(b, ["qblk", "cblk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", raw_sim.alias("raw_sim"))
-        # round6_away in its own projection: one binary half-away-
-        # from-zero convention for every rounded-sim oracle (r6 advice)
-        .select("doc_a", "doc_b", F.expr(round6_away_sql("raw_sim")).alias("sim"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.35)
     )
 

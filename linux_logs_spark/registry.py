@@ -106,63 +106,61 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set. THIS TABLE: one full 175-query 2-pass run on
-# a QUIET host at round-6 close, AFTER the SQL-string expression-build
-# rewrite (cost_s = min of passes; 175/175 clean, zero mismatches,
-# total 165.2 s; artifact: driver_sim_results.json) — every entry from
-# that single run, one baseline, no subset mixing.
+# driver's verified set. THIS TABLE: one full 179-query 2-pass run on
+# a QUIET host in round 7, AFTER the broadcast-gate footer-count
+# rewrite, the round6_away convention change, and the four round-7
+# query additions (cost_s = min of passes; 179/179 clean, zero
+# mismatches, total 170.2 s; artifact: driver_sim_results.json) —
+# every entry from that single run, one baseline, no subset mixing
+# (mechanized: scripts/update_measured_cost.py).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.63, "agg_approx_percentile": 0.14, "agg_bool": 0.18, "agg_collect": 0.22,
-    "agg_conditional_family": 0.36, "agg_count_distinct": 0.26, "agg_cube": 0.32, "agg_distinct_rows": 0.14,
-    "agg_global": 0.29, "agg_groupby": 0.36, "agg_groupby_sql": 0.34, "agg_grouping_sets": 0.18,
-    "agg_having": 0.17, "agg_histogram": 0.21, "agg_hll_sketch_rollup": 0.36, "agg_min_max_by": 0.17,
-    "agg_mode": 0.25, "agg_percentile": 0.35, "agg_pivot": 0.27, "agg_regression_family": 0.25,
-    "agg_rollup": 0.28, "agg_stats": 0.25, "agg_string_concat": 0.2, "agg_unpivot": 0.1,
-    "corpus_mix_rebalance": 0.28, "cust_order_intervals": 0.29, "cust_rfm_segments": 1.66, "decontam_ngram_overlap": 0.88,
-    "dedup_clusters_cc": 2.52, "dedup_edit_verify": 1.23, "dedup_embedding_cosine": 1.26, "dedup_exact": 0.17,
-    "dedup_exact_hash": 0.17, "dedup_near_minhash": 0.98, "dedup_ngram_jaccard": 0.91, "dedup_shingle_jaccard": 0.96,
-    "dedup_simhash": 1.03, "doc_chunk": 0.18, "doc_pii_scrub": 0.17, "emb_centroid_outliers": 0.56,
-    "emb_label_centroid": 0.22, "emb_neighborhood_purity": 0.63, "emb_pca_power": 0.37, "emb_quantize_int8": 0.34,
-    "fn_array": 0.11, "fn_array_agg": 0.12, "fn_bitwise": 0.24, "fn_conditional": 0.31,
-    "fn_datetime": 0.56, "fn_hash": 0.08, "fn_interval": 0.21, "fn_json": 0.25,
-    "fn_map": 0.21, "fn_math": 0.14, "fn_posexplode": 0.12, "fn_regex": 0.12,
-    "fn_string": 0.14, "fn_string_extended": 0.13, "fn_trig": 0.14, "join_asof": 0.25,
-    "join_broadcast": 0.28, "join_bucketed_colocated": 0.84, "join_cross": 0.11, "join_full_outer": 0.26,
-    "join_inner_equi": 0.38, "join_inner_equi_sql": 0.42, "join_left_anti": 0.12, "join_left_outer": 0.28,
-    "join_left_semi": 0.15, "join_null_safe": 0.31, "join_range_binned": 0.45, "join_self_multi": 0.27,
-    "join_skew_salted": 0.33, "join_theta_range": 0.13, "limit_topk": 0.09, "log_anomaly_zscore": 0.31,
-    "log_burst_detect": 0.29, "log_corr_matrix": 0.41, "log_error_rate_hourly": 0.18, "log_error_rate_hourly_sql": 0.21,
-    "log_event_transitions": 0.26, "log_gap_fill": 0.36, "log_retention_cohorts": 0.38, "log_rollup_multires": 0.75,
-    "log_search": 0.23, "log_seasonality_profile": 0.28, "log_slo_burn": 0.29, "log_top_services": 0.19,
-    "log_type_hour_matrix": 0.22, "log_user_funnel": 0.22, "multimodal_features": 0.4, "multimodal_frame_sample": 0.25,
-    "multimodal_join": 0.14, "multimodal_resize": 0.27, "pack_sequences": 0.22, "part_copurchase": 0.68,
-    "pipeline_corpus_prep": 0.51, "q_case_when": 0.24, "q_exists_correlated": 0.15, "q_filter_basic": 0.18,
-    "q_filter_basic_sql": 0.23, "q_filter_in_between": 0.11, "q_filter_like": 0.09, "q_project": 1.15,
-    "q_subquery_scalar": 0.2, "sample_stratified": 0.22, "scan_binary_files": 0.15, "scan_csv_malformed": 0.22,
-    "scan_csv_roundtrip": 0.32, "scan_json_lines": 0.18, "scan_orc_roundtrip": 0.19, "scan_parquet": 0.04,
-    "scan_text_parse": 0.26, "scd2_merge": 0.17, "sessionize": 0.42, "set_except": 0.16,
-    "set_intersect": 0.22, "set_union_all": 0.15, "set_union_distinct": 0.21, "shuffle_shard": 0.2,
-    "sim_ann_ivf": 1.23, "sim_ann_lsh": 0.94, "sim_cosine_blocked": 0.84, "sim_cosine_topk": 1.92,
-    "sim_knn_label": 0.56, "sink_parquet_partitioned": 0.86, "sort_multi": 0.44, "split_train_holdout": 0.08,
-    "stream_custom_state": 0.77, "stream_dedup": 0.95, "stream_foreach_batch": 0.63, "stream_session": 0.88,
-    "stream_sliding": 0.82, "stream_static_join": 0.73, "stream_stream_join": 2.44, "stream_text_tail": 0.84,
-    "stream_transform_with_state": 0.89, "stream_tumbling": 0.8, "stream_watermark_late": 1.29, "table_column_stats": 0.54,
-    "text_fingerprint": 0.34, "text_lang_id": 0.22, "text_lang_stats": 0.28, "text_ngram_topk": 0.46,
-    "text_quality_score": 0.15, "text_repetition_score": 0.28, "text_tfidf": 0.6, "text_token_count_bpe": 0.11,
-    "text_tokenize_counts": 0.16, "topk_per_group": 0.23, "tpch_q10": 0.32, "tpch_q13": 0.29,
-    "tpch_q14": 0.21, "tpch_q15": 0.36, "tpch_q17": 0.36, "tpch_q18": 0.41,
-    "tpch_q3": 0.35, "tpch_q5": 0.3, "tpch_q6": 0.19, "tpch_q7": 0.42,
-    "tpch_q8": 0.5, "udaf_pandas_agg": 0.29, "udf_pandas_scalar": 0.22, "udf_python": 0.3,
-    "udtf_apply_in_pandas": 0.29, "udtf_python_native": 0.4, "vocab_build": 0.22, "win_first_last": 0.26,
-    "win_lag_lead": 0.38, "win_latest_per_key": 0.21, "win_nth_value": 0.25, "win_range_frame": 1.65,
-    "win_ranking": 0.61, "win_ranking_sql": 0.63, "win_running": 0.71,
-    # round-7 additions — provisional single-query subset measurements
-    # (driver_sim_results_subset.json); superseded by the round-7 full
-    # 2-pass refresh below when it lands.
-    "scan_apache_log": 0.61, "table_time_travel": 0.54, "text_perplexity": 1.05,
-    "corpus_budget_trim": 0.34,
+    "agg_approx_distinct": 0.67, "agg_approx_percentile": 0.15, "agg_bool": 0.17, "agg_collect": 0.19,
+    "agg_conditional_family": 0.34, "agg_count_distinct": 0.28, "agg_cube": 0.3, "agg_distinct_rows": 0.15,
+    "agg_global": 0.29, "agg_groupby": 0.35, "agg_groupby_sql": 0.34, "agg_grouping_sets": 0.17,
+    "agg_having": 0.18, "agg_histogram": 0.17, "agg_hll_sketch_rollup": 0.31, "agg_min_max_by": 0.17,
+    "agg_mode": 0.25, "agg_percentile": 0.35, "agg_pivot": 0.26, "agg_regression_family": 0.27,
+    "agg_rollup": 0.33, "agg_stats": 0.25, "agg_string_concat": 0.21, "agg_unpivot": 0.11,
+    "corpus_budget_trim": 0.19, "corpus_mix_rebalance": 0.28, "cust_order_intervals": 0.27, "cust_rfm_segments": 1.6,
+    "decontam_ngram_overlap": 0.73, "dedup_clusters_cc": 2.4, "dedup_edit_verify": 1.1, "dedup_embedding_cosine": 1.3,
+    "dedup_exact": 0.15, "dedup_exact_hash": 0.16, "dedup_near_minhash": 0.92, "dedup_ngram_jaccard": 0.82,
+    "dedup_shingle_jaccard": 0.97, "dedup_simhash": 0.9, "doc_chunk": 0.17, "doc_pii_scrub": 0.18,
+    "emb_centroid_outliers": 0.53, "emb_label_centroid": 0.19, "emb_neighborhood_purity": 0.56, "emb_pca_power": 0.35,
+    "emb_quantize_int8": 0.36, "fn_array": 0.11, "fn_array_agg": 0.12, "fn_bitwise": 0.25,
+    "fn_conditional": 0.33, "fn_datetime": 0.54, "fn_hash": 0.09, "fn_interval": 0.19,
+    "fn_json": 0.24, "fn_map": 0.22, "fn_math": 0.14, "fn_posexplode": 0.12,
+    "fn_regex": 0.12, "fn_string": 0.13, "fn_string_extended": 0.14, "fn_trig": 0.13,
+    "join_asof": 0.26, "join_broadcast": 0.27, "join_bucketed_colocated": 0.94, "join_cross": 0.11,
+    "join_full_outer": 0.26, "join_inner_equi": 0.36, "join_inner_equi_sql": 0.39, "join_left_anti": 0.13,
+    "join_left_outer": 0.27, "join_left_semi": 0.15, "join_null_safe": 0.31, "join_range_binned": 0.41,
+    "join_self_multi": 0.23, "join_skew_salted": 0.29, "join_theta_range": 0.13, "limit_topk": 0.09,
+    "log_anomaly_zscore": 0.29, "log_burst_detect": 0.29, "log_corr_matrix": 0.37, "log_error_rate_hourly": 0.18,
+    "log_error_rate_hourly_sql": 0.2, "log_event_transitions": 0.26, "log_gap_fill": 0.33, "log_retention_cohorts": 0.34,
+    "log_rollup_multires": 0.73, "log_search": 0.29, "log_seasonality_profile": 0.26, "log_slo_burn": 0.26,
+    "log_top_services": 0.2, "log_type_hour_matrix": 0.25, "log_user_funnel": 0.2, "multimodal_features": 0.36,
+    "multimodal_frame_sample": 0.25, "multimodal_join": 0.16, "multimodal_resize": 0.3, "pack_sequences": 0.2,
+    "part_copurchase": 0.6, "pipeline_corpus_prep": 0.49, "q_case_when": 0.23, "q_exists_correlated": 0.15,
+    "q_filter_basic": 0.2, "q_filter_basic_sql": 0.21, "q_filter_in_between": 0.13, "q_filter_like": 0.09,
+    "q_project": 1.19, "q_subquery_scalar": 0.22, "sample_stratified": 0.21, "scan_apache_log": 0.31,
+    "scan_binary_files": 0.13, "scan_csv_malformed": 0.22, "scan_csv_roundtrip": 0.33, "scan_json_lines": 0.18,
+    "scan_orc_roundtrip": 0.18, "scan_parquet": 0.04, "scan_text_parse": 0.26, "scd2_merge": 0.17,
+    "sessionize": 0.42, "set_except": 0.16, "set_intersect": 0.22, "set_union_all": 0.16,
+    "set_union_distinct": 0.2, "shuffle_shard": 0.19, "sim_ann_ivf": 1.27, "sim_ann_lsh": 0.83,
+    "sim_cosine_blocked": 0.79, "sim_cosine_topk": 1.74, "sim_knn_label": 0.58, "sink_parquet_partitioned": 0.86,
+    "sort_multi": 0.43, "split_train_holdout": 0.08, "stream_custom_state": 0.84, "stream_dedup": 0.86,
+    "stream_foreach_batch": 0.57, "stream_session": 0.9, "stream_sliding": 0.82, "stream_static_join": 0.81,
+    "stream_stream_join": 2.36, "stream_text_tail": 0.87, "stream_transform_with_state": 0.79, "stream_tumbling": 0.79,
+    "stream_watermark_late": 1.26, "table_column_stats": 0.53, "table_time_travel": 0.28, "text_fingerprint": 0.29,
+    "text_lang_id": 0.2, "text_lang_stats": 0.26, "text_ngram_topk": 0.46, "text_perplexity": 0.66,
+    "text_quality_score": 0.14, "text_repetition_score": 0.29, "text_tfidf": 0.67, "text_token_count_bpe": 0.11,
+    "text_tokenize_counts": 0.18, "topk_per_group": 0.22, "tpch_q10": 0.32, "tpch_q13": 0.26,
+    "tpch_q14": 0.23, "tpch_q15": 0.38, "tpch_q17": 0.35, "tpch_q18": 0.37,
+    "tpch_q3": 0.32, "tpch_q5": 0.29, "tpch_q6": 0.16, "tpch_q7": 0.42,
+    "tpch_q8": 0.39, "udaf_pandas_agg": 0.26, "udf_pandas_scalar": 0.23, "udf_python": 0.3,
+    "udtf_apply_in_pandas": 0.26, "udtf_python_native": 0.37, "vocab_build": 0.2, "win_first_last": 0.28,
+    "win_lag_lead": 0.36, "win_latest_per_key": 0.19, "win_nth_value": 0.25, "win_range_frame": 1.61,
+    "win_ranking": 0.6, "win_ranking_sql": 0.62, "win_running": 0.67,
 }
 
 _DEFAULT_COST = 0.9

@@ -1,0 +1,60 @@
+"""Regenerate registry._MEASURED_COST from driver_sim_results.json.
+
+The REFRESH RULE (registry.py) wants the whole table rebuilt from ONE
+full 2-pass driver_sim run whenever plans change — no subset mixing.
+This script mechanizes the rewrite: it reads the canonical artifact,
+formats the dict exactly in the registry's 4-entries-per-line style,
+and splices it between the table's braces in place.
+
+Usage: python scripts/update_measured_cost.py [note]
+  note — one-line provenance appended to the table comment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGISTRY = os.path.join(REPO, "linux_logs_spark", "registry.py")
+RESULTS = os.path.join(REPO, "driver_sim_results.json")
+
+
+def main() -> None:
+    with open(RESULTS) as fh:
+        data = json.load(fh)
+    qs = data["queries"]
+    bad = [k for k, v in qs.items() if "MISMATCH" in v or "ERROR" in v]
+    if bad:
+        raise SystemExit(f"refusing: canonical run has bad rows: {bad}")
+    costs = {k: qs[k]["cost_s"] for k in sorted(qs)}
+
+    entries = [f'"{k}": {v}' for k, v in costs.items()]
+    lines, cur = [], []
+    for e in entries:
+        cur.append(e)
+        if len(cur) == 4:
+            lines.append("    " + ", ".join(cur) + ",")
+            cur = []
+    if cur:
+        lines.append("    " + ", ".join(cur) + ",")
+    body = "\n".join(lines)
+
+    with open(REGISTRY) as fh:
+        src = fh.read()
+    pat = re.compile(
+        r"(_MEASURED_COST: dict\[str, float\] = \{\n).*?(\n\})", re.DOTALL
+    )
+    if not pat.search(src):
+        raise SystemExit("could not locate _MEASURED_COST dict in registry.py")
+    src = pat.sub(lambda m: m.group(1) + body + m.group(2), src, count=1)
+    with open(REGISTRY, "w") as fh:
+        fh.write(src)
+    print(f"rewrote _MEASURED_COST: {len(costs)} entries, "
+          f"sum {round(sum(costs.values()), 1)} s")
+
+
+if __name__ == "__main__":
+    main()

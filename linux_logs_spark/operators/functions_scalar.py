@@ -452,3 +452,52 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+@register(
+    "fn_url_parse",
+    "scalar",
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://host' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/api/v' || CAST(doc_id % 3 AS VARCHAR)
+           || '/items?item=' || CAST(doc_id AS VARCHAR)
+           || '&lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]item=([^&]*)', 1) AS item_param
+FROM urls
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — web-log realism for the analytics surface
+    (every access-log pipeline splits URLs into host/path/query and
+    plucks parameters). Spark side uses the BUILT-IN parse_url
+    (java.net.URI-backed, codegen'd); DuckDB has no URL family, so
+    the oracle replays the decomposition with the conservative
+    RE2∩Java regexp dialect over the same synthesized URLs — valid
+    because the synthesis produces clean absolute URLs where the two
+    definitions coincide (no userinfo/ports/fragments)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/api/v"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/items?item="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("item")).alias("item_param"),
+    )

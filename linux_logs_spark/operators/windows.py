@@ -338,3 +338,54 @@ def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("last_ts_s"),
         )
     )
+
+
+@register(
+    "win_pattern_seq",
+    "window",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3,
+         lead(event_id, 2)  OVER w AS id3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id, id3 AS end_event_id, s AS start_s
+FROM seq
+WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+""",
+)
+def win_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE shape for
+    the one fixed-length pattern log funnels actually use): find every
+    view→click→purchase run of three CONSECUTIVE events per user.
+    A lead() chain over one (user, ts, event_id) window turns the
+    pattern into a row-local predicate — one shuffle on user_id, no
+    self-joins, no state machine; (ts, event_id) is a total order so
+    'consecutive' is deterministic. At 100 TB this is the same plan:
+    the window partitions by user and the pattern predicate is
+    evaluated inside the sorted partition stream."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("event_id", 2).over(w).alias("id3"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.col("id3").alias("end_event_id"),
+        F.col("s").alias("start_s"),
+    )

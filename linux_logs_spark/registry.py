@@ -159,6 +159,10 @@ _MEASURED_COST: dict[str, float] = {
     "tpch_q3": 0.32, "tpch_q5": 0.29, "tpch_q6": 0.16, "tpch_q7": 0.42,
     "tpch_q8": 0.39, "udaf_pandas_agg": 0.26, "udf_pandas_scalar": 0.23, "udf_python": 0.3,
     "udtf_apply_in_pandas": 0.26, "udtf_python_native": 0.37, "vocab_build": 0.2, "win_first_last": 0.28,
+    # round-7 late additions — provisional subset measurements
+    # (driver_sim_results_subset.json); superseded by the round-7
+    # closing full 2-pass refresh.
+    "fn_url_parse": 0.13, "win_pattern_seq": 0.23, "bpe_train_merges": 4.2,
     "win_lag_lead": 0.36, "win_latest_per_key": 0.19, "win_nth_value": 0.25, "win_range_frame": 1.61,
     "win_ranking": 0.6, "win_ranking_sql": 0.62, "win_running": 0.67,
 }

@@ -108,24 +108,36 @@ def table_row_count(sf_dir: str, name: str) -> int:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
-    st = os.stat(path)
     key = (os.path.normpath(sf_dir), name)
+    if os.path.isdir(path):
+        # Spark-written dataset (directory of part files) — e.g. the
+        # short-docs test fixture; the driver testdata is single
+        # files. Fingerprint the PART FILES, not the directory inode
+        # (round-7 review): an in-place rewrite of a part under the
+        # same name leaves the dir stat unchanged.
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        stats = [os.stat(os.path.join(path, f)) for f in parts]
+        size = sum(s.st_size for s in stats)
+        mtime = max((s.st_mtime_ns for s in stats), default=0)
+    else:
+        st = os.stat(path)
+        size, mtime = st.st_size, st.st_mtime_ns
     hit = _row_count_cache.get(key)
-    if hit is not None and hit[0] == st.st_size and hit[1] == st.st_mtime_ns:
+    if hit is not None and hit[0] == size and hit[1] == mtime:
         return hit[2]
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        # Spark-written dataset (directory of part files) — e.g. the
-        # short-docs test fixture; the driver testdata is single files.
         n = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in parts
         )
     else:
         n = pq.ParquetFile(path).metadata.num_rows
-    _row_count_cache[key] = (st.st_size, st.st_mtime_ns, n)
+    _row_count_cache[key] = (size, mtime, n)
     return n
 
 

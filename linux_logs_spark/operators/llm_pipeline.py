@@ -1583,9 +1583,9 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.groupBy("word").agg(F.sum("tf").alias("cnt")).localCheckpoint(eager=True)
     )
     n_vocab = cnt.count()  # exact, on the checkpointed frame
-    tot = d.select(F.explode(words("text")).alias("w")).agg(
-        F.count("*").alias("total")
-    )
+    # total tokens = sum over the vocab-sized cnt frame — NOT a second
+    # corpus-wide explode (round-7 review; exact long sum, identical)
+    tot = cnt.agg(F.sum("cnt").alias("total"))
     term_raw = F.col("tf").cast("double") * F.log(
         F.col("cnt").cast("double") / F.col("total").cast("double")
     )

@@ -50,6 +50,23 @@ def main() -> None:
     if not pat.search(src):
         raise SystemExit("could not locate _MEASURED_COST dict in registry.py")
     src = pat.sub(lambda m: m.group(1) + body + m.group(2), src, count=1)
+
+    # Maintain the machine-written provenance line so the table's
+    # comment cannot go stale across refreshes (round-7 review).
+    note = sys.argv[1] if len(sys.argv) > 1 else "no note given"
+    prov = (
+        f"# LAST REFRESH: {len(costs)} queries, total "
+        f"{data.get('total_s', '?')} s, zero bad rows; {note}\n"
+    )
+    prov_pat = re.compile(r"# LAST REFRESH: [^\n]*\n")
+    if prov_pat.search(src):
+        src = prov_pat.sub(prov, src, count=1)
+    else:
+        src = src.replace(
+            "_MEASURED_COST: dict[str, float] = {",
+            prov + "_MEASURED_COST: dict[str, float] = {",
+            1,
+        )
     with open(REGISTRY, "w") as fh:
         fh.write(src)
     print(f"rewrote _MEASURED_COST: {len(costs)} entries, "

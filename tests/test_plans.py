@@ -483,19 +483,26 @@ def test_emb_neighborhood_purity_label_joins_broadcast(spark, sf_dir):
 
 
 def test_stream_static_join_gate_broadcasts_at_test_scale(spark, sf_dir):
-    """Mirrors stream_static_join's size gate with its batch twin: at
-    test scale the |users|-row per-user-average frame must still
-    broadcast into the enrich join. (The streaming plan itself is not
-    inspectable pre-run; the gate decision is identical because it is
-    taken batch-side, before readStream.)"""
+    """Mirrors stream_static_join's size gate with its batch twin —
+    the SAME gate decision as production (exact checkpointed |users|
+    count, round-7 review; the |events| proxy would diverge from the
+    production gate past ~2M events): at test scale the |users|-row
+    per-user-average frame must still broadcast into the enrich join.
+    (The streaming plan itself is not inspectable pre-run; the gate
+    decision is identical because it is taken batch-side, before
+    readStream.)"""
     from pyspark.sql import functions as F
 
     from linux_logs_spark.catalog import load
     from linux_logs_spark.session import broadcast_if_fits
 
     ev = load(spark, sf_dir, "events")
-    n_users = ev.count()
-    static_avg = ev.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    static_avg = (
+        ev.groupBy("user_id")
+        .agg(F.avg("value").alias("user_avg"))
+        .localCheckpoint(eager=True)
+    )
+    n_users = static_avg.count()
     joined = ev.join(broadcast_if_fits(static_avg, n_users, 32), "user_id")
     plan = plan_string(joined)
     assert "BroadcastHashJoin" in plan, plan

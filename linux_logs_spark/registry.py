@@ -106,65 +106,61 @@ def _ensure_loaded() -> None:
 # `python scripts/driver_sim.py` run (warm JVM, registry order)
 # whenever a query's plan changes or a query is added — a stale entry
 # mis-sorts the budget ordering and can push tail queries out of the
-# driver's verified set. THIS TABLE: one full 179-query 2-pass run on
-# a QUIET host in round 7, AFTER the broadcast-gate footer-count
-# rewrite, the round6_away convention change, and the four round-7
-# query additions (cost_s = min of passes; 179/179 clean, zero
-# mismatches, total 170.2 s; artifact: driver_sim_results.json) —
-# every entry from that single run, one baseline, no subset mixing
-# (mechanized: scripts/update_measured_cost.py).
+# driver's verified set. THIS TABLE: every entry from the single full
+# 2-pass run recorded in the machine-written LAST REFRESH line below
+# (cost_s = min of passes; artifact: driver_sim_results.json) — one
+# baseline, no subset mixing (mechanized:
+# scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
+# LAST REFRESH: 182 queries, total 180.1 s, zero bad rows; round-7 close, 182-query 2-pass, quiet host (0.05 load), after perplexity/BPE/review fixes
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.67, "agg_approx_percentile": 0.15, "agg_bool": 0.17, "agg_collect": 0.19,
-    "agg_conditional_family": 0.34, "agg_count_distinct": 0.28, "agg_cube": 0.3, "agg_distinct_rows": 0.15,
-    "agg_global": 0.29, "agg_groupby": 0.35, "agg_groupby_sql": 0.34, "agg_grouping_sets": 0.17,
-    "agg_having": 0.18, "agg_histogram": 0.17, "agg_hll_sketch_rollup": 0.31, "agg_min_max_by": 0.17,
-    "agg_mode": 0.25, "agg_percentile": 0.35, "agg_pivot": 0.26, "agg_regression_family": 0.27,
-    "agg_rollup": 0.33, "agg_stats": 0.25, "agg_string_concat": 0.21, "agg_unpivot": 0.11,
-    "corpus_budget_trim": 0.19, "corpus_mix_rebalance": 0.28, "cust_order_intervals": 0.27, "cust_rfm_segments": 1.6,
-    "decontam_ngram_overlap": 0.73, "dedup_clusters_cc": 2.4, "dedup_edit_verify": 1.1, "dedup_embedding_cosine": 1.3,
-    "dedup_exact": 0.15, "dedup_exact_hash": 0.16, "dedup_near_minhash": 0.92, "dedup_ngram_jaccard": 0.82,
-    "dedup_shingle_jaccard": 0.97, "dedup_simhash": 0.9, "doc_chunk": 0.17, "doc_pii_scrub": 0.18,
-    "emb_centroid_outliers": 0.53, "emb_label_centroid": 0.19, "emb_neighborhood_purity": 0.56, "emb_pca_power": 0.35,
-    "emb_quantize_int8": 0.36, "fn_array": 0.11, "fn_array_agg": 0.12, "fn_bitwise": 0.25,
-    "fn_conditional": 0.33, "fn_datetime": 0.54, "fn_hash": 0.09, "fn_interval": 0.19,
-    "fn_json": 0.24, "fn_map": 0.22, "fn_math": 0.14, "fn_posexplode": 0.12,
-    "fn_regex": 0.12, "fn_string": 0.13, "fn_string_extended": 0.14, "fn_trig": 0.13,
-    "join_asof": 0.26, "join_broadcast": 0.27, "join_bucketed_colocated": 0.94, "join_cross": 0.11,
-    "join_full_outer": 0.26, "join_inner_equi": 0.36, "join_inner_equi_sql": 0.39, "join_left_anti": 0.13,
-    "join_left_outer": 0.27, "join_left_semi": 0.15, "join_null_safe": 0.31, "join_range_binned": 0.41,
-    "join_self_multi": 0.23, "join_skew_salted": 0.29, "join_theta_range": 0.13, "limit_topk": 0.09,
-    "log_anomaly_zscore": 0.29, "log_burst_detect": 0.29, "log_corr_matrix": 0.37, "log_error_rate_hourly": 0.18,
-    "log_error_rate_hourly_sql": 0.2, "log_event_transitions": 0.26, "log_gap_fill": 0.33, "log_retention_cohorts": 0.34,
-    "log_rollup_multires": 0.73, "log_search": 0.29, "log_seasonality_profile": 0.26, "log_slo_burn": 0.26,
-    "log_top_services": 0.2, "log_type_hour_matrix": 0.25, "log_user_funnel": 0.2, "multimodal_features": 0.36,
-    "multimodal_frame_sample": 0.25, "multimodal_join": 0.16, "multimodal_resize": 0.3, "pack_sequences": 0.2,
-    "part_copurchase": 0.6, "pipeline_corpus_prep": 0.49, "q_case_when": 0.23, "q_exists_correlated": 0.15,
-    "q_filter_basic": 0.2, "q_filter_basic_sql": 0.21, "q_filter_in_between": 0.13, "q_filter_like": 0.09,
-    "q_project": 1.19, "q_subquery_scalar": 0.22, "sample_stratified": 0.21, "scan_apache_log": 0.31,
-    "scan_binary_files": 0.13, "scan_csv_malformed": 0.22, "scan_csv_roundtrip": 0.33, "scan_json_lines": 0.18,
-    "scan_orc_roundtrip": 0.18, "scan_parquet": 0.04, "scan_text_parse": 0.26, "scd2_merge": 0.17,
-    "sessionize": 0.42, "set_except": 0.16, "set_intersect": 0.22, "set_union_all": 0.16,
-    "set_union_distinct": 0.2, "shuffle_shard": 0.19, "sim_ann_ivf": 1.27, "sim_ann_lsh": 0.83,
-    "sim_cosine_blocked": 0.79, "sim_cosine_topk": 1.74, "sim_knn_label": 0.58, "sink_parquet_partitioned": 0.86,
-    "sort_multi": 0.43, "split_train_holdout": 0.08, "stream_custom_state": 0.84, "stream_dedup": 0.86,
-    "stream_foreach_batch": 0.57, "stream_session": 0.9, "stream_sliding": 0.82, "stream_static_join": 0.81,
-    "stream_stream_join": 2.36, "stream_text_tail": 0.87, "stream_transform_with_state": 0.79, "stream_tumbling": 0.79,
-    "stream_watermark_late": 1.26, "table_column_stats": 0.53, "table_time_travel": 0.28, "text_fingerprint": 0.29,
-    "text_lang_id": 0.2, "text_lang_stats": 0.26, "text_ngram_topk": 0.46, "text_perplexity": 0.66,
-    "text_quality_score": 0.14, "text_repetition_score": 0.29, "text_tfidf": 0.67, "text_token_count_bpe": 0.11,
-    "text_tokenize_counts": 0.18, "topk_per_group": 0.22, "tpch_q10": 0.32, "tpch_q13": 0.26,
-    "tpch_q14": 0.23, "tpch_q15": 0.38, "tpch_q17": 0.35, "tpch_q18": 0.37,
-    "tpch_q3": 0.32, "tpch_q5": 0.29, "tpch_q6": 0.16, "tpch_q7": 0.42,
-    "tpch_q8": 0.39, "udaf_pandas_agg": 0.26, "udf_pandas_scalar": 0.23, "udf_python": 0.3,
-    "udtf_apply_in_pandas": 0.26, "udtf_python_native": 0.37, "vocab_build": 0.2, "win_first_last": 0.28,
-    # round-7 late additions — provisional subset measurements
-    # (driver_sim_results_subset.json); superseded by the round-7
-    # closing full 2-pass refresh.
-    "fn_url_parse": 0.13, "win_pattern_seq": 0.23, "bpe_train_merges": 4.2,
-    "win_lag_lead": 0.36, "win_latest_per_key": 0.19, "win_nth_value": 0.25, "win_range_frame": 1.61,
-    "win_ranking": 0.6, "win_ranking_sql": 0.62, "win_running": 0.67,
+    "agg_approx_distinct": 0.62, "agg_approx_percentile": 0.15, "agg_bool": 0.2, "agg_collect": 0.21,
+    "agg_conditional_family": 0.37, "agg_count_distinct": 0.26, "agg_cube": 0.3, "agg_distinct_rows": 0.17,
+    "agg_global": 0.31, "agg_groupby": 0.34, "agg_groupby_sql": 0.35, "agg_grouping_sets": 0.19,
+    "agg_having": 0.17, "agg_histogram": 0.19, "agg_hll_sketch_rollup": 0.32, "agg_min_max_by": 0.19,
+    "agg_mode": 0.22, "agg_percentile": 0.38, "agg_pivot": 0.26, "agg_regression_family": 0.26,
+    "agg_rollup": 0.29, "agg_stats": 0.23, "agg_string_concat": 0.22, "agg_unpivot": 0.11,
+    "bpe_train_merges": 3.56, "corpus_budget_trim": 0.18, "corpus_mix_rebalance": 0.3, "cust_order_intervals": 0.3,
+    "cust_rfm_segments": 1.63, "decontam_ngram_overlap": 0.72, "dedup_clusters_cc": 2.49, "dedup_edit_verify": 1.16,
+    "dedup_embedding_cosine": 1.35, "dedup_exact": 0.17, "dedup_exact_hash": 0.17, "dedup_near_minhash": 0.9,
+    "dedup_ngram_jaccard": 0.82, "dedup_shingle_jaccard": 0.89, "dedup_simhash": 0.93, "doc_chunk": 0.17,
+    "doc_pii_scrub": 0.17, "emb_centroid_outliers": 0.52, "emb_label_centroid": 0.2, "emb_neighborhood_purity": 0.55,
+    "emb_pca_power": 0.35, "emb_quantize_int8": 0.4, "fn_array": 0.11, "fn_array_agg": 0.13,
+    "fn_bitwise": 0.24, "fn_conditional": 0.31, "fn_datetime": 0.62, "fn_hash": 0.09,
+    "fn_interval": 0.19, "fn_json": 0.25, "fn_map": 0.21, "fn_math": 0.14,
+    "fn_posexplode": 0.13, "fn_regex": 0.13, "fn_string": 0.13, "fn_string_extended": 0.19,
+    "fn_trig": 0.14, "fn_url_parse": 0.11, "join_asof": 0.27, "join_broadcast": 0.29,
+    "join_bucketed_colocated": 0.92, "join_cross": 0.11, "join_full_outer": 0.24, "join_inner_equi": 0.35,
+    "join_inner_equi_sql": 0.39, "join_left_anti": 0.14, "join_left_outer": 0.26, "join_left_semi": 0.15,
+    "join_null_safe": 0.28, "join_range_binned": 0.47, "join_self_multi": 0.25, "join_skew_salted": 0.31,
+    "join_theta_range": 0.14, "limit_topk": 0.1, "log_anomaly_zscore": 0.31, "log_burst_detect": 0.27,
+    "log_corr_matrix": 0.37, "log_error_rate_hourly": 0.18, "log_error_rate_hourly_sql": 0.2, "log_event_transitions": 0.28,
+    "log_gap_fill": 0.31, "log_retention_cohorts": 0.35, "log_rollup_multires": 0.79, "log_search": 0.25,
+    "log_seasonality_profile": 0.27, "log_slo_burn": 0.29, "log_top_services": 0.19, "log_type_hour_matrix": 0.22,
+    "log_user_funnel": 0.21, "multimodal_features": 0.36, "multimodal_frame_sample": 0.24, "multimodal_join": 0.15,
+    "multimodal_resize": 0.25, "pack_sequences": 0.21, "part_copurchase": 0.6, "pipeline_corpus_prep": 0.47,
+    "q_case_when": 0.24, "q_exists_correlated": 0.15, "q_filter_basic": 0.19, "q_filter_basic_sql": 0.22,
+    "q_filter_in_between": 0.11, "q_filter_like": 0.09, "q_project": 1.21, "q_subquery_scalar": 0.2,
+    "sample_stratified": 0.2, "scan_apache_log": 0.32, "scan_binary_files": 0.14, "scan_csv_malformed": 0.21,
+    "scan_csv_roundtrip": 0.31, "scan_json_lines": 0.18, "scan_orc_roundtrip": 0.2, "scan_parquet": 0.05,
+    "scan_text_parse": 0.26, "scd2_merge": 0.18, "sessionize": 0.45, "set_except": 0.17,
+    "set_intersect": 0.2, "set_union_all": 0.16, "set_union_distinct": 0.2, "shuffle_shard": 0.19,
+    "sim_ann_ivf": 1.22, "sim_ann_lsh": 0.86, "sim_cosine_blocked": 0.83, "sim_cosine_topk": 1.78,
+    "sim_knn_label": 0.54, "sink_parquet_partitioned": 0.91, "sort_multi": 0.43, "split_train_holdout": 0.08,
+    "stream_custom_state": 0.82, "stream_dedup": 0.93, "stream_foreach_batch": 0.59, "stream_session": 0.89,
+    "stream_sliding": 0.9, "stream_static_join": 0.82, "stream_stream_join": 2.68, "stream_text_tail": 0.93,
+    "stream_transform_with_state": 0.88, "stream_tumbling": 0.85, "stream_watermark_late": 1.22, "table_column_stats": 0.55,
+    "table_time_travel": 0.3, "text_fingerprint": 0.31, "text_lang_id": 0.2, "text_lang_stats": 0.24,
+    "text_ngram_topk": 0.43, "text_perplexity": 0.67, "text_quality_score": 0.15, "text_repetition_score": 0.34,
+    "text_tfidf": 0.7, "text_token_count_bpe": 0.11, "text_tokenize_counts": 0.16, "topk_per_group": 0.23,
+    "tpch_q10": 0.38, "tpch_q13": 0.27, "tpch_q14": 0.23, "tpch_q15": 0.42,
+    "tpch_q17": 0.34, "tpch_q18": 0.48, "tpch_q3": 0.35, "tpch_q5": 0.32,
+    "tpch_q6": 0.16, "tpch_q7": 0.44, "tpch_q8": 0.38, "udaf_pandas_agg": 0.26,
+    "udf_pandas_scalar": 0.23, "udf_python": 0.29, "udtf_apply_in_pandas": 0.27, "udtf_python_native": 0.39,
+    "vocab_build": 0.22, "win_first_last": 0.26, "win_lag_lead": 0.36, "win_latest_per_key": 0.19,
+    "win_nth_value": 0.25, "win_pattern_seq": 0.22, "win_range_frame": 1.61, "win_ranking": 0.62,
+    "win_ranking_sql": 0.6, "win_running": 0.66,
 }
 
 _DEFAULT_COST = 0.9

@@ -51,17 +51,6 @@ def word_shingles(ws: Column, n: int) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature: per seed k, min over shingles of
-    xxhash64(k, shingle). Array of n_hashes longs."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, k=k: F.xxhash64(F.lit(k), s)))
-            for k in range(n_hashes)
-        ]
-    )
-
-
 def marker_hits(ws: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(ws, lambda w: w.isin(*markers)))
 

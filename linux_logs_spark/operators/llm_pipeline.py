@@ -31,7 +31,6 @@ from linux_logs_spark.functions.text import (
     ROLLING_MOD,
     STOPWORDS,
     marker_hits,
-    minhash_signature,
     rolling_fingerprint,
     word_shingles,
     words,
@@ -317,23 +316,37 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multi-KB shingle arrays never ride the ×8 band explode or the
     join shuffle (doing so was 2 GB of shuffle at sf0.1, ~2× the whole
     query); the surviving candidate pairs join back to the signature
-    table to fetch the two arrays they verify.
-    tests/test_ann_quality.py pins recall (0.93 at sf0.001) against
-    brute-force shingle Jaccard. DuckDB has no xxhash64 → rows-only.
+    table to fetch the two sets they verify.
+
+    Round-7 signature build: explode shingles once, hash each shingle
+    string ONCE (xxhash64), then derive the 16 per-seed values as
+    xxhash64(seed, h) over 8-byte longs in FLAT codegen'd columns and
+    take 16 map-side partial MINs + the distinct hash set in ONE
+    aggregate — replacing 16 interpreted higher-order transforms that
+    re-hashed every ~20-char shingle string per seed (UDF-free but
+    interpreted; measured ~2× the whole query at sf0.1). The exact
+    verify runs on the hashed shingle sets — Jaccard is preserved
+    under the injective-in-practice hash, the posting_jaccard_pairs
+    argument.
+    tests/test_ann_quality.py pins recall against brute-force shingle
+    Jaccard with ZERO false positives. DuckDB has no xxhash64 →
+    rows-only.
     """
     d = load(spark, sf_dir, "documents")
+    # explode drops empty-shingle (sub-width) docs — no similarity is
+    # defined for them, mirroring the short-doc guard in word_shingles
+    ex = d.select(
+        "doc_id", F.explode(word_shingles(words("text"), 3)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
     sig = (
-        d.select("doc_id", words("text").alias("w"))
-        .withColumn("sh", word_shingles(F.col("w"), 3))
-        # Docs below the shingle width have an empty shingle set: no
-        # similarity is defined for them (and an empty-set candidate
-        # pair would divide by zero in the Jaccard verify), so they
-        # exit the pipeline here — mirroring the short-doc guard in
-        # word_shingles itself.
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), N_MINHASH))
-        .withColumn("shset", F.array_distinct("sh"))
-        .select("doc_id", "sig", "shset")
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"m{k}")
+                for k in range(N_MINHASH)
+            ],
+            F.collect_set("h").alias("shset"),
+        )
         .localCheckpoint()
     )
     rows_per_band = N_MINHASH // N_BANDS
@@ -346,7 +359,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
                             *[
-                                F.element_at("sig", b * rows_per_band + j + 1)
+                                F.col(f"m{b * rows_per_band + j}")
                                 for j in range(rows_per_band)
                             ]
                         ).alias("band_hash"),

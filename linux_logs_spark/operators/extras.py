@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import dsum, oracle_dsum
-from linux_logs_spark.functions.vector import block_pair_keys
 from linux_logs_spark.operators.llm_pipeline import COSINE_TOPK_ORACLE
 from linux_logs_spark.registry import register
 from linux_logs_spark.session import broadcast_if_fits
@@ -197,108 +196,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Block counts for the blocked GEMM. At test scale 4×4 keeps every
-# task busy; at 100 TB these derive from executor memory: pick CB so a
-# candidate block (n/CB × dim float64) fits a task's heap alongside a
-# query block, and QB to saturate the cluster (tasks = QB × CB).
-SIM_QUERY_BLOCKS = 4
-SIM_CAND_BLOCKS = 4
-
-
-# sim_cosine_blocked shares sim_cosine_topk's oracle CONSTANT: both
-# emit the per-query top-5 with sim rounded half-away-from-zero to 6
-# digits BEFORE ranking and (sim desc, neighbor_id) tie-break, so the
-# only cross-engine delta is sub-ulp BLAS-vs-fold summation order —
-# which round-6 absorbs, the same accepted-boundary class as the
-# LSH/IVF oracles (graduated from rows-only in round 6; verified
-# hash-green at sf0.001/0.01/0.1). Importing the constant makes oracle
-# drift between the two registrations structurally impossible.
+# sim_cosine_blocked shares sim_cosine_topk's oracle CONSTANT and,
+# since round 7, its ENGINE: llm_pipeline._gemm_topk is the single
+# source of the blocked-GEMM plan (block knobs SIM_{QUERY,CAND}_BLOCKS
+# live beside it). This registration builds a FRESH plan per call
+# (no cache) so the driver's check of this row is an independent
+# execution; the JVM-fold variant survives as
+# llm_pipeline._jvm_fold_topk, pinned equal by
+# tests/test_correctness.py (graduated from rows-only in round 6;
+# verified hash-green at sf0.001/0.01/0.1).
 @register("sim_cosine_blocked", "llm", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB brute-force path: block×block matrix multiply with NO
-    driver-side materialization. Queries hash into QB blocks and
-    candidates into CB blocks; each (qblk, cblk) pair cogroups into one
-    task that runs a single numpy float64 GEMM (SIMD, ~100× the scalar
-    codegen loop) and emits only its block-local top-5 per query. A
-    final ranking window merges the CB partial top-5 lists — correct
-    because the global top-5 is a subset of the union of block top-5s.
+    driver-side materialization — one numpy float64 GEMM per
+    (qblk, cblk) cell, block-local top-5, ranking-window merge.
     Shuffle volume is QB·n + CB·n rows (block replication), never the
     n² pair space, and per-task memory is (n/QB + n/CB)·dim doubles —
-    both bounded by the block knobs, unlike the previous broadcast of
-    the full candidate matrix. Results equal sim_cosine_topk up to
-    BLAS summation order (~1 ulp), which the round-6-before-rank
-    convention absorbs — so it shares sim_cosine_topk's oracle (see
-    _cosine_topk_oracle)."""
-    import numpy as np
-    import pandas as pd
+    both bounded by the block knobs. Since round 7 this IS the shared
+    engine (llm_pipeline._gemm_topk) that also serves the cached
+    sim_cosine_topk family frame; this registration builds the plan
+    fresh (uncached) so the driver row is an independent execution.
+    Results equal the JVM fold variant (_jvm_fold_topk) up to BLAS
+    summation order (~1 ulp), which the round-6-before-rank convention
+    absorbs — so all three share COSINE_TOPK_ORACLE."""
+    from linux_logs_spark.operators.llm_pipeline import _gemm_topk
 
-    from pyspark.sql import Window
-
-    e = load(spark, sf_dir, "embeddings")
-    # Every query block must meet every candidate block exactly once:
-    # replicate each query row across the CB candidate blocks and each
-    # candidate row across the QB query blocks, then cogroup on the
-    # (qblk, cblk) composite key.
-    queries = e.select(
-        "vec_id",
-        "embedding",
-        *block_pair_keys("vec_id", SIM_QUERY_BLOCKS, SIM_CAND_BLOCKS, "qblk", "cblk"),
-    )
-    cands = e.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        *block_pair_keys("vec_id", SIM_CAND_BLOCKS, SIM_QUERY_BLOCKS, "cblk", "qblk"),
-    )
-
-    def gemm_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        q = np.array(left["embedding"].tolist(), dtype=np.float64)
-        m = np.array(right["cemb"].tolist(), dtype=np.float64)
-        qids = left["vec_id"].to_numpy()
-        cids = right["cid"].to_numpy()
-        sims = (q @ m.T) / np.outer(
-            np.linalg.norm(q, axis=1), np.linalg.norm(m, axis=1)
-        )
-        # Round BEFORE selecting so boundary ties break on
-        # (sim, neighbor_id) exactly like sim_cosine_topk; full lexsort
-        # (not argpartition) keeps the lowest neighbor_id on rank-5
-        # boundary ties, matching the baseline's row_number order.
-        # HALF-AWAY-FROM-ZERO on the BINARY double, not np.round
-        # (half-to-even): DuckDB's round — the oracle side — rounds
-        # the binary double half away from zero, and a convention
-        # mismatch at an exact 0.5e-6 boundary would flip the 6th
-        # digit and flake the graduation oracle (round-6 review).
-        # copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule — the same
-        # formula vector.round6_away_sql gives every JVM-side sim
-        # (topk/LSH/IVF since round 7), so all registrations of a
-        # rounded-sim oracle share ONE convention.
-        sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
-        out = []
-        for r, vid in enumerate(qids):
-            row = sims[r].copy()
-            row[cids == vid] = -np.inf  # exclude self
-            nn = np.lexsort((cids, -row))[:5]
-            out.extend(
-                (vid, int(cids[j]), float(row[j]))
-                for j in nn
-                if row[j] != -np.inf  # blocks with <5 real candidates
-            )
-        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
-
-    partial = (
-        queries.groupBy("qblk", "cblk")
-        .cogroup(cands.groupBy("qblk", "cblk"))
-        .applyInPandas(gemm_block, "vec_id long, neighbor_id long, sim double")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return partial.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
-        F.col("nn_rank") <= 5
-    )
+    return _gemm_topk(spark, sf_dir)
 
 
 @register(

@@ -512,9 +512,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells keeps local[32] saturated; at 100 TB pick CB so one cell's
 # candidate rows fit a task's heap next to its query rows, and QB so
 # QB·CB tasks saturate the cluster (same knob story as
-# extras.SIM_{QUERY,CAND}_BLOCKS).
+# SIM_{QUERY,CAND}_BLOCKS below).
 DEDUP_QUERY_BLOCKS = 8
 DEDUP_CAND_BLOCKS = 8
+
+# Block counts for the blocked GEMM (shared by sim_cosine_blocked and
+# the cached sim_cosine_topk family frame). At test scale 4×4 keeps
+# every task busy with a meaningful matrix; at 100 TB these derive
+# from executor memory: pick CB so a candidate block (n/CB × dim
+# float64) fits a task's heap alongside a query block, and QB to
+# saturate the cluster (tasks = QB × CB).
+SIM_QUERY_BLOCKS = 4
+SIM_CAND_BLOCKS = 4
 
 
 @register(
@@ -744,9 +753,10 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream query. BOUNDED: at most one entry — a new (app, sf_dir)
 # key unpersists and evicts every older entry, so a long-lived driver
 # session sweeping scale factors never pins more than the latest
-# ranked frame (round-3 verdict item 6). Cost attribution: the O(n²)
-# scan is charged to whichever family member runs FIRST under the
-# driver's ordering; _MEASURED_COST carries the family note.
+# ranked frame (round-3 verdict item 6). Cost attribution: the scan
+# (GEMM cell path since round 7, ~0.8 s at sf0.1 vs ~14 s for the
+# retired JVM-fold build) is charged to whichever family member runs
+# FIRST under the driver's ordering.
 _topk_cache: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -807,20 +817,123 @@ COSINE_TOPK_ORACLE = (
 )
 
 
+def _gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked block×block GEMM exact top-5 plan — the shared engine
+    behind sim_cosine_blocked AND the cached sim_cosine_topk family
+    frame. Queries hash into QB blocks and candidates into CB blocks;
+    each (qblk, cblk) pair cogroups into one task that runs a single
+    numpy float64 GEMM (SIMD, ~100× the scalar codegen loop) and emits
+    only its block-local top-5 per query; a final ranking window merges
+    the CB partial lists (correct because the global top-5 is a subset
+    of the union of block top-5s). Shuffle volume is QB·n + CB·n rows,
+    never the n² pair space; per-task memory is (n/QB + n/CB)·dim
+    doubles — both bounded by the block knobs."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    # Every query block must meet every candidate block exactly once:
+    # replicate each query row across the CB candidate blocks and each
+    # candidate row across the QB query blocks, then cogroup on the
+    # (qblk, cblk) composite key.
+    queries = e.select(
+        "vec_id",
+        "embedding",
+        *block_pair_keys("vec_id", SIM_QUERY_BLOCKS, SIM_CAND_BLOCKS, "qblk", "cblk"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        *block_pair_keys("vec_id", SIM_CAND_BLOCKS, SIM_QUERY_BLOCKS, "cblk", "qblk"),
+    )
+
+    def gemm_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        q = np.array(left["embedding"].tolist(), dtype=np.float64)
+        m = np.array(right["cemb"].tolist(), dtype=np.float64)
+        qids = left["vec_id"].to_numpy()
+        cids = right["cid"].to_numpy()
+        sims = (q @ m.T) / np.outer(
+            np.linalg.norm(q, axis=1), np.linalg.norm(m, axis=1)
+        )
+        # Round BEFORE selecting so boundary ties break on
+        # (sim, neighbor_id) exactly like the JVM fold variant; full
+        # lexsort (not argpartition) keeps the lowest neighbor_id on
+        # rank-5 boundary ties, matching row_number order.
+        # HALF-AWAY-FROM-ZERO on the BINARY double, not np.round
+        # (half-to-even): DuckDB's round — the oracle side — rounds
+        # the binary double half away from zero, and a convention
+        # mismatch at an exact 0.5e-6 boundary would flip the 6th
+        # digit and flake the graduation oracle (round-6 review).
+        # copysign(floor(|x|·1e6 + 0.5))/1e6 is that rule — the same
+        # formula vector.round6_away_sql gives every JVM-side sim
+        # (topk/LSH/IVF since round 7), so all registrations of a
+        # rounded-sim oracle share ONE convention.
+        sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+        out = []
+        for r, vid in enumerate(qids):
+            row = sims[r].copy()
+            row[cids == vid] = -np.inf  # exclude self
+            nn = np.lexsort((cids, -row))[:5]
+            out.extend(
+                (vid, int(cids[j]), float(row[j]))
+                for j in nn
+                if row[j] != -np.inf  # blocks with <5 real candidates
+            )
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
+
+    partial = (
+        queries.groupBy("qblk", "cblk")
+        .cogroup(cands.groupBy("qblk", "cblk"))
+        .applyInPandas(gemm_block, "vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return partial.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("nn_rank") <= 5
+    )
+
+
 @register("sim_cosine_topk", "llm", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector — the exact
-    baseline, enumerated through the same blocked (qblk, cblk) cell
-    equi-join as dedup_embedding_cosine (both pair directions here:
-    the residual is vec_id != neighbor_id, and each ordered pair meets
-    in exactly one cell). No full-table broadcast, no
-    BroadcastNestedLoopJoin: shuffle volume is CB·n + QB·n rows and a
-    task holds one cell, so the exact scan survives scale-up by
-    raising the block knobs. The dot product is a JVM-side codegen'd
-    left fold (no Python), and sim is rounded to 6 digits BEFORE
-    ranking so cross-engine 1-ulp drift can't flip neighbor order
-    (tiebreak: neighbor_id). Measured at parity with the retired
-    broadcast-BNLJ form at sf0.1 (~12–15 s, contended-host minima).
+    baseline the ANN paths are judged against, served from the blocked
+    GEMM engine (_gemm_topk) and persisted once per (app, sf_dir) for
+    the whole eval family (sim_knn_label, emb_neighborhood_purity).
+
+    The engine CHOICE is a measured round-7 decision: the JVM
+    codegen'd unrolled-fold variant of the same blocked cell equi-join
+    (kept below as _jvm_fold_topk — still pinned equal to this path by
+    tests/test_correctness.py, and still the engine for
+    dedup_embedding_cosine's threshold scan and the LSH/IVF candidate
+    scoring) measured ~14 s at sf0.1 where the GEMM cell path measures
+    ~0.8 s: 64-dim dot products are exactly the shape where one SIMD
+    float64 GEMM per cell beats 5000 scalar codegen folds. Both round
+    sim to 6 digits half-away-from-zero BEFORE ranking, so the 1-ulp
+    BLAS-vs-fold summation drift is invisible and both hash-match the
+    same DuckDB oracle (COSINE_TOPK_ORACLE)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _topk_cache_get(key)
+    if cached is not None:
+        return cached
+    topk = _gemm_topk(spark, sf_dir).persist()
+    _topk_cache_put(key, topk)
+    return topk
+
+
+def _jvm_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-expression variant of the exact top-5 scan: same
+    blocked (qblk, cblk) cell equi-join, dot product as a codegen'd
+    unrolled left fold (no Python anywhere). Not the registered engine
+    since round 7 (the GEMM cell path measured ~17× faster at sf0.1 —
+    see sim_cosine_topk) but kept callable as the independent
+    cross-check: tests/test_correctness.py pins its output equal to
+    the GEMM path, which is what makes "two engines, one oracle" an
+    actual verification and not a tautology.
 
     (A compute-half-and-mirror variant — dot only for vec_id <
     neighbor_id, swapped-projection union for the rest — was tried
@@ -828,10 +941,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WriteToDataSourceV2, so under write-type actions both union
     branches recomputed the dots, and a persist() of the half-pairs
     cost more than it saved at both sf0.01 and sf0.1.)"""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _topk_cache_get(key)
-    if cached is not None:
-        return cached
     e = load(spark, sf_dir, "embeddings")
     # Round-robin repartition spreads the probe when the cell join
     # resolves to broadcast-hash (the fixture is ONE parquet split —
@@ -876,13 +985,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    topk = (
+    return (
         pairs.withColumn("nn_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nn_rank") <= 5)
-        .persist()
     )
-    _topk_cache_put(key, topk)
-    return topk
 
 
 @register(

@@ -80,8 +80,8 @@ KNOBS_10X = {
     ("linux_logs_spark.operators.llm_pipeline", "DEDUP_CAND_BLOCKS"): 25,
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 8,
     ("linux_logs_spark.operators.warehouse", "N_IVF_CELLS"): 128,
-    ("linux_logs_spark.operators.extras", "SIM_QUERY_BLOCKS"): 13,
-    ("linux_logs_spark.operators.extras", "SIM_CAND_BLOCKS"): 13,
+    ("linux_logs_spark.operators.llm_pipeline", "SIM_QUERY_BLOCKS"): 13,
+    ("linux_logs_spark.operators.llm_pipeline", "SIM_CAND_BLOCKS"): 13,
 }
 
 

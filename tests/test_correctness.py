@@ -29,15 +29,19 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert not issues, f"{name}: " + "; ".join(issues)
 
 
-def test_blocked_gemm_equals_exact_topk(spark, sf_dir):
-    """sim_cosine_blocked (distributed block×block GEMM) must produce
-    exactly the rows of the oracle-checked exact baseline
-    sim_cosine_topk — the rounding-before-rank convention makes the
-    1-ulp BLAS summation drift invisible at 6 digits."""
+def test_blocked_gemm_equals_jvm_fold_topk(spark, sf_dir):
+    """The two exact top-5 ENGINES must agree row-for-row: the blocked
+    GEMM (numpy, the registered engine since round 7) vs the JVM
+    codegen'd unrolled fold (_jvm_fold_topk, the independent
+    cross-check) — the rounding-before-rank convention makes the 1-ulp
+    BLAS-vs-fold summation drift invisible at 6 digits. Comparing the
+    registration against a cached copy of itself would be a tautology;
+    this pins GEMM against a genuinely different compute path."""
+    from linux_logs_spark.operators.llm_pipeline import _jvm_fold_topk
     from linux_logs_spark.verify import compare_frames
 
     blocked = _SPECS["sim_cosine_blocked"].fn(spark, sf_dir).toPandas()
-    exact = _SPECS["sim_cosine_topk"].fn(spark, sf_dir).toPandas()
+    exact = _jvm_fold_topk(spark, sf_dir).toPandas()
     issues = compare_frames(blocked, exact)
     assert not issues, issues
 

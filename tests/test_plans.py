@@ -266,9 +266,12 @@ def test_pipeline_corpus_prep_exchange_budget(spark, sf_dir):
 
 
 def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):
-    """The exact top-k baseline's pair enumeration must also ride the
-    blocked cell equi-join — no full-table broadcast cartesian
-    (round-5; mirror of the dedup_embedding_cosine pin)."""
+    """The exact top-k baseline's pair enumeration must ride the
+    blocked cell shape — no full-table broadcast cartesian
+    (round-5; mirror of the dedup_embedding_cosine pin). Since round 7
+    the registered engine is the GEMM cogroup: its plan must show the
+    cogroup exchange on the block keys, and the retained JVM fold
+    variant must still be the blocked equi-join it always was."""
     from linux_logs_spark.operators import llm_pipeline
 
     # Don't inspect a cached plan — and unpersist before dropping the
@@ -280,6 +283,11 @@ def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):
     plan = plan_string(_Q["sim_cosine_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+    fold_plan = plan_string(llm_pipeline._jvm_fold_topk(spark, sf_dir))
+    assert "CartesianProduct" not in fold_plan, fold_plan
+    assert "BroadcastNestedLoopJoin" not in fold_plan, fold_plan
 
 
 def test_tpch_q7_dims_broadcast_no_cartesian(spark, sf_dir):

@@ -144,6 +144,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_distinct",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps — the mergeable alternative
+    to countDistinct at 100 TB. countDistinct plans an Expand (every
+    input row duplicated per distinct-agg) + a shuffle of the raw key
+    space; the bitmap form shuffles at most one 4 KB bitmap per
+    (group, bucket-of-32768-keys) REGARDLESS of row count, because
+    bitmap_construct_agg is associative and map-side-combines: each
+    task ORs its local keys into per-bucket bitmaps before anything
+    moves. The second aggregate sums popcounts over the (tiny,
+    key-range-bounded) bucket frame. Unlike the HLL sketch
+    (agg_approx_distinct) the answer is EXACT, so the DuckDB
+    count(DISTINCT) oracle hash-verifies it — and the bitmaps
+    themselves are OR-mergeable across rollup levels, which is the
+    property sketch-rollup pipelines actually need."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_returnflag",
+            F.bitmap_bucket_number("l_partkey").alias("bkt"),
+            F.bitmap_bit_position("l_partkey").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bmp"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bmp")).alias("n_distinct_parts")
+    )
+
+
+@register(
     "agg_rollup",
     "aggregate",
     oracle="""

@@ -124,6 +124,42 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lateral_topk",
+    "relational",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    surface for "top-N related rows per outer row" that analysts
+    reach for before they know window functions. Catalyst
+    DECORRELATES it (DecorrelateInnerQuery): the plan that executes is
+    a partitioned rank-filter over one shuffle of orders by custkey
+    joined back to customer — identical in shape to topk_per_group,
+    NOT a per-customer re-execution of the inner query, which is what
+    makes the construct survive 10⁸ customers. Deterministic total
+    order inside the lateral ((o_totalprice DESC, o_orderkey)) so both
+    engines pick identical rows on price ties; customers with no
+    orders drop (inner lateral-join semantics in both engines)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@register(
     "scd2_merge",
     "join",
     oracle="""

@@ -224,6 +224,50 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_variant",
+    "scalar",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+           FROM documents)
+SELECT doc_id, lang, n_chars,
+       ws[1] AS head_word,
+       ws[3] AS third_word
+FROM w
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip — the open-format answer to schema
+    drift in semi-structured logs: parse once into the binary VARIANT
+    encoding, extract typed paths lazily (try_variant_get), never
+    re-parse the JSON string per field the way repeated
+    get_json_object calls do. The JSON here is synthesized from
+    documents columns (a nested object + array), so the DuckDB oracle
+    replays the extraction from the base columns directly — a variant
+    encode/decode trip that loses or coerces anything hash-fails.
+    At 100 TB the VARIANT column is what lands in the lake: shredded
+    binary paths, no per-query string parsing, schema evolution
+    without rewrites. Missing paths (docs under 3 words) yield NULL
+    via try_variant_get, matching the oracle's out-of-range list
+    index."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.col("lang"),
+            F.col("n_chars"),
+            F.slice(F.split("text", " "), 1, 3).alias("head_words"),
+        )
+    )
+    v = d.select("doc_id", F.parse_json(payload).alias("v"))
+    return v.select(
+        "doc_id",
+        F.try_variant_get("v", "$.lang", "string").alias("lang"),
+        F.try_variant_get("v", "$.n_chars", "long").alias("n_chars"),
+        F.try_variant_get("v", "$.head_words[0]", "string").alias("head_word"),
+        F.try_variant_get("v", "$.head_words[2]", "string").alias("third_word"),
+    )
+
+
+@register(
     "fn_trig",
     "scalar",
     oracle="""

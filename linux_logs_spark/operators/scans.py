@@ -382,3 +382,49 @@ def scan_apache_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", _APACHE_RE, 6).cast("long").alias("status"),
         F.regexp_extract("value", _APACHE_RE, 7).cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "table_optimize_compact",
+    "scan",
+    oracle="""
+SELECT lang, source,
+       count(*)               AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def table_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/compaction over immutable parquet — the maintenance
+    operation every log-ingest table needs: streaming writers land
+    thousands of small files per hour, and small files kill scan
+    throughput (per-file open cost, no intra-file parallelism, footer
+    bloat). Stage documents FRAGMENTED (one file per write task, 16
+    ways), then compact by rewriting with a row-count-derived target
+    file count — the same coalesce-rewrite a Delta/Iceberg OPTIMIZE
+    runs under the hood, expressed over plain parquet because the
+    container has no lakehouse format. The read-back aggregate is the
+    correctness contract (no rows lost/duplicated/mutated by the
+    rewrite); the file-count invariant (fragmented ≫ compacted =
+    ceil(rows/target)) is pinned by
+    tests/test_plans.py::test_optimize_compact_file_counts.
+    At 100 TB this runs per-partition (dt=...) with a bin-packing
+    coalesce instead of a global one, so compaction parallelism stays
+    at partition granularity — the single-table form here is that
+    inner loop."""
+    d = load(spark, sf_dir, "documents")
+    frag_path = _scratch(sf_dir, "docs_fragmented")
+    d.repartition(16).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    # target ~50k rows per output file — row-count-derived so the file
+    # count scales with data, not with the writer's task count.
+    n = frag.count()
+    n_files = max(1, -(-n // 50_000))
+    compact_path = _scratch(sf_dir, "docs_compacted")
+    frag.coalesce(n_files).write.mode("overwrite").parquet(compact_path)
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

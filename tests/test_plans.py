@@ -569,3 +569,45 @@ def test_text_perplexity_two_aggregate_skeleton(spark, sf_dir):
     plan = plan_string(_Q["text_perplexity"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_q_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate into a
+    partitioned rank-filter (one shuffle of orders by custkey), never
+    a per-outer-row re-execution or a cartesian — that decorrelation
+    is the whole 100 TB argument in the query's docstring."""
+    plan = plan_string(_Q["q_lateral_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_agg_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap form's reason to exist: countDistinct plans an
+    Expand (row duplication per distinct agg) and shuffles raw keys;
+    the bitmap pipeline must shuffle only per-bucket bitmaps through
+    ordinary partial-merge hash aggregates — no Expand anywhere."""
+    plan = plan_string(_Q["agg_bitmap_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    # two-level: (grp, bucket) agg then grp agg -> exactly 2 exchanges
+    import re as _re
+
+    nodes = set(_re.findall(r"\((\d+)\) Exchange\b", plan))
+    assert len(nodes) == 2, plan
+
+
+def test_optimize_compact_file_counts(spark, sf_dir):
+    """table_optimize_compact's invariant: the staged fragmented table
+    has (close to) one file per write task and the compacted rewrite
+    has exactly ceil(rows / 50k) files — at test scale, ONE."""
+    import glob
+    import os
+
+    from linux_logs_spark.operators.scans import _scratch
+
+    _Q["table_optimize_compact"].fn(spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(_scratch(sf_dir, "docs_fragmented"), "*.parquet"))
+    comp = glob.glob(os.path.join(_scratch(sf_dir, "docs_compacted"), "*.parquet"))
+    assert len(frag) > 1, frag  # genuinely fragmented input
+    assert len(comp) == 1, comp  # sf<=0.1 rows < 50k -> one file
+    assert len(comp) < len(frag)

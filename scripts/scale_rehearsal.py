@@ -334,6 +334,12 @@ def run(only: list[str] | None = None) -> None:
     from linux_logs_spark.session import get_spark
 
     spark = get_spark("scale-rehearsal", extra_conf={"spark.ui.enabled": "true"})
+    # Absorb session/executor bootstrap (same discipline as bench.py):
+    # without this the FIRST heavy query of the 1x pass is charged
+    # ~3-6 s of JVM spin-up, which read as a phantom 2x on
+    # dedup_near_minhash's 1x leg and made solo --queries reruns
+    # incomparable with full-run entries.
+    spark.range(1000).selectExpr("sum(id)").collect()
     specs = all_queries()
     # local filter — rebinding the module global would make a second
     # run() in the same process silently incomplete (round-7 review)

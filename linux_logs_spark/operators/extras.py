@@ -123,16 +123,23 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_lateral_topk",
-    "relational",
-    oracle="""
+# ONE text for both engines: Spark executes this string verbatim and
+# DuckDB replays it as the oracle (both parse the identical ANSI
+# LATERAL form), so the query and its check cannot drift — the same
+# single-sourcing rule as COSINE_TOPK_ORACLE.
+_LATERAL_TOPK_SQL = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c, LATERAL (
   SELECT o_orderkey, o_totalprice FROM orders o
   WHERE o.o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-""",
+"""
+
+
+@register(
+    "q_lateral_topk",
+    "relational",
+    oracle=_LATERAL_TOPK_SQL,
 )
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
@@ -148,15 +155,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders drop (inner lateral-join semantics in both engines)."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        """
-    )
+    return spark.sql(_LATERAL_TOPK_SQL)
 
 
 @register(
@@ -235,10 +234,15 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_cosine_blocked shares sim_cosine_topk's oracle CONSTANT and,
 # since round 7, its ENGINE: llm_pipeline._gemm_topk is the single
 # source of the blocked-GEMM plan (block knobs SIM_{QUERY,CAND}_BLOCKS
-# live beside it). This registration builds a FRESH plan per call
-# (no cache) so the driver's check of this row is an independent
-# execution; the JVM-fold variant survives as
-# llm_pipeline._jvm_fold_topk, pinned equal by
+# live beside it). This registration builds a fresh PLAN per call and
+# holds no cache of its own — but when another family member has
+# already persisted the topk frame in this SparkContext, Spark's
+# CacheManager plan-matches the identical subtree and serves
+# InMemoryTableScan instead of re-running the GEMM (verified live,
+# round-7 review). That reuse is correct (the cached frame is itself
+# the hash-verified result) and is exactly what a warm production
+# cluster would do; engine-level independence is provided by
+# llm_pipeline._jvm_fold_topk instead, pinned row-equal by
 # tests/test_correctness.py (graduated from rows-only in round 6;
 # verified hash-green at sf0.001/0.01/0.1).
 @register("sim_cosine_blocked", "llm", oracle=COSINE_TOPK_ORACLE)
@@ -251,7 +255,8 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     both bounded by the block knobs. Since round 7 this IS the shared
     engine (llm_pipeline._gemm_topk) that also serves the cached
     sim_cosine_topk family frame; this registration builds the plan
-    fresh (uncached) so the driver row is an independent execution.
+    fresh, and Spark's CacheManager may serve it from the family's
+    persisted frame when one exists (see the registration comment).
     Results equal the JVM fold variant (_jvm_fold_topk) up to BLAS
     summation order (~1 ulp), which the round-6-before-rank convention
     absorbs — so all three share COSINE_TOPK_ORACLE."""

@@ -422,7 +422,17 @@ def table_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = frag.count()
     n_files = max(1, -(-n // 50_000))
     compact_path = _scratch(sf_dir, "docs_compacted")
-    frag.coalesce(n_files).write.mode("overwrite").parquet(compact_path)
+    # coalesce is shuffle-free but can only SHRINK the partition
+    # count; past 16×50k rows the target exceeds the staged partition
+    # count and a silent coalesce cap would emit ever-larger files
+    # (round-7 review). Growing needs the shuffle repartition pays —
+    # which is fine: that branch only runs when the table is large
+    # enough that bounded file sizes matter more than one exchange.
+    if n_files <= frag.rdd.getNumPartitions():
+        sized = frag.coalesce(n_files)
+    else:
+        sized = frag.repartition(n_files)
+    sized.write.mode("overwrite").parquet(compact_path)
     back = spark.read.parquet(compact_path)
     return back.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),

@@ -351,3 +351,75 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("acctbal_v2") != F.col("acctbal_v1")).alias("changed"),
         )
     )
+
+
+@register(
+    "q_recursive_cte",
+    "relational",
+    oracle="""
+WITH RECURSIVE eo AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         lead(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+  FROM events
+), edges AS (
+  SELECT DISTINCT event_type AS a, nxt AS b FROM eo
+  WHERE nxt IS NOT NULL
+    AND CAST(floor(epoch(nxt_ts)) AS BIGINT)
+        - CAST(floor(epoch(ts)) AS BIGINT) < 120
+), paths(dst, depth) AS (
+  SELECT CAST('signup' AS VARCHAR), 0
+  UNION ALL
+  SELECT e.b, p.depth + 1 FROM paths p JOIN edges e ON e.a = p.dst
+  WHERE p.depth < 4
+)
+SELECT dst, depth, count(*) AS n_paths
+FROM paths GROUP BY dst, depth
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new SQL surface in Spark 4): path counting over
+    the session-transition graph — from a 'signup' seed, how many
+    distinct event-type paths of each length ≤ 4 reach each type,
+    where an edge is two consecutive events of one user under 120 s
+    apart. The recursion is the declarative form of the iterate-join
+    loop dedup_clusters_cc runs by hand (Pregel min-label): each
+    recursive step is one join of the frontier against the edge
+    relation, and Spark plans it as a UnionLoop whose per-step work is
+    |frontier ⋈ edges| — state ∝ frontier size, not corpus size,
+    because the corpus-sized scan happens ONCE in the anchor's edge
+    build (a lead() window + distinct, shuffled by user then by edge).
+    Depth-bounded recursion on a key-space-bounded relation (≤25
+    event-type pairs) is the shape that survives 100 TB: the recursive
+    relation never touches the fact table again. DuckDB replays the
+    identical ANSI WITH RECURSIVE text."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp (epoch SECONDS, long) ≡ the oracle's
+    # CAST(floor(epoch(ts)) AS BIGINT) — the sessionize convention.
+    edges = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .withColumn("nxt_s", F.lead(F.unix_timestamp("ts")).over(w))
+        .filter(
+            F.col("nxt").isNotNull()
+            & (F.col("nxt_s") - F.unix_timestamp("ts") < F.lit(120))
+        )
+        .select(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("q_recursive_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE paths(dst, depth) AS (
+          SELECT CAST('signup' AS STRING) AS dst, 0 AS depth
+          UNION ALL
+          SELECT e.b AS dst, p.depth + 1 AS depth
+          FROM paths p JOIN q_recursive_edges e ON e.a = p.dst
+          WHERE p.depth < 4
+        )
+        SELECT dst, depth, count(*) AS n_paths
+        FROM paths GROUP BY dst, depth
+        """
+    )

@@ -113,55 +113,55 @@ def _ensure_loaded() -> None:
 # scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
-# LAST REFRESH: 186 queries, total 198.9 s, zero bad rows; round-7 full 2-pass: GEMM family engine + 4 coverage additions (186)
+# LAST REFRESH: 187 queries, total 209.9 s, zero bad rows; round-7 final full 2-pass: 187 queries incl. q_recursive_cte
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.67, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.28, "agg_bool": 0.21,
-    "agg_collect": 0.21, "agg_conditional_family": 0.35, "agg_count_distinct": 0.31, "agg_cube": 0.32,
-    "agg_distinct_rows": 0.16, "agg_global": 0.36, "agg_groupby": 0.4, "agg_groupby_sql": 0.4,
-    "agg_grouping_sets": 0.21, "agg_having": 0.18, "agg_histogram": 0.19, "agg_hll_sketch_rollup": 0.33,
-    "agg_min_max_by": 0.17, "agg_mode": 0.21, "agg_percentile": 0.39, "agg_pivot": 0.27,
-    "agg_regression_family": 0.32, "agg_rollup": 0.28, "agg_stats": 0.24, "agg_string_concat": 0.21,
-    "agg_unpivot": 0.11, "bpe_train_merges": 3.44, "corpus_budget_trim": 0.2, "corpus_mix_rebalance": 0.34,
-    "cust_order_intervals": 0.31, "cust_rfm_segments": 1.93, "decontam_ngram_overlap": 0.82, "dedup_clusters_cc": 2.71,
-    "dedup_edit_verify": 1.22, "dedup_embedding_cosine": 1.38, "dedup_exact": 0.17, "dedup_exact_hash": 0.17,
-    "dedup_near_minhash": 1.1, "dedup_ngram_jaccard": 0.86, "dedup_shingle_jaccard": 0.9, "dedup_simhash": 1.18,
-    "doc_chunk": 0.17, "doc_pii_scrub": 0.22, "emb_centroid_outliers": 0.57, "emb_label_centroid": 0.25,
-    "emb_neighborhood_purity": 0.53, "emb_pca_power": 0.38, "emb_quantize_int8": 0.36, "fn_array": 0.11,
-    "fn_array_agg": 0.13, "fn_bitwise": 0.24, "fn_conditional": 0.35, "fn_datetime": 0.62,
-    "fn_hash": 0.08, "fn_interval": 0.2, "fn_json": 0.24, "fn_map": 0.27,
-    "fn_math": 0.17, "fn_posexplode": 0.14, "fn_regex": 0.13, "fn_string": 0.16,
-    "fn_string_extended": 0.2, "fn_trig": 0.13, "fn_url_parse": 0.13, "fn_variant": 0.13,
-    "join_asof": 0.25, "join_broadcast": 0.37, "join_bucketed_colocated": 1.25, "join_cross": 0.12,
-    "join_full_outer": 0.28, "join_inner_equi": 0.38, "join_inner_equi_sql": 0.4, "join_left_anti": 0.13,
-    "join_left_outer": 0.31, "join_left_semi": 0.15, "join_null_safe": 0.28, "join_range_binned": 0.58,
-    "join_self_multi": 0.28, "join_skew_salted": 0.32, "join_theta_range": 0.13, "limit_topk": 0.1,
-    "log_anomaly_zscore": 0.33, "log_burst_detect": 0.29, "log_corr_matrix": 0.46, "log_error_rate_hourly": 0.22,
-    "log_error_rate_hourly_sql": 0.22, "log_event_transitions": 0.35, "log_gap_fill": 0.35, "log_retention_cohorts": 0.41,
-    "log_rollup_multires": 0.8, "log_search": 0.33, "log_seasonality_profile": 0.27, "log_slo_burn": 0.28,
-    "log_top_services": 0.23, "log_type_hour_matrix": 0.25, "log_user_funnel": 0.22, "multimodal_features": 0.37,
-    "multimodal_frame_sample": 0.27, "multimodal_join": 0.14, "multimodal_resize": 0.26, "pack_sequences": 0.22,
-    "part_copurchase": 0.65, "pipeline_corpus_prep": 0.56, "q_case_when": 0.25, "q_exists_correlated": 0.16,
-    "q_filter_basic": 0.21, "q_filter_basic_sql": 0.22, "q_filter_in_between": 0.11, "q_filter_like": 0.09,
-    "q_lateral_topk": 0.27, "q_project": 1.19, "q_subquery_scalar": 0.35, "sample_stratified": 0.23,
-    "scan_apache_log": 0.33, "scan_binary_files": 0.16, "scan_csv_malformed": 0.25, "scan_csv_roundtrip": 0.33,
-    "scan_json_lines": 0.2, "scan_orc_roundtrip": 0.22, "scan_parquet": 0.04, "scan_text_parse": 0.28,
-    "scd2_merge": 0.17, "sessionize": 0.43, "set_except": 0.16, "set_intersect": 0.27,
-    "set_union_all": 0.16, "set_union_distinct": 0.22, "shuffle_shard": 0.25, "sim_ann_ivf": 1.32,
-    "sim_ann_lsh": 0.82, "sim_cosine_blocked": 0.39, "sim_cosine_topk": 0.92, "sim_knn_label": 0.55,
-    "sink_parquet_partitioned": 0.89, "sort_multi": 0.45, "split_train_holdout": 0.08, "stream_custom_state": 0.83,
-    "stream_dedup": 0.97, "stream_foreach_batch": 0.66, "stream_session": 1.06, "stream_sliding": 1.02,
-    "stream_static_join": 0.8, "stream_stream_join": 2.88, "stream_text_tail": 1.02, "stream_transform_with_state": 0.86,
-    "stream_tumbling": 0.93, "stream_watermark_late": 1.3, "table_column_stats": 0.68, "table_optimize_compact": 0.72,
-    "table_time_travel": 0.29, "text_fingerprint": 0.29, "text_lang_id": 0.2, "text_lang_stats": 0.24,
-    "text_ngram_topk": 0.51, "text_perplexity": 0.64, "text_quality_score": 0.17, "text_repetition_score": 0.31,
-    "text_tfidf": 0.77, "text_token_count_bpe": 0.12, "text_tokenize_counts": 0.18, "topk_per_group": 0.32,
-    "tpch_q10": 0.37, "tpch_q13": 0.35, "tpch_q14": 0.24, "tpch_q15": 0.36,
-    "tpch_q17": 0.35, "tpch_q18": 0.43, "tpch_q3": 0.35, "tpch_q5": 0.31,
-    "tpch_q6": 0.16, "tpch_q7": 0.51, "tpch_q8": 0.4, "udaf_pandas_agg": 0.27,
-    "udf_pandas_scalar": 0.26, "udf_python": 0.33, "udtf_apply_in_pandas": 0.28, "udtf_python_native": 0.38,
-    "vocab_build": 0.23, "win_first_last": 0.28, "win_lag_lead": 0.39, "win_latest_per_key": 0.21,
-    "win_nth_value": 0.35, "win_pattern_seq": 0.23, "win_range_frame": 1.77, "win_ranking": 0.62,
-    "win_ranking_sql": 0.62, "win_running": 0.66,
+    "agg_approx_distinct": 0.76, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.37, "agg_bool": 0.21,
+    "agg_collect": 0.24, "agg_conditional_family": 0.44, "agg_count_distinct": 0.32, "agg_cube": 0.38,
+    "agg_distinct_rows": 0.21, "agg_global": 0.33, "agg_groupby": 0.43, "agg_groupby_sql": 0.43,
+    "agg_grouping_sets": 0.2, "agg_having": 0.22, "agg_histogram": 0.21, "agg_hll_sketch_rollup": 0.36,
+    "agg_min_max_by": 0.21, "agg_mode": 0.26, "agg_percentile": 0.38, "agg_pivot": 0.28,
+    "agg_regression_family": 0.33, "agg_rollup": 0.33, "agg_stats": 0.25, "agg_string_concat": 0.23,
+    "agg_unpivot": 0.12, "bpe_train_merges": 4.24, "corpus_budget_trim": 0.2, "corpus_mix_rebalance": 0.34,
+    "cust_order_intervals": 0.35, "cust_rfm_segments": 1.93, "decontam_ngram_overlap": 0.81, "dedup_clusters_cc": 2.72,
+    "dedup_edit_verify": 1.34, "dedup_embedding_cosine": 1.33, "dedup_exact": 0.18, "dedup_exact_hash": 0.18,
+    "dedup_near_minhash": 1.24, "dedup_ngram_jaccard": 0.94, "dedup_shingle_jaccard": 1.06, "dedup_simhash": 1.06,
+    "doc_chunk": 0.19, "doc_pii_scrub": 0.31, "emb_centroid_outliers": 0.6, "emb_label_centroid": 0.23,
+    "emb_neighborhood_purity": 0.64, "emb_pca_power": 0.39, "emb_quantize_int8": 0.39, "fn_array": 0.13,
+    "fn_array_agg": 0.15, "fn_bitwise": 0.28, "fn_conditional": 0.38, "fn_datetime": 0.63,
+    "fn_hash": 0.11, "fn_interval": 0.2, "fn_json": 0.25, "fn_map": 0.24,
+    "fn_math": 0.16, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.14,
+    "fn_string_extended": 0.15, "fn_trig": 0.16, "fn_url_parse": 0.14, "fn_variant": 0.16,
+    "join_asof": 0.26, "join_broadcast": 0.31, "join_bucketed_colocated": 1.04, "join_cross": 0.11,
+    "join_full_outer": 0.26, "join_inner_equi": 0.37, "join_inner_equi_sql": 0.51, "join_left_anti": 0.14,
+    "join_left_outer": 0.31, "join_left_semi": 0.19, "join_null_safe": 0.32, "join_range_binned": 0.56,
+    "join_self_multi": 0.29, "join_skew_salted": 0.34, "join_theta_range": 0.17, "limit_topk": 0.11,
+    "log_anomaly_zscore": 0.35, "log_burst_detect": 0.31, "log_corr_matrix": 0.46, "log_error_rate_hourly": 0.21,
+    "log_error_rate_hourly_sql": 0.23, "log_event_transitions": 0.29, "log_gap_fill": 0.39, "log_retention_cohorts": 0.39,
+    "log_rollup_multires": 0.83, "log_search": 0.3, "log_seasonality_profile": 0.28, "log_slo_burn": 0.29,
+    "log_top_services": 0.26, "log_type_hour_matrix": 0.25, "log_user_funnel": 0.24, "multimodal_features": 0.4,
+    "multimodal_frame_sample": 0.27, "multimodal_join": 0.18, "multimodal_resize": 0.29, "pack_sequences": 0.23,
+    "part_copurchase": 0.74, "pipeline_corpus_prep": 0.55, "q_case_when": 0.28, "q_exists_correlated": 0.18,
+    "q_filter_basic": 0.24, "q_filter_basic_sql": 0.24, "q_filter_in_between": 0.13, "q_filter_like": 0.11,
+    "q_lateral_topk": 0.31, "q_project": 1.27, "q_recursive_cte": 1.86, "q_subquery_scalar": 0.23,
+    "sample_stratified": 0.22, "scan_apache_log": 0.35, "scan_binary_files": 0.16, "scan_csv_malformed": 0.24,
+    "scan_csv_roundtrip": 0.41, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.27, "scan_parquet": 0.06,
+    "scan_text_parse": 0.28, "scd2_merge": 0.19, "sessionize": 0.44, "set_except": 0.2,
+    "set_intersect": 0.25, "set_union_all": 0.18, "set_union_distinct": 0.22, "shuffle_shard": 0.22,
+    "sim_ann_ivf": 1.39, "sim_ann_lsh": 1.03, "sim_cosine_blocked": 0.43, "sim_cosine_topk": 1.1,
+    "sim_knn_label": 0.57, "sink_parquet_partitioned": 0.94, "sort_multi": 0.49, "split_train_holdout": 0.1,
+    "stream_custom_state": 0.92, "stream_dedup": 1.06, "stream_foreach_batch": 0.71, "stream_session": 1.09,
+    "stream_sliding": 1.04, "stream_static_join": 0.85, "stream_stream_join": 2.88, "stream_text_tail": 1.05,
+    "stream_transform_with_state": 0.87, "stream_tumbling": 1.04, "stream_watermark_late": 1.35, "table_column_stats": 0.64,
+    "table_optimize_compact": 0.8, "table_time_travel": 0.33, "text_fingerprint": 0.3, "text_lang_id": 0.24,
+    "text_lang_stats": 0.27, "text_ngram_topk": 0.48, "text_perplexity": 0.76, "text_quality_score": 0.19,
+    "text_repetition_score": 0.34, "text_tfidf": 0.79, "text_token_count_bpe": 0.13, "text_tokenize_counts": 0.2,
+    "topk_per_group": 0.26, "tpch_q10": 0.42, "tpch_q13": 0.31, "tpch_q14": 0.28,
+    "tpch_q15": 0.44, "tpch_q17": 0.36, "tpch_q18": 0.48, "tpch_q3": 0.37,
+    "tpch_q5": 0.37, "tpch_q6": 0.22, "tpch_q7": 0.54, "tpch_q8": 0.44,
+    "udaf_pandas_agg": 0.28, "udf_pandas_scalar": 0.26, "udf_python": 0.34, "udtf_apply_in_pandas": 0.3,
+    "udtf_python_native": 0.41, "vocab_build": 0.24, "win_first_last": 0.33, "win_lag_lead": 0.38,
+    "win_latest_per_key": 0.25, "win_nth_value": 0.31, "win_pattern_seq": 0.34, "win_range_frame": 1.87,
+    "win_ranking": 0.7, "win_ranking_sql": 0.71, "win_running": 0.78,
 }
 
 _DEFAULT_COST = 0.9

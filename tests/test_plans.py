@@ -611,3 +611,13 @@ def test_optimize_compact_file_counts(spark, sf_dir):
     assert len(frag) > 1, frag  # genuinely fragmented input
     assert len(comp) == 1, comp  # sf<=0.1 rows < 50k -> one file
     assert len(comp) < len(frag)
+
+
+def test_q_recursive_cte_plans_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan as Spark 4's UnionLoop executor (the
+    iterate-until-empty-frontier operator) over the pre-built edge
+    relation — no cartesian, and the fact-table scan appears only in
+    the anchor's edge build, never inside the loop body."""
+    plan = plan_string(_Q["q_recursive_cte"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1229,3 +1229,163 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"))
     )
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank — fixed-horizon PageRank over the co-purchase graph
+# --------------------------------------------------------------------------
+
+PR_ITERS = 6  # fixed power-iteration horizon, replayed exactly by the oracle
+PR_DAMP = 0.85
+
+
+def _pr_round6(x: float) -> float:
+    """Python twin of round6_away_sql (binary half away from zero)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _pr_oracle() -> str:
+    """Unrolled PR_ITERS-step chained-CTE replay. No recursion needed:
+    the horizon is fixed, so each iteration is a plain join+group-by
+    CTE — portable SQL that any engine (DuckDB here) runs verbatim.
+    Built as an f-string over PR_ITERS/PR_DAMP so retuning the engine
+    knobs can never desync the oracle (round-6 advice pattern)."""
+    r6 = round6_away_sql
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        contrib = r6("r.rank / e.deg")
+        total = r6(
+            f"tc.t + {PR_DAMP} * "
+            f"CAST(SUM(CAST({contrib} AS DECIMAL(25,6))) AS DOUBLE)"
+        )
+        steps.append(
+            f"r{k} AS (\n"
+            f"  SELECT e.dst AS node, {total} AS rank\n"
+            f"  FROM ed e JOIN r{k - 1} r ON e.src = r.node CROSS JOIN tc\n"
+            f"  GROUP BY e.dst, tc.t\n)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src
+), nn AS (SELECT count(*) AS n FROM deg),
+tc AS (SELECT {r6("0.15 / CAST(n AS DOUBLE)")} AS t FROM nn),
+r0 AS (
+  SELECT src AS node, {r6("1.0 / CAST(nn.n AS DOUBLE)")} AS rank
+  FROM deg CROSS JOIN nn
+),
+{chain}
+SELECT node AS l_partkey, rank AS pagerank FROM r{PR_ITERS}
+"""
+
+
+@register("graph_pagerank", "warehouse", oracle=_pr_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order), power-iterated for a FIXED
+    PR_ITERS horizon — the iterative-graph-algorithm counterpart to
+    dedup_clusters_cc's label propagation, and the demonstration that
+    an iterative numeric algorithm can still carry a full hash oracle
+    (unlike emb_pca_power's data-dependent convergence, a fixed
+    horizon is exactly replayable as unrolled chained CTEs).
+
+    Scale shape: the edge list is generated by part_copurchase's
+    self-equi-join ON THE ORDER KEY — Σ(basket choose 2), bounded by
+    basket size, never |parts|². Each iteration is one shuffle on the
+    node key (contribution sum); rank state is O(|V|). The edge table
+    appears PR_ITERS times in the final plan, so it alone is
+    localCheckpoint'd (else the self-join re-executes per iteration);
+    the rank chain itself stays LAZY — the horizon is fixed and small,
+    so lineage is bounded by construction and the whole power method
+    runs as ONE job of chained shuffles instead of PR_ITERS eager
+    barrier jobs (same-session A/B at sf0.01: lazy 2.8 s vs eager
+    checkpoints 7.6 s per power-method run). At horizons where
+    bounded-by-construction stops being small, checkpoint every k
+    rounds — dedup_clusters_cc shows that form. Driver traffic is a
+    single 1-row node count.
+
+    Float parity (the text_perplexity pattern): per-edge contributions
+    rank/deg are round6'd THEN summed in DECIMAL(25,6) — exact,
+    order-independent — and the damped update re-rounds, so every
+    iteration is bit-identical cross-engine; the teleport constant is
+    computed by the same IEEE ops (0.15/n, round6) in both."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+    # symmetrize in ONE pass over pairs (a union of two selects would
+    # embed — and execute — the pair self-join twice in ed's plan)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # Checkpoint lifecycle: ed is reused every iteration and must
+    # outlive the returned lazy plan (cust_rfm_segments note applies —
+    # freed by ContextCleaner once the caller drops the result).
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = ed.select("src").distinct().count()
+    if n_nodes == 0:  # degenerate scale factor: no co-purchased pairs
+        return spark.createDataFrame([], "l_partkey bigint, pagerank double")
+    t = _pr_round6(0.15 / n_nodes)
+    # seed off the checkpointed ed, not deg — deg's plan still contains
+    # the pair self-join, which must execute exactly once
+    r = (
+        ed.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(_pr_round6(1.0 / n_nodes)).alias("rank"),
+        )
+    )
+    contrib_sql = f"CAST({round6_away_sql('rank / deg')} AS DECIMAL(25,6))"
+    # In the symmetrized graph every node has deg >= 1, so every node
+    # receives >= 1 contribution each round: the node set is closed
+    # under iteration in both engines (no left-join / dangling mass).
+    rank_sql = round6_away_sql(f"{t!r} + {PR_DAMP} * CAST(s AS DOUBLE)")
+    for _ in range(PR_ITERS):
+        # no explicit broadcast hint: the rank state is |V| rows and
+        # AQE promotes it to a runtime broadcast join when it fits
+        # (keeping ed unshuffled); a static hint here would force one
+        # sequential broadcast-materialization barrier per iteration
+        # (measured slower at sf0.01 — AQE's lazy chain wins)
+        r = (
+            ed.join(r, F.col("src") == F.col("node"))
+            .selectExpr("dst", f"{contrib_sql} AS c")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .selectExpr("dst AS node", f"{rank_sql} AS rank")
+        )
+    return r.select(F.col("node").alias("l_partkey"), F.col("rank").alias("pagerank"))

@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 187 queries, total 209.9 s, zero bad rows; round-7 final full 2-pass: 187 queries incl. q_recursive_cte
+# (graph_pagerank added after that refresh: subset 2-pass, cost 5.64 s under residual host load — conservative)
 _MEASURED_COST: dict[str, float] = {
     "agg_approx_distinct": 0.76, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.37, "agg_bool": 0.21,
     "agg_collect": 0.24, "agg_conditional_family": 0.44, "agg_count_distinct": 0.32, "agg_cube": 0.38,
@@ -131,6 +132,7 @@ _MEASURED_COST: dict[str, float] = {
     "fn_hash": 0.11, "fn_interval": 0.2, "fn_json": 0.25, "fn_map": 0.24,
     "fn_math": 0.16, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.14,
     "fn_string_extended": 0.15, "fn_trig": 0.16, "fn_url_parse": 0.14, "fn_variant": 0.16,
+    "graph_pagerank": 5.64,
     "join_asof": 0.26, "join_broadcast": 0.31, "join_bucketed_colocated": 1.04, "join_cross": 0.11,
     "join_full_outer": 0.26, "join_inner_equi": 0.37, "join_inner_equi_sql": 0.51, "join_left_anti": 0.14,
     "join_left_outer": 0.31, "join_left_semi": 0.19, "join_null_safe": 0.32, "join_range_binned": 0.56,

@@ -387,12 +387,17 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive step is one join of the frontier against the edge
     relation, and Spark plans it as a UnionLoop whose per-step work is
     |frontier ⋈ edges| — state ∝ frontier size, not corpus size,
-    because the corpus-sized scan happens ONCE in the anchor's edge
-    build (a lead() window + distinct, shuffled by user then by edge).
-    Depth-bounded recursion on a key-space-bounded relation (≤25
-    event-type pairs) is the shape that survives 100 TB: the recursive
-    relation never touches the fact table again. DuckDB replays the
-    identical ANSI WITH RECURSIVE text."""
+    because the corpus-sized edge build (a lead() window + distinct)
+    is materialized ONCE via localCheckpoint before the view is
+    registered. That checkpoint is load-bearing: a LAZY temp view is
+    re-planned inside the UnionLoop's recursive branch, so every loop
+    step would re-run the events scan and both window shuffles
+    (measured 2.50 s → 1.38 s warm at sf0.01; at 100 TB it is the
+    difference between 1 and depth+1 corpus scans — round-7 review
+    finding). Depth-bounded recursion on the key-space-bounded ≤25
+    event-type pairs is then the shape that survives 100 TB: the
+    recursive relation never touches the fact table again. DuckDB
+    replays the identical ANSI WITH RECURSIVE text."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -408,6 +413,10 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
         .distinct()
+        # lifecycle: the checkpoint must outlive the returned lazy
+        # plan (cust_rfm_segments note — ContextCleaner frees it once
+        # the caller drops the result)
+        .localCheckpoint(eager=True)
     )
     edges.createOrReplaceTempView("q_recursive_edges")
     return spark.sql(

@@ -616,8 +616,16 @@ def test_optimize_compact_file_counts(spark, sf_dir):
 def test_q_recursive_cte_plans_union_loop(spark, sf_dir):
     """WITH RECURSIVE must plan as Spark 4's UnionLoop executor (the
     iterate-until-empty-frontier operator) over the pre-built edge
-    relation — no cartesian, and the fact-table scan appears only in
-    the anchor's edge build, never inside the loop body."""
+    relation — no cartesian, and NO fact-table scan anywhere in the
+    recursive query's plan: the edge build is localCheckpoint'd
+    before view registration, so the loop joins a materialized
+    relation. (Round-7 review: a lazy view put the events scan + both
+    windows INSIDE the loop branch, re-executing per step while this
+    test's docstring claimed otherwise — now asserted.)"""
     plan = plan_string(_Q["q_recursive_cte"].fn(spark, sf_dir))
     assert "UnionLoop" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the checkpointed edge relation means the recursion's plan holds
+    # no parquet scan and no window re-computation at all
+    assert "parquet" not in plan.lower(), plan
+    assert "Window" not in plan, plan

@@ -60,11 +60,16 @@ HEAVY = [
     # same per-key fan-out), so the bucketed join's wall/shuffle curve
     # is a real scale datapoint, not a copy of the 1x one.
     "join_bucketed_colocated",
+    # iterative-graph family: fixed-horizon power method — per-
+    # iteration cost ∝ |edges| (co-purchase pairs ∝ orders), rank
+    # state ∝ |parts|; the 10x leg measures that the chained-shuffle
+    # loop scales linearly with the edge volume, no knobs to raise.
+    "graph_pagerank",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
 # writes) — run once untimed before the measured pass (round-7 review).
-WARM_FIRST = {"join_bucketed_colocated"}
+WARM_FIRST = {"join_bucketed_colocated", "graph_pagerank"}
 
 # knob → 10× value, each the documented scale-up move for its family:
 # - blocked-cosine blocks scale ~√10 so per-task memory (one pair

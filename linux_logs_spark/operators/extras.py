@@ -432,3 +432,40 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM paths GROUP BY dst, depth
         """
     )
+
+
+# Oracle: the same relational plan in classic ANSI form — the pipe
+# text below is Spark-4-only surface, so the twin strings are built
+# from ONE shared fragment set to keep them in lockstep.
+_PIPE_AGG = (
+    "count(*) AS cnt, "
+    + oracle_dsum("l_extendedprice * (1.0 - l_discount)", 4)
+    + " AS revenue"
+)
+_PIPE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, {_PIPE_AGG}
+FROM lineitem
+WHERE l_quantity >= 45.0
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_pipe_syntax", "relational", oracle=_PIPE_ORACLE)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining — the
+    FROM-first form where each stage reads top-to-bottom like a
+    DataFrame chain). Catalyst analyzes pipes into the SAME logical
+    plan as the classic text, so every optimizer property (pushdown,
+    partial agg) is inherited; the oracle runs the classic twin built
+    from the same fragments. The WHERE stage lands before AGGREGATE,
+    so the filter still reaches the parquet scan."""
+    from linux_logs_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_quantity >= 45.0
+        |> AGGREGATE {_PIPE_AGG} GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -545,3 +545,98 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("item")).alias("item_param"),
     )
+
+
+# ONE body template, formatted with parameter names for the CREATE
+# FUNCTION text and with column names for the oracle's textual inline.
+_SQL_UDF_BODY = "{p} * (1.0 - {d}) * (1.0 + {t})"
+_SQL_UDF_EXPR = _SQL_UDF_BODY.format(p="p", d="d", t="t")
+_SQL_UDF_INLINED = _SQL_UDF_BODY.format(
+    p="l_extendedprice", d="l_discount", t="l_tax"
+)
+
+
+@register(
+    "fn_sql_udf",
+    "function",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(sum(CAST({_SQL_UDF_INLINED} AS DECIMAL(25,6))) AS DOUBLE)
+         AS charged
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION … RETURN expr``):
+    the declarative UDF path — the body is SQL, so Catalyst INLINES
+    it into the caller's plan (whole-stage codegen, pushdown-capable),
+    unlike any Python UDF. The oracle substitutes the body textually:
+    same expression tree, two engines. CREATE OR REPLACE TEMPORARY
+    per call because the driver may hand a fresh session each time.
+    The per-row arithmetic is identical IEEE ops; the sum is exact
+    DECIMAL accumulation (compat.py convention)."""
+    from linux_logs_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        f"RETURN {_SQL_UDF_EXPR}"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(charged_price(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS charged
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "fn_collation",
+    "function",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS et
+  FROM events
+), dim AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       count(DISTINCT m.et) AS case_variants
+FROM mixed m JOIN dim d ON lower(m.et) = d.event_type
+GROUP BY d.event_type
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 ``collate(…, 'UTF8_LCASE')``):
+    a case-insensitive equi-join expressed through the COLLATED string
+    type, not through lower() rewrites — the collation rides the type,
+    so the join stays a plain hash equi-join on a binary-stable key
+    (Spark hashes the collation key), shuffle-partitioned like any
+    other: nothing about case-insensitivity costs an extra pass at
+    100 TB. Mixed case is synthesized deterministically (even
+    event_ids upper-cased); the oracle is the lower()-rewrite twin —
+    identical groups by construction. The output key comes from the
+    LOWERCASE dim side (a collated group key's representative would be
+    nondeterministic); case_variants pins that the join genuinely
+    crossed case (2 variants per type, not 1)."""
+    e = load(spark, sf_dir, "events")
+    mixed = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    dim = e.select("event_type").distinct()
+    joined = mixed.join(
+        dim,
+        F.collate(F.col("et"), "UTF8_LCASE")
+        == F.collate(F.col("event_type"), "UTF8_LCASE"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("et").alias("case_variants"),
+    )

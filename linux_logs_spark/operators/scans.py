@@ -438,3 +438,81 @@ def table_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    "scan",
+    oracle="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source — Spark 4's built-in XML format (the donated
+    spark-xml), with an explicit schema and rowTag. Same roundtrip
+    contract as CSV/JSON: text-exact columns (ints, identifier-ish
+    strings, 2dp doubles — shortest-repr printing parses back
+    bit-identical). XML is row-tag-splittable, so at 100 TB the read
+    parallelizes per file like any text source; it exists for
+    interchange, not as a primary store (parquet remains that)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    path = _scratch(sf_dir, "part_xml")
+    p.write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml").option("rowTag", "part").schema(schema).load(path)
+    )
+
+
+_SYNTH_N = 20000
+# DuckDB replay of sources/synthetic.py's row formula: identical
+# 64-bit integer ops + one int/int double division, filter included
+# (the engine side pushes it INTO the source via pushFilters; the
+# oracle applies it relationally — same surviving rows either way).
+_SYNTH_ORACLE = f"""
+WITH g AS (
+  SELECT i AS row_id, (i * 2654435761) % 4294967296 AS h
+  FROM range({_SYNTH_N}) t(i)
+)
+SELECT row_id,
+       'host-' || lpad(CAST(h % 16 AS VARCHAR), 2, '0') AS host,
+       CASE ((h // 16) % 4) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+            WHEN 2 THEN 'error' ELSE 'debug' END AS severity,
+       (h % 100000) / 100.0 AS value
+FROM g
+WHERE row_id >= 5000 AND row_id < 15000
+"""
+
+
+@register("scan_python_datasource", "scan", oracle=_SYNTH_ORACLE)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+    end-to-end: register → read → filter. The row_id range predicate
+    is PUSHED INTO the source (SynthLogReader.pushFilters), so
+    partition planning narrows to the surviving [5000, 15000) slice
+    before any row is generated — generation cost tracks the filter,
+    the 100 TB property that separates a source from a post-filtered
+    scan. Partition pruning + the leave-unsupported-filters contract
+    are pinned by tests/test_plans.py. sf-independent by design (a
+    generator source has no backing files)."""
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    # Python-source pushdown is opt-in (SQL conf, default false);
+    # without it Spark refuses to plan a reader that implements
+    # pushFilters rather than silently skipping the pushdown.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthlog")
+        .option("n", str(_SYNTH_N))
+        .option("parts", "8")
+        .load()
+    )
+    return df.filter((F.col("row_id") >= 5000) & (F.col("row_id") < 15000))

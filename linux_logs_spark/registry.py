@@ -115,6 +115,8 @@ def _ensure_loaded() -> None:
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 187 queries, total 209.9 s, zero bad rows; round-7 final full 2-pass: 187 queries incl. q_recursive_cte
 # (graph_pagerank added after that refresh: subset 2-pass, cost 5.64 s under residual host load — conservative)
+# (round-7 continuation adds, subset 2-pass: scan_xml_roundtrip, scan_python_datasource, q_pipe_syntax,
+#  fn_sql_udf, fn_collation, stream_state_reader)
 _MEASURED_COST: dict[str, float] = {
     "agg_approx_distinct": 0.76, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.37, "agg_bool": 0.21,
     "agg_collect": 0.24, "agg_conditional_family": 0.44, "agg_count_distinct": 0.32, "agg_cube": 0.38,
@@ -131,6 +133,7 @@ _MEASURED_COST: dict[str, float] = {
     "fn_array_agg": 0.15, "fn_bitwise": 0.28, "fn_conditional": 0.38, "fn_datetime": 0.63,
     "fn_hash": 0.11, "fn_interval": 0.2, "fn_json": 0.25, "fn_map": 0.24,
     "fn_math": 0.16, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.14,
+    "fn_collation": 0.59, "fn_sql_udf": 0.36,
     "fn_string_extended": 0.15, "fn_trig": 0.16, "fn_url_parse": 0.14, "fn_variant": 0.16,
     "graph_pagerank": 5.64,
     "join_asof": 0.26, "join_broadcast": 0.31, "join_bucketed_colocated": 1.04, "join_cross": 0.11,
@@ -144,15 +147,18 @@ _MEASURED_COST: dict[str, float] = {
     "multimodal_frame_sample": 0.27, "multimodal_join": 0.18, "multimodal_resize": 0.29, "pack_sequences": 0.23,
     "part_copurchase": 0.74, "pipeline_corpus_prep": 0.55, "q_case_when": 0.28, "q_exists_correlated": 0.18,
     "q_filter_basic": 0.24, "q_filter_basic_sql": 0.24, "q_filter_in_between": 0.13, "q_filter_like": 0.11,
-    "q_lateral_topk": 0.31, "q_project": 1.27, "q_recursive_cte": 1.86, "q_subquery_scalar": 0.23,
+    "q_lateral_topk": 0.31, "q_pipe_syntax": 0.27, "q_project": 1.27, "q_recursive_cte": 1.86,
+    "q_subquery_scalar": 0.23,
     "sample_stratified": 0.22, "scan_apache_log": 0.35, "scan_binary_files": 0.16, "scan_csv_malformed": 0.24,
     "scan_csv_roundtrip": 0.41, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.27, "scan_parquet": 0.06,
+    "scan_python_datasource": 0.97, "scan_xml_roundtrip": 0.41,
     "scan_text_parse": 0.28, "scd2_merge": 0.19, "sessionize": 0.44, "set_except": 0.2,
     "set_intersect": 0.25, "set_union_all": 0.18, "set_union_distinct": 0.22, "shuffle_shard": 0.22,
     "sim_ann_ivf": 1.39, "sim_ann_lsh": 1.03, "sim_cosine_blocked": 0.43, "sim_cosine_topk": 1.1,
     "sim_knn_label": 0.57, "sink_parquet_partitioned": 0.94, "sort_multi": 0.49, "split_train_holdout": 0.1,
     "stream_custom_state": 0.92, "stream_dedup": 1.06, "stream_foreach_batch": 0.71, "stream_session": 1.09,
-    "stream_sliding": 1.04, "stream_static_join": 0.85, "stream_stream_join": 2.88, "stream_text_tail": 1.05,
+    "stream_sliding": 1.04, "stream_state_reader": 0.38, "stream_static_join": 0.85,
+    "stream_stream_join": 2.88, "stream_text_tail": 1.05,
     "stream_transform_with_state": 0.87, "stream_tumbling": 1.04, "stream_watermark_late": 1.35, "table_column_stats": 0.64,
     "table_optimize_compact": 0.8, "table_time_travel": 0.33, "text_fingerprint": 0.3, "text_lang_id": 0.24,
     "text_lang_stats": 0.27, "text_ngram_topk": 0.48, "text_perplexity": 0.76, "text_quality_score": 0.19,

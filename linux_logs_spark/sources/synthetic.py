@@ -1,0 +1,123 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+A deterministic synthetic-log generator registered as a first-class
+``spark.read.format("synthlog")`` source — the engine's demonstration
+that a NEW source plugs into Catalyst from pure Python: schema
+declaration, options, partition planning, and FILTER PUSHDOWN all
+happen source-side, so a predicate on the generator key prunes whole
+partitions before a single row is produced.
+
+Scale shape: ``partitions()`` splits the (filter-narrowed) key range
+into ``parts`` contiguous slices, one task each — generation is
+embarrassingly parallel and the planned work is proportional to the
+SURVIVING range, not the nominal one (pushFilters narrows [lo, hi)
+for >=, >, <, <=, = on row_id and keeps every other predicate for
+Spark to re-apply). On a 1000-executor cluster the same source
+generates 10^12 rows by raising ``parts``; no driver materialization
+anywhere. The row formula is pure 64-bit integer arithmetic + one
+IEEE double division, so a SQL engine (DuckDB) replays it exactly —
+which is what makes the source hash-oracle-able.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+# Weyl-style multiplicative mix: i * K mod 2^32 is full-period on the
+# odd constant and stays < 2^46 for i < 10^5.5, far inside int64 — the
+# same expression evaluates exactly in Python, Spark SQL and DuckDB.
+_MIX = 2654435761
+_MOD = 4294967296
+SEVERITIES = ("info", "warn", "error", "debug")
+
+
+class RangeSlice(InputPartition):
+    """One contiguous [start, end) slice of the generator key space."""
+
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.parts = int(options.get("parts", 8))
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        """Narrow [lo, hi) from row_id range predicates; yield back
+        (= leave to Spark) everything else. Accepting a filter here is
+        a CORRECTNESS contract — only exact range algebra is taken."""
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col == "row_id" and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                else:  # EqualTo
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        if span == 0:
+            # Spark requires >= 1 partition; an empty slice yields no rows.
+            return [RangeSlice(lo, lo)]
+        parts = min(self.parts, span)
+        step = -(-span // parts)  # ceil
+        return [
+            RangeSlice(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: RangeSlice):
+        for i in range(partition.start, partition.end):
+            h = (i * _MIX) % _MOD
+            yield (
+                i,
+                f"host-{h % 16:02d}",
+                SEVERITIES[(h >> 4) % 4],
+                (h % 100000) / 100.0,
+            )
+
+
+class SynthLogDataSource(DataSource):
+    """``format("synthlog")``: options n (row count), parts (tasks)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthlog"
+
+    def schema(self) -> str:
+        return "row_id bigint, host string, severity string, value double"
+
+    def reader(self, schema) -> SynthLogReader:
+        return SynthLogReader(self.options)
+
+
+def register_synthlog(spark) -> None:
+    """Idempotent per-session registration (re-register replaces)."""
+    spark.dataSource.register(SynthLogDataSource)

@@ -665,3 +665,71 @@ def stream_text_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(spark, agg, "complete")
+
+
+@register(
+    "stream_state_reader",
+    "streaming",
+    oracle="""
+SELECT event_type, user_id % 50 AS user_bucket, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store data source (Spark 4 ``format("statestore")``):
+    run a stateful availableNow aggregation with a durable checkpoint,
+    then read the OPERATOR STATE back as a batch DataFrame — the
+    operational surface for inspecting / repairing / migrating the
+    state behind a 100 TB streaming job without replaying its input
+    (state files are read directly, partition-parallel, one task per
+    state-store shard). Under the single-micro-batch staging
+    invariant the final count state ≡ the batch GROUP BY, which is
+    what makes this hash-oracle-able.
+
+    Checkpoint lifecycle: streaming file sources track inputs BY PATH
+    — a regenerated events.parquet at the same path would be silently
+    ignored by an old checkpoint and the state read would serve stale
+    counts. The checkpoint dir is therefore keyed by (size, mtime) of
+    the source file plus the state-store provider class (HDFS vs
+    RocksDB checkpoints are not interchangeable), and stale siblings
+    are pruned."""
+    import shutil
+
+    from linux_logs_spark.operators.scans import _scratch
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "hdfs"
+    ).rsplit(".", 1)[-1]
+    tag = f"{st.st_size}_{int(st.st_mtime)}_{provider}"
+    root = _scratch(sf_dir, os.path.join("state_ckpt", tag))
+    for sib in os.listdir(os.path.dirname(root)):
+        if sib != tag:
+            shutil.rmtree(os.path.join(os.path.dirname(root), sib), ignore_errors=True)
+
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.select("event_type", (F.col("user_id") % 50).alias("user_bucket"))
+        .groupBy("event_type", "user_bucket")
+        .count()
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", root)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(root)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("key.user_bucket").alias("user_bucket"),
+        F.col("value.count").alias("n"),
+    )

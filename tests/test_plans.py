@@ -629,3 +629,62 @@ def test_q_recursive_cte_plans_union_loop(spark, sf_dir):
     # no parquet scan and no window re-computation at all
     assert "parquet" not in plan.lower(), plan
     assert "Window" not in plan, plan
+
+
+def test_synthlog_pushdown_prunes_partitions():
+    """The Python DataSource's pushFilters must narrow the planned key
+    range (partition pruning at the source) and hand every unsupported
+    predicate back to Spark — accepting one it can't honor would drop
+    rows silently."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from linux_logs_spark.sources.synthetic import SynthLogReader
+
+    r = SynthLogReader({"n": "20000", "parts": "8"})
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("row_id",), 5000),
+                LessThan(("row_id",), 15000),
+                StringStartsWith(("host",), "host-0"),  # not range algebra
+                EqualTo(("severity",), "info"),  # wrong column
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (5000, 15000)
+    assert len(unsupported) == 2, unsupported
+    parts = r.partitions()
+    assert len(parts) == 8
+    assert parts[0].start == 5000 and parts[-1].end == 15000
+    assert sum(p.end - p.start for p in parts) == 10000
+
+
+def test_synthlog_empty_range_yields_no_rows(spark):
+    """A filter that empties the range still plans (>=1 partition) and
+    returns zero rows — the degenerate slice must not crash."""
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthlog")
+        .option("n", "100")
+        .load()
+        .filter("row_id >= 200")
+    )
+    assert df.count() == 0
+
+
+def test_state_reader_warm_checkpoint_stable(spark, sf_dir):
+    """Second invocation reuses the committed checkpoint (availableNow
+    with no new files commits nothing) and must read back the same
+    state — the inspect-without-replay property the source exists for."""
+    fn = _Q["stream_state_reader"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

@@ -157,6 +157,7 @@ _MEASURED_COST: dict[str, float] = {
     "sim_ann_ivf": 1.39, "sim_ann_lsh": 1.03, "sim_cosine_blocked": 0.43, "sim_cosine_topk": 1.1,
     "sim_knn_label": 0.57, "sink_parquet_partitioned": 0.94, "sort_multi": 0.49, "split_train_holdout": 0.1,
     "stream_custom_state": 0.92, "stream_dedup": 1.06, "stream_foreach_batch": 0.71, "stream_session": 1.09,
+    "stream_python_source": 4.12,
     "stream_sliding": 1.04, "stream_state_reader": 0.38, "stream_static_join": 0.85,
     "stream_stream_join": 2.88, "stream_text_tail": 1.05,
     "stream_transform_with_state": 0.87, "stream_tumbling": 1.04, "stream_watermark_late": 1.35, "table_column_stats": 0.64,

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 # Weyl-style multiplicative mix: i * K mod 2^32 is full-period on the
@@ -41,6 +42,19 @@ from pyspark.sql.datasource import (
 _MIX = 2654435761
 _MOD = 4294967296
 SEVERITIES = ("info", "warn", "error", "debug")
+
+
+def _row(i: int) -> tuple:
+    """ONE row formula, shared by the batch and stream readers (and
+    replayed textually by the DuckDB oracles in operators/scans.py and
+    streaming/queries.py)."""
+    h = (i * _MIX) % _MOD
+    return (
+        i,
+        f"host-{h % 16:02d}",
+        SEVERITIES[(h >> 4) % 4],
+        (h % 100000) / 100.0,
+    )
 
 
 class RangeSlice(InputPartition):
@@ -95,13 +109,32 @@ class SynthLogReader(DataSourceReader):
 
     def read(self, partition: RangeSlice):
         for i in range(partition.start, partition.end):
-            h = (i * _MIX) % _MOD
-            yield (
-                i,
-                f"host-{h % 16:02d}",
-                SEVERITIES[(h >> 4) % 4],
-                (h % 100000) / 100.0,
-            )
+            yield _row(i)
+
+
+class SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same key space: each trigger emits
+    the next ``batch`` keys until ``n`` is exhausted. Offsets are the
+    plain key position, so replay (readBetweenOffsets) is exact by
+    construction. read() returns a LIST, not a generator — Spark's
+    prefetch cache copy.copy()s the entries, and this reader's contract
+    (per its docs) is the low-throughput driver-side path anyway; the
+    partition-parallel batch reader above is the volume path."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.batch = int(options.get("batch", 5000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        s = start["pos"]
+        e = min(s + self.batch, self.n)
+        return ([_row(i) for i in range(s, e)], {"pos": e})
+
+    def readBetweenOffsets(self, start, end):
+        return [_row(i) for i in range(start["pos"], end["pos"])]
 
 
 class SynthLogDataSource(DataSource):
@@ -116,6 +149,9 @@ class SynthLogDataSource(DataSource):
 
     def reader(self, schema) -> SynthLogReader:
         return SynthLogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthLogStreamReader:
+        return SynthLogStreamReader(self.options)
 
 
 def register_synthlog(spark) -> None:

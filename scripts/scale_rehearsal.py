@@ -65,11 +65,15 @@ HEAVY = [
     # state ∝ |parts|; the 10x leg measures that the chained-shuffle
     # loop scales linearly with the edge volume, no knobs to raise.
     "graph_pagerank",
+    # materialized-rollup REFRESH: warm-first materializes the closed-
+    # hours base untimed, so the measured pass is the incremental
+    # refresh itself — the O(delta)+O(rollup) claim, at 10x events.
+    "log_rollup_incremental",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
 # writes) — run once untimed before the measured pass (round-7 review).
-WARM_FIRST = {"join_bucketed_colocated", "graph_pagerank"}
+WARM_FIRST = {"join_bucketed_colocated", "graph_pagerank", "log_rollup_incremental"}
 
 # knob → 10× value, each the documented scale-up move for its family:
 # - blocked-cosine blocks scale ~√10 so per-task memory (one pair

@@ -612,6 +612,47 @@ def log_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _footer_max_day_s(path: str) -> int:
+    """Epoch seconds of the UTC day containing the newest ts, read from
+    the parquet footer's column statistics — zero Spark jobs. Stats are
+    µs-truncated, which can only LOWER the boundary by one day in the
+    measure-zero exactly-midnight case; a lower cutoff just enlarges
+    the open tail (correctness is cutoff-independent — the merge covers
+    everything either way). Raises if any row group lacks stats — a
+    silent full-scan fallback would quietly void the operator's whole
+    cost contract."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    mx = None
+    for fp in files:
+        f = pq.ParquetFile(fp)
+        idx = f.schema_arrow.get_field_index("ts")
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mx = None
+                break
+            mx = st.max if mx is None or st.max > mx else mx
+        if mx is None:
+            break
+    if mx is None:
+        raise RuntimeError(f"parquet ts statistics missing for {path}")
+    if isinstance(mx, int):  # raw epoch-nanos physical type
+        mx = datetime.datetime.fromtimestamp(mx / 1e9, datetime.timezone.utc)
+    if mx.tzinfo is None:
+        mx = mx.replace(tzinfo=datetime.timezone.utc)
+    day = mx.replace(hour=0, minute=0, second=0, microsecond=0)
+    return int(day.timestamp())
+
+
 @register(
     "log_rollup_incremental",
     "log",
@@ -631,29 +672,49 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail and merges partials. Merge-correctness is the whole design:
     counts add, and the stored partial sums stay DECIMAL(25,2) so the
     merge is exact decimal addition — merged result ≡ one global
-    aggregate, bit-for-bit, which the oracle states directly. Per
-    refresh the work is O(delta) + O(|rollup|), never a full-log
-    rescan; the stored rollup is fingerprint-keyed (dir-aware, ns
-    mtime) so regenerated source data always rebuilds it."""
+    aggregate, bit-for-bit, which the oracle states directly.
+
+    Refresh cost is O(delta) + O(|rollup|) FOR REAL, not just in
+    prose (round-7 review caught the first version full-scanning
+    twice): the open/closed cutoff comes from the parquet FOOTER's ts
+    statistics (zero Spark jobs — the table_row_count trick applied to
+    max), and the delta filter lands on the RAW ts column BEFORE any
+    conversion, so it pushes into the scan and prunes closed row
+    groups by their min/max stats (plan-pinned: PushedFilters carries
+    ts). On a real dt-partitioned 100 TB log the same predicate is a
+    partition prune. The stored rollup is fingerprint-keyed
+    (dir-aware, ns mtime) so regenerated source data always rebuilds."""
     import os
 
-    from linux_logs_spark.catalog import dataset_fingerprint, table_path
+    from linux_logs_spark.catalog import (
+        dataset_fingerprint,
+        nanos_ts_to_micros,
+        table_path,
+    )
     from linux_logs_spark.operators.scans import _scratch
 
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
-        "value",
-        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
-    )
-    # deterministic open/closed boundary: the newest day is "open"
-    cutoff = e.agg(F.max("day_s")).first()[0]
-    size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "events"))
+    load(spark, sf_dir, "events")  # side effect: session confs (UTC, nanosAsLong)
+    path = table_path(sf_dir, "events")
+    cutoff_day_s = _footer_max_day_s(path)
+    raw = spark.read.parquet(path)
+    # the raw column is epoch-nanos BIGINT (driver testdata) or a real
+    # timestamp (rehearsal data) — build the pushable literal to match
+    if dict(raw.dtypes).get("ts") == "bigint":
+        cut = F.lit(cutoff_day_s * 1_000_000_000)
+    else:
+        cut = F.timestamp_seconds(F.lit(cutoff_day_s))
+
+    size, mtime_ns = dataset_fingerprint(path)
     base_dir = _scratch(sf_dir, "rollup_hourly")
-    base_path = os.path.join(base_dir, f"{size}_{mtime_ns}_{cutoff}")
+    base_path = os.path.join(base_dir, f"{size}_{mtime_ns}_{cutoff_day_s}")
 
     def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", "hour_s").agg(
+        hourly = nanos_ts_to_micros(df).select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+            "value",
+        )
+        return hourly.groupBy("event_type", "hour_s").agg(
             F.count("*").alias("n"),
             F.sum(dec("value", 2)).alias("value_dec"),  # STAYS decimal
         )
@@ -667,9 +728,9 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(base_dir):
             for sib in os.listdir(base_dir):
                 shutil.rmtree(os.path.join(base_dir, sib), ignore_errors=True)
-        partial(e.filter(F.col("day_s") < cutoff)).write.parquet(base_path)
+        partial(raw.filter(F.col("ts") < cut)).write.parquet(base_path)
     base = spark.read.parquet(base_path)
-    delta = partial(e.filter(F.col("day_s") >= cutoff))
+    delta = partial(raw.filter(F.col("ts") >= cut))
     return (
         base.unionByName(delta)
         .groupBy("event_type", "hour_s")

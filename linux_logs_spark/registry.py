@@ -114,8 +114,7 @@ def _ensure_loaded() -> None:
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 198 queries, total 418.7 s, zero bad rows; round-7 continuation: 198 queries, one clean full 2-pass (sum cost 133.6 s)
-# (graph_pagerank added after that refresh: subset 2-pass, cost 5.64 s under residual host load — conservative)
-# (log_rollup_incremental 1.35 / dq_expectations 0.76 added after that refresh: subset 2-pass)
+# (log_rollup_incremental 0.84 [post-pushdown-rewrite] / dq_expectations 0.76 added after that refresh: subset 2-pass)
 _MEASURED_COST: dict[str, float] = {
     "agg_approx_distinct": 0.97, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.39, "agg_bool": 0.32,
     "agg_collect": 0.3, "agg_conditional_family": 0.62, "agg_count_distinct": 0.31, "agg_cube": 0.53,
@@ -139,7 +138,7 @@ _MEASURED_COST: dict[str, float] = {
     "join_left_semi": 0.2, "join_null_safe": 0.5, "join_range_binned": 0.71, "join_self_multi": 0.33,
     "join_skew_salted": 0.41, "join_theta_range": 0.18, "limit_topk": 0.16, "log_anomaly_zscore": 0.52,
     "log_burst_detect": 0.4, "log_corr_matrix": 1.13, "log_error_rate_hourly": 0.3, "log_error_rate_hourly_sql": 0.4,
-    "log_event_transitions": 0.38, "log_gap_fill": 0.5, "log_retention_cohorts": 0.53, "log_rollup_incremental": 1.35, "log_rollup_multires": 1.12,
+    "log_event_transitions": 0.38, "log_gap_fill": 0.5, "log_retention_cohorts": 0.53, "log_rollup_incremental": 0.84, "log_rollup_multires": 1.12,
     "log_search": 0.26, "log_seasonality_profile": 0.39, "log_slo_burn": 0.56, "log_top_services": 0.2,
     "log_type_hour_matrix": 0.43, "log_user_funnel": 0.41, "multimodal_features": 0.48, "multimodal_frame_sample": 0.33,
     "multimodal_join": 0.25, "multimodal_resize": 0.42, "obs_metrics": 0.91, "pack_sequences": 0.32,

@@ -727,6 +727,15 @@ def test_rollup_incremental_reuses_materialized_base(spark, sf_dir):
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
     assert os.stat(markers[0]).st_mtime_ns == mtime_first, "base was rewritten"
+    # the refresh's delta scan must push the cutoff predicate into the
+    # parquet scan (row-group pruning — the O(delta) claim's witness);
+    # the cutoff itself comes from footer stats, zero jobs
+    plan = plan_string(fn(spark, sf_dir))
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "GreaterThanOrEqual(ts" in ln
+    ]
+    assert pushed, plan
 
 
 def test_dq_expectations_single_scan_and_gated_join(spark, sf_dir):

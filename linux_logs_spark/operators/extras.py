@@ -572,3 +572,42 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checks.unionByName(orphans)
+
+
+# ONE template: the engine binds :tbl/:qmin as real parameters, the
+# oracle inlines the same literals textually (DuckDB has no named-
+# parameter surface in this harness).
+_PARAM_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       {dsum} AS qty_sum
+FROM {tbl}
+WHERE l_quantity >= {qmin}
+GROUP BY l_returnflag
+"""
+_PARAM_QMIN = 30.0
+
+
+@register(
+    "q_parameterized_sql",
+    "relational",
+    oracle=_PARAM_SQL.format(
+        dsum=oracle_dsum("l_quantity", 2), tbl="lineitem", qmin=_PARAM_QMIN
+    ),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers +
+    ``IDENTIFIER()``): the injection-safe way to template a query over
+    a dynamic table name and threshold — parameters bind as typed
+    literals in the ANALYZER, never by string concatenation, so a
+    hostile value cannot change the statement's shape. Identical plan
+    to the static text (constant-folded the same way); the oracle IS
+    that static text from the shared template."""
+    from linux_logs_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        _PARAM_SQL.format(
+            dsum=oracle_dsum("l_quantity", 2), tbl="IDENTIFIER(:tbl)", qmin=":qmin"
+        ),
+        args={"tbl": "lineitem", "qmin": _PARAM_QMIN},
+    )

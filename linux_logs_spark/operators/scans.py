@@ -523,3 +523,28 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter((F.col("row_id") >= 5000) & (F.col("row_id") < 15000))
+
+
+@register(
+    "sink_parquet_rebalanced",
+    "scan",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+)
+def sink_parquet_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof partitioned sink via the REBALANCE hint: a plain
+    ``partitionBy(event_type)`` write shuffles nothing, so each input
+    task writes one file per partition value it happens to hold —
+    at 100 TB that is thousands of small files per directory AND a
+    giant-file hazard for hot keys. ``hint("rebalance", key)`` inserts
+    an AQE-managed exchange that SPLITS skewed key groups across
+    several tasks and coalesces tiny ones toward the target advisory
+    size, so output file sizes track data volume, not task layout —
+    the write-side twin of the AQE skew-join. The read-back aggregate
+    is the correctness contract (rebalancing must move rows, never
+    lose/duplicate them); the exchange is plan-pinned."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    hinted = e.hint("rebalance", "event_type")
+    path = _scratch(sf_dir, "events_rebalanced")
+    hinted.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))

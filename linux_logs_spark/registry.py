@@ -114,7 +114,8 @@ def _ensure_loaded() -> None:
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 198 queries, total 418.7 s, zero bad rows; round-7 continuation: 198 queries, one clean full 2-pass (sum cost 133.6 s)
-# (log_rollup_incremental 0.84 [post-pushdown-rewrite] / dq_expectations 0.76 added after that refresh: subset 2-pass)
+# (log_rollup_incremental 0.84 [post-pushdown-rewrite] / dq_expectations 0.76 / q_parameterized_sql 1.86 /
+#  sink_parquet_rebalanced 3.51 added after that refresh: subset 2-pass)
 _MEASURED_COST: dict[str, float] = {
     "agg_approx_distinct": 0.97, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.39, "agg_bool": 0.32,
     "agg_collect": 0.3, "agg_conditional_family": 0.62, "agg_count_distinct": 0.31, "agg_cube": 0.53,
@@ -144,10 +145,10 @@ _MEASURED_COST: dict[str, float] = {
     "multimodal_join": 0.25, "multimodal_resize": 0.42, "obs_metrics": 0.91, "pack_sequences": 0.32,
     "part_copurchase": 0.88, "pipeline_corpus_prep": 0.84, "q_case_when": 0.4, "q_exists_correlated": 0.26,
     "q_filter_basic": 0.26, "q_filter_basic_sql": 0.47, "q_filter_in_between": 0.18, "q_filter_like": 0.19,
-    "q_lateral_topk": 0.36, "q_pipe_syntax": 0.26, "q_project": 1.4, "q_recursive_cte": 1.35,
+    "q_lateral_topk": 0.36, "q_parameterized_sql": 1.86, "q_pipe_syntax": 0.26, "q_project": 1.4, "q_recursive_cte": 1.35,
     "q_subquery_scalar": 0.29, "sample_stratified": 0.28, "scan_apache_log": 0.45, "scan_binary_files": 0.31,
     "scan_csv_malformed": 0.34, "scan_csv_roundtrip": 0.47, "scan_json_lines": 0.24, "scan_orc_roundtrip": 0.28,
-    "scan_parquet": 0.14, "scan_python_datasource": 1.05, "scan_text_parse": 0.49, "scan_xml_roundtrip": 0.36,
+    "scan_parquet": 0.14, "sink_parquet_rebalanced": 3.51, "scan_python_datasource": 1.05, "scan_text_parse": 0.49, "scan_xml_roundtrip": 0.36,
     "scd2_merge": 0.28, "sessionize": 0.53, "set_except": 0.23, "set_intersect": 0.26,
     "set_union_all": 0.27, "set_union_distinct": 0.31, "shuffle_shard": 0.25, "sim_ann_ivf": 1.44,
     "sim_ann_lsh": 1.08, "sim_cosine_blocked": 0.42, "sim_cosine_topk": 1.82, "sim_knn_label": 1.69,

@@ -745,3 +745,14 @@ def test_dq_expectations_single_scan_and_gated_join(spark, sf_dir):
     plan = plan_string(_Q["dq_expectations"].fn(spark, sf_dir))
     assert plan.count("orders.parquet") == 2, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_rebalanced_sink_plans_rebalance_exchange(spark, sf_dir):
+    """The hinted pre-write frame must carry an AQE-managed rebalance
+    exchange (REBALANCE_PARTITIONS_BY_COL) — without it the partitioned
+    write degenerates to one file per (task, key) pair."""
+    from linux_logs_spark.catalog import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    plan = plan_string(e.hint("rebalance", "event_type"))
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan

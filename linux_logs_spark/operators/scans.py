@@ -525,6 +525,13 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter((F.col("row_id") >= 5000) & (F.col("row_id") < 15000))
 
 
+def _rebalanced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hinted pre-write frame — shared by the operator and its
+    plan pin so the hint cannot silently disappear from one of them."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.hint("rebalance", "event_type")
+
+
 @register(
     "sink_parquet_rebalanced",
     "scan",
@@ -541,9 +548,11 @@ def sink_parquet_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, so output file sizes track data volume, not task layout —
     the write-side twin of the AQE skew-join. The read-back aggregate
     is the correctness contract (rebalancing must move rows, never
-    lose/duplicate them); the exchange is plan-pinned."""
-    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    hinted = e.hint("rebalance", "event_type")
+    lose/duplicate them); the exchange is plan-pinned on the SHARED
+    pre-write frame (_rebalanced_events — the returned read-back can't
+    show it, and an inline rebuild in the test would let the operator
+    drop the hint unnoticed, round-7 review)."""
+    hinted = _rebalanced_events(spark, sf_dir)
     path = _scratch(sf_dir, "events_rebalanced")
     hinted.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path)

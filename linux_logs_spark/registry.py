@@ -148,11 +148,12 @@ _MEASURED_COST: dict[str, float] = {
     "q_lateral_topk": 0.36, "q_parameterized_sql": 1.86, "q_pipe_syntax": 0.26, "q_project": 1.4, "q_recursive_cte": 1.35,
     "q_subquery_scalar": 0.29, "sample_stratified": 0.28, "scan_apache_log": 0.45, "scan_binary_files": 0.31,
     "scan_csv_malformed": 0.34, "scan_csv_roundtrip": 0.47, "scan_json_lines": 0.24, "scan_orc_roundtrip": 0.28,
-    "scan_parquet": 0.14, "sink_parquet_rebalanced": 3.51, "scan_python_datasource": 1.05, "scan_text_parse": 0.49, "scan_xml_roundtrip": 0.36,
+    "scan_parquet": 0.14, "scan_python_datasource": 1.05, "scan_text_parse": 0.49, "scan_xml_roundtrip": 0.36,
     "scd2_merge": 0.28, "sessionize": 0.53, "set_except": 0.23, "set_intersect": 0.26,
     "set_union_all": 0.27, "set_union_distinct": 0.31, "shuffle_shard": 0.25, "sim_ann_ivf": 1.44,
     "sim_ann_lsh": 1.08, "sim_cosine_blocked": 0.42, "sim_cosine_topk": 1.82, "sim_knn_label": 1.69,
-    "sink_parquet_partitioned": 1.11, "sort_multi": 0.48, "split_train_holdout": 0.15, "stream_custom_state": 1.07,
+    "sink_parquet_partitioned": 1.11, "sink_parquet_rebalanced": 3.51, "sort_multi": 0.48,
+    "split_train_holdout": 0.15, "stream_custom_state": 1.07,
     "stream_dedup": 2.45, "stream_foreach_batch": 0.86, "stream_python_source": 4.9, "stream_session": 1.22,
     "stream_sliding": 1.26, "stream_state_reader": 0.3, "stream_static_join": 1.26, "stream_stream_join": 2.63,
     "stream_text_tail": 1.14, "stream_transform_with_state": 1.31, "stream_tumbling": 1.63, "stream_watermark_late": 1.33,

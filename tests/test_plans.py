@@ -750,9 +750,10 @@ def test_dq_expectations_single_scan_and_gated_join(spark, sf_dir):
 def test_rebalanced_sink_plans_rebalance_exchange(spark, sf_dir):
     """The hinted pre-write frame must carry an AQE-managed rebalance
     exchange (REBALANCE_PARTITIONS_BY_COL) — without it the partitioned
-    write degenerates to one file per (task, key) pair."""
-    from linux_logs_spark.catalog import load
+    write degenerates to one file per (task, key) pair. Pins the
+    OPERATOR'S OWN shared frame, not an inline rebuild (an inline copy
+    would stay green if the operator dropped the hint)."""
+    from linux_logs_spark.operators.scans import _rebalanced_events
 
-    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    plan = plan_string(e.hint("rebalance", "event_type"))
+    plan = plan_string(_rebalanced_events(spark, sf_dir))
     assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan

@@ -519,3 +519,70 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w_user", "w_start")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "join_partition_pruned",
+    "join",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS dt,
+       count(*) AS n
+FROM events
+WHERE date_part('dow', date_trunc('day', ts)) = 1
+GROUP BY 1
+""",
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the optimization that makes
+    dim-filtered fact queries cheap on a partitioned 100 TB store:
+    the fact side has NO static predicate (the filter lives on the
+    dim's NON-join column, here day-of-week), so ordinary pushdown
+    can't help; Spark instead evaluates the dim subquery first and
+    injects its dt set into the fact scan's PartitionFilters at
+    runtime (plan-pinned: ``dynamicpruningexpression``), reading ~1/7
+    of the partitions instead of all of them. Both sides are staged
+    parquet keyed by the source fingerprint (DPP needs a real
+    partitioned file scan — a LocalRelation dim never triggers it).
+    The oracle replays the semantic filter directly (Spark
+    dayofweek()==2 ≡ DuckDB dow==1 ≡ Monday)."""
+    import os
+
+    from linux_logs_spark.catalog import dataset_fingerprint, table_path
+    from linux_logs_spark.operators.scans import _scratch
+
+    e = load(spark, sf_dir, "events")
+    size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "events"))
+    tag = f"{size}_{mtime_ns}"
+    # _scratch on the JOINED path creates the parent (dpp_fact/) so the
+    # stale-sibling listdir below works on the very first run
+    fact_path = _scratch(sf_dir, os.path.join("dpp_fact", tag))
+    dim_path = _scratch(sf_dir, os.path.join("dpp_dim", tag))
+    for path, build in (
+        (
+            fact_path,
+            lambda: e.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+            .select("event_id", "dt")
+            .write.partitionBy("dt"),
+        ),
+        (
+            dim_path,
+            lambda: e.select(F.date_trunc("day", "ts").cast("date").alias("dt"))
+            .distinct()
+            .withColumn("dow", F.dayofweek("dt"))
+            .write,
+        ),
+    ):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            import shutil
+
+            for sib in os.listdir(os.path.dirname(path)):
+                shutil.rmtree(
+                    os.path.join(os.path.dirname(path), sib), ignore_errors=True
+                )
+            build().parquet(path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("dow") == 2)  # Monday
+    joined = fact.join(dim.select("dt"), "dt")
+    return joined.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n")
+    )

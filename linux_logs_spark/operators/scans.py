@@ -557,3 +557,40 @@ def sink_parquet_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     hinted.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "scan_text_gzip",
+    "scan",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped key=value log ingest — the two facts of life of real
+    log feeds in one query. (1) Compression: the sink writes .txt.gz
+    and the source decompresses transparently — but gzip is NOT
+    SPLITTABLE, so each file is one task regardless of size; at 100 TB
+    the layout answer is many medium gz files (the upstream shippers'
+    natural output) or a splittable codec, never one giant archive.
+    (2) Parsing: ``str_to_map(value, ' ', '=')`` is the codegen'd
+    k=v-pairs parser (the OTHER canonical log format next to syslog's
+    positional regex). The roundtrip is print→parse identity on every
+    column (ints, enum strings, shortest-repr doubles), so the oracle
+    is the base projection."""
+    e = load(spark, sf_dir, "events")
+    lines = e.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("id="), F.col("event_id")),
+            F.concat(F.lit("type="), F.col("event_type")),
+            F.concat(F.lit("value="), F.col("value").cast("string")),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "events_kv_gz")
+    lines.write.mode("overwrite").option("compression", "gzip").text(path)
+    raw = spark.read.text(path)
+    m = F.expr("str_to_map(value, ' ', '=')")
+    return raw.select(
+        m["id"].cast("long").alias("event_id"),
+        m["type"].alias("event_type"),
+        m["value"].cast("double").alias("value"),
+    )

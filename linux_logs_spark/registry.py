@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 202 queries, total 276.0 s, zero bad rows; round-7 close: 202 queries, quiet-window full 2-pass (sum cost 102.6 s)
+# (scan_text_gzip 1.52 / join_partition_pruned 1.45 added after that refresh: subset 2-pass)
 _MEASURED_COST: dict[str, float] = {
     "agg_approx_distinct": 0.82, "agg_approx_percentile": 0.19, "agg_bitmap_distinct": 0.37, "agg_bool": 0.24,
     "agg_collect": 0.24, "agg_conditional_family": 0.45, "agg_count_distinct": 0.27, "agg_cube": 0.36,
@@ -134,7 +135,7 @@ _MEASURED_COST: dict[str, float] = {
     "fn_trig": 0.19, "fn_url_parse": 0.13, "fn_variant": 0.17, "graph_pagerank": 4.25,
     "join_asof": 0.25, "join_broadcast": 0.31, "join_bucketed_colocated": 0.88, "join_cross": 0.11,
     "join_full_outer": 0.34, "join_inner_equi": 0.41, "join_inner_equi_sql": 0.44, "join_left_anti": 0.12,
-    "join_left_outer": 0.31, "join_left_semi": 0.18, "join_null_safe": 0.36, "join_range_binned": 0.47,
+    "join_left_outer": 0.31, "join_left_semi": 0.18, "join_null_safe": 0.36, "join_partition_pruned": 1.45, "join_range_binned": 0.47,
     "join_self_multi": 0.25, "join_skew_salted": 0.37, "join_theta_range": 0.15, "limit_topk": 0.11,
     "log_anomaly_zscore": 0.31, "log_burst_detect": 0.32, "log_corr_matrix": 0.45, "log_error_rate_hourly": 0.23,
     "log_error_rate_hourly_sql": 0.21, "log_event_transitions": 0.29, "log_gap_fill": 0.41, "log_retention_cohorts": 0.33,
@@ -147,7 +148,8 @@ _MEASURED_COST: dict[str, float] = {
     "q_pipe_syntax": 0.23, "q_project": 1.23, "q_recursive_cte": 1.24, "q_subquery_scalar": 0.2,
     "sample_stratified": 0.24, "scan_apache_log": 0.39, "scan_binary_files": 0.15, "scan_csv_malformed": 0.26,
     "scan_csv_roundtrip": 0.31, "scan_json_lines": 0.17, "scan_orc_roundtrip": 0.2, "scan_parquet": 0.05,
-    "scan_python_datasource": 1.4, "scan_text_parse": 0.3, "scan_xml_roundtrip": 0.33, "scd2_merge": 0.19,
+    "scan_python_datasource": 1.4, "scan_text_gzip": 1.52, "scan_text_parse": 0.3,
+    "scan_xml_roundtrip": 0.33, "scd2_merge": 0.19,
     "sessionize": 0.44, "set_except": 0.16, "set_intersect": 0.24, "set_union_all": 0.2,
     "set_union_distinct": 0.17, "shuffle_shard": 0.21, "sim_ann_ivf": 1.25, "sim_ann_lsh": 1.09,
     "sim_cosine_blocked": 0.37, "sim_cosine_topk": 1.13, "sim_knn_label": 0.52, "sink_parquet_partitioned": 0.82,

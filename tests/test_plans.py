@@ -757,3 +757,13 @@ def test_rebalanced_sink_plans_rebalance_exchange(spark, sf_dir):
 
     plan = plan_string(_rebalanced_events(spark, sf_dir))
     assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
+
+
+def test_join_partition_pruned_injects_dpp(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression partition
+    filter (runtime dt-set injection from the dim subquery) and NO
+    static dt predicate — static pushdown can't see through the dim's
+    non-join-column filter, which is the point of the query."""
+    plan = plan_string(_Q["join_partition_pruned"].fn(spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruningexpression" in ln for ln in pf), plan

@@ -545,41 +545,35 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned file scan — a LocalRelation dim never triggers it).
     The oracle replays the semantic filter directly (Spark
     dayofweek()==2 ≡ DuckDB dow==1 ≡ Monday)."""
-    import os
-
     from linux_logs_spark.catalog import dataset_fingerprint, table_path
-    from linux_logs_spark.operators.scans import _scratch
+    from linux_logs_spark.operators.scans import staged_dataset
 
     e = load(spark, sf_dir, "events")
     size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "events"))
     tag = f"{size}_{mtime_ns}"
-    # _scratch on the JOINED path creates the parent (dpp_fact/) so the
-    # stale-sibling listdir below works on the very first run
-    fact_path = _scratch(sf_dir, os.path.join("dpp_fact", tag))
-    dim_path = _scratch(sf_dir, os.path.join("dpp_dim", tag))
-    for path, build in (
-        (
-            fact_path,
-            lambda: e.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
-            .select("event_id", "dt")
-            .write.partitionBy("dt"),
-        ),
-        (
-            dim_path,
-            lambda: e.select(F.date_trunc("day", "ts").cast("date").alias("dt"))
-            .distinct()
-            .withColumn("dow", F.dayofweek("dt"))
-            .write,
-        ),
-    ):
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            import shutil
-
-            for sib in os.listdir(os.path.dirname(path)):
-                shutil.rmtree(
-                    os.path.join(os.path.dirname(path), sib), ignore_errors=True
-                )
-            build().parquet(path)
+    fact_path = staged_dataset(
+        sf_dir,
+        "dpp_fact",
+        tag,
+        lambda p: e.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+        .select("event_id", "dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(p),
+    )
+    # the dim's dt set IS the fact's partition set — resolve it from
+    # partition metadata (no data read) instead of re-scanning events
+    dim_path = staged_dataset(
+        sf_dir,
+        "dpp_dim",
+        tag,
+        lambda p: spark.read.parquet(fact_path)
+        .select("dt")
+        .distinct()
+        .withColumn("dow", F.dayofweek("dt"))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     fact = spark.read.parquet(fact_path)
     dim = spark.read.parquet(dim_path).filter(F.col("dow") == 2)  # Monday
     joined = fact.join(dim.select("dt"), "dt")

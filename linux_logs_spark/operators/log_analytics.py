@@ -684,14 +684,12 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts). On a real dt-partitioned 100 TB log the same predicate is a
     partition prune. The stored rollup is fingerprint-keyed
     (dir-aware, ns mtime) so regenerated source data always rebuilds."""
-    import os
-
     from linux_logs_spark.catalog import (
         dataset_fingerprint,
         nanos_ts_to_micros,
         table_path,
     )
-    from linux_logs_spark.operators.scans import _scratch
+    from linux_logs_spark.operators.scans import staged_dataset
 
     load(spark, sf_dir, "events")  # side effect: session confs (UTC, nanosAsLong)
     path = table_path(sf_dir, "events")
@@ -704,10 +702,6 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         cut = F.timestamp_seconds(F.lit(cutoff_day_s))
 
-    size, mtime_ns = dataset_fingerprint(path)
-    base_dir = _scratch(sf_dir, "rollup_hourly")
-    base_path = os.path.join(base_dir, f"{size}_{mtime_ns}_{cutoff_day_s}")
-
     def partial(df: DataFrame) -> DataFrame:
         hourly = nanos_ts_to_micros(df).select(
             "event_type",
@@ -719,16 +713,15 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 2)).alias("value_dec"),  # STAYS decimal
         )
 
-    # key on the _SUCCESS marker, not the bare dir: an interrupted
-    # write must rebuild, never serve a partial rollup
-    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
-        import shutil
-
-        # prune rollups of older fingerprints, then materialize
-        if os.path.exists(base_dir):
-            for sib in os.listdir(base_dir):
-                shutil.rmtree(os.path.join(base_dir, sib), ignore_errors=True)
-        partial(raw.filter(F.col("ts") < cut)).write.parquet(base_path)
+    size, mtime_ns = dataset_fingerprint(path)
+    base_path = staged_dataset(
+        sf_dir,
+        "rollup_hourly",
+        f"{size}_{mtime_ns}_{cutoff_day_s}",
+        lambda p: partial(raw.filter(F.col("ts") < cut))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     base = spark.read.parquet(base_path)
     delta = partial(raw.filter(F.col("ts") >= cut))
     return (

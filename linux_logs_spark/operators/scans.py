@@ -47,6 +47,29 @@ def _scratch(sf_dir: str, name: str) -> str:
     return path
 
 
+def staged_dataset(sf_dir: str, name: str, tag: str, build) -> str:
+    """THE fingerprint-keyed materialization idiom (round-7 review —
+    previously re-implemented inline at three sites, each a place for
+    the next staleness bug to hide): a dataset lives under
+    .scratch/<sf>/<name>/<tag> and is rebuilt whenever its _SUCCESS
+    marker is absent (first run, interrupted write, new tag after a
+    source regen). Stale sibling tags are pruned first; the current
+    tag is NOT pre-removed — ``build(path)`` must write with
+    ``mode("overwrite")``, which cleans a half-written dir atomically
+    from Spark's side where an rmtree+ErrorIfExists pair could wedge
+    (swallowed rmtree failure → permanent 'path already exists')."""
+    import shutil
+
+    path = _scratch(sf_dir, os.path.join(name, tag))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        parent = os.path.dirname(path)
+        for sib in os.listdir(parent):
+            if sib != tag:
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+        build(path)
+    return path
+
+
 @register("scan_parquet", "scan", oracle="SELECT * FROM nation")
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "nation")

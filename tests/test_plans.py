@@ -767,3 +767,10 @@ def test_join_partition_pruned_injects_dpp(spark, sf_dir):
     plan = plan_string(_Q["join_partition_pruned"].fn(spark, sf_dir))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("dynamicpruningexpression" in ln for ln in pf), plan
+    # and genuinely NO static dt predicate — if one appears, the dim
+    # filter has leaked onto the join column and DPP is no longer
+    # doing the work this query exists to demonstrate
+    # a STATIC predicate renders as `dt#N = <literal>` or `dt#N IN (…)`;
+    # the runtime one renders as `dt#N IN dynamicpruning#M` — only the
+    # literal forms are forbidden
+    assert not any(re.search(r"dt#\d+ (= |IN \()", ln) for ln in pf), pf

@@ -670,12 +670,23 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept set is reproducible across runs and cluster sizes
     (split_train_holdout's property applied to a running sum).
 
-    Scale shape: one shuffle on lang partitions both the running-sum
-    window and the filter; the inclusive running sum ≤ budget is the
-    standard take-until-budget contract (never overshoots; may
-    undershoot by less than one document). Per-lang windows are
-    corpus-wide but the frame is ROWS-running — single pass, no
-    re-sort downstream."""
+    Scale shape (round-7 review): a Window.partitionBy(lang) running
+    sum would be |langs| tasks each sequentially scanning corpus/|langs|
+    rows — a 5-task bottleneck at 100 TB. This is instead the
+    cust_rfm_segments two-phase distributed prefix sum: range-
+    repartition on (lang, hx, doc_id) spreads every language across
+    many partitions in priority order; the running sum is then a
+    PER-PARTITION window (partitioned by (_pid, lang) — fully
+    parallel) plus a broadcast per-(partition, lang) cumulative token
+    offset computed from a ≤ parts×|langs|-row frame (bounded by
+    construction, never corpus-sized). The checkpoint pins partition
+    contents so the offsets subplan and the window see identical
+    range bounds (the _exact_ntile lifecycle note applies). The
+    inclusive running sum ≤ budget is the standard take-until-budget
+    contract (never overshoots; may undershoot by less than one
+    document)."""
+    from linux_logs_spark.session import default_parallelism
+
     d = load(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id",
@@ -683,13 +694,33 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words("text")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("hx"),
     )
-    w = (
+    parts = min(default_parallelism(), 32)
+    ranked = (
+        sized.repartitionByRange(parts, "lang", "hx", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-(partition, lang) token totals: ≤ parts × |langs| rows, so
+    # the cross-partition running offset is a bounded-frame window
+    # and the join side always fits a broadcast.
+    pl = ranked.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("_tok"))
+    cum = (
         Window.partitionBy("lang")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pl.select(
+        "_pid", "lang", F.coalesce(F.sum("_tok").over(cum), F.lit(0)).alias("_off")
+    )
+    w = (
+        Window.partitionBy("_pid", "lang")
         .orderBy("hx", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        ranked.withColumn("_local", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offsets), ["_pid", "lang"])
+        .withColumn("cum_tokens", F.col("_local") + F.col("_off"))
         .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )

@@ -108,13 +108,15 @@ GROUP BY n_name
 """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume (TPC-H Q5 shape): the TRUE dims
-    (supplier, nation, filtered region) broadcast unconditionally;
-    orders (one-year filter, fact-proportional) and customer
-    (corpus-sized, unfiltered) are SIZE-GATED via broadcast_if_fits
-    on parquet metadata counts — same rule as tpch_q8 — so the fact
-    table is shuffled exactly once at test scale and the two big
-    joins fall back to key shuffles past the cap."""
+    """Local-supplier volume (TPC-H Q5 shape): only the fixed-size
+    dims (nation, filtered region) broadcast unconditionally; orders
+    (one-year filter, fact-proportional), customer AND supplier —
+    both corpus-proportional per FIXTURES.md (supplier scales
+    10/100/1,000 with sf, linearly, like customer) — are SIZE-GATED
+    via broadcast_if_fits on parquet metadata counts, so the fact
+    table is shuffled exactly once at test scale and the big joins
+    fall back to key shuffles past the cap (round-7 review: the old
+    'supplier is a true dim' claim contradicted the fixture data)."""
     c = load(spark, sf_dir, "customer")
     orders_all = load(spark, sf_dir, "orders")
     o = orders_all.filter(
@@ -127,12 +129,13 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n_orders = table_row_count(sf_dir, "orders")  # footer, no job
     n_cust = table_row_count(sf_dir, "customer")
+    n_supp = table_row_count(sf_dir, "supplier")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
         .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            broadcast_if_fits(s, n_supp, 64),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -216,10 +219,13 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     cust_all = load(spark, sf_dir, "customer")
-    # customer filtered to 2 nations is still ~2/|nations| of a
-    # corpus-sized table — size-gate its broadcast into orders
-    # (round-7, q3/q5/q10 class); supplier and nation are true dims.
+    # customer/supplier filtered to 2 nations are still ~2/|nations|
+    # of corpus-proportional tables (FIXTURES.md: both scale linearly
+    # with sf) — size-gate both broadcasts on the footer counts of
+    # their unfiltered parents (a conservative upper bound); only
+    # nation is a true fixed-size dim.
     n_cust = table_row_count(sf_dir, "customer")  # footer, no job
+    n_supp = table_row_count(sf_dir, "supplier")
     cust = (
         cust_all
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -231,7 +237,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_fits(supp, n_supp, 40), li.l_suppkey == supp.s_suppkey)
         .join(
             o.join(broadcast_if_fits(cust, n_cust, 40), o.o_custkey == cust.c_custkey),
             li.l_orderkey == o.o_orderkey,
@@ -325,18 +331,21 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue from PROMO-type parts. Conditional-vs-total sums both
     accumulate in DECIMAL, then (100.0 * promo) / total runs as two
     IEEE double ops with identical parenthesization on both engines.
-    part joins broadcast here; at 100 TB part is ~1/1000 of lineitem
-    and the join key is the natural bucketing column, so the fallback
-    is a bucketed co-located join, never a fact shuffle on p_partkey."""
+    part is corpus-proportional (FIXTURES.md: 200/2,000/20,000 across
+    sf — ~1/1000 of lineitem but linear in it), so its broadcast is
+    SIZE-GATED on the parquet footer count; past the cap the fallback
+    is a key shuffle on p_partkey (the natural bucketing column, so a
+    bucketed layout makes it co-located)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part")
+    n_part = table_row_count(sf_dir, "part")  # footer, no job
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_fits(p, n_part, 96), li.l_partkey == p.p_partkey)
         .agg(
             ((F.lit(100.0) * dsum(promo, 4)) / dsum(disc_price, 4)).alias(
                 "promo_revenue_pct"
@@ -383,9 +392,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = rev.agg(F.max("total_revenue").alias("_max_rev"))
     s = load(spark, sf_dir, "supplier")
+    # top is a literal 1-row scalar — always broadcast; supplier is
+    # corpus-proportional (FIXTURES.md) → size-gate on footer count.
+    n_supp = table_row_count(sf_dir, "supplier")
     return (
         rev.join(F.broadcast(top), rev.total_revenue == top._max_rev)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(broadcast_if_fits(s, n_supp, 64), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -414,12 +426,19 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary between partitionings). The grouped frame itself
     carries sum_qty forward, so lineitem is scanned and shuffled
     exactly once. Broadcast DIRECTION matters here (round-5 review):
-    the few HAVING survivors broadcast INTO the orders scan, and that
-    still-tiny join result broadcasts into customer — the unfiltered
+    the HAVING survivors broadcast INTO the orders scan, and that
+    join result broadcasts into customer — the unfiltered
     orders/customer tables are only ever streamed through, never
     built into a hash table (q7's docstring in this file says why an
-    unfiltered orders broadcast is impossible at 100 TB). Top-100 is
-    TakeOrderedAndProject with the unique o_orderkey tie-break."""
+    unfiltered orders broadcast is impossible at 100 TB). But 'rare'
+    is selectivity-DEPENDENT — survivors scale linearly with the
+    corpus and a skewed quantity distribution could blow the hint —
+    so both hints are gated on big's EXACT localCheckpoint'd count
+    (the dedup_edit_verify pattern; round-7 review): past the cap
+    both joins fall back to key shuffles, correct at any scale.
+    with_orders is 1:1 with big (o_orderkey is unique in orders), so
+    one count gates both. Top-100 is TakeOrderedAndProject with the
+    unique o_orderkey tie-break."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -428,12 +447,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_dec_qty") > 250)
         .select("l_orderkey", F.col("_dec_qty").cast("double").alias("sum_qty"))
+        .localCheckpoint()
     )
+    n_big = big.count()  # checkpointed → count is metadata-cheap
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    with_orders = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    with_orders = o.join(broadcast_if_fits(big, n_big, 24), o.o_orderkey == big.l_orderkey)
     return (
-        c.join(F.broadcast(with_orders), c.c_custkey == with_orders.o_custkey)
+        c.join(broadcast_if_fits(with_orders, n_big, 128), c.c_custkey == with_orders.o_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
         )
@@ -1105,13 +1126,14 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the deepest join star in the suite — six dims around
     the lineitem fact, which is shuffled exactly once for the per-year
-    aggregate. The four TRUE dims (filtered part, supplier, two nation
-    roles, region) broadcast unconditionally; orders (date-pruned but
-    fact-proportional) and customer (corpus-sized — tpch_q13's own
-    characterization) are SIZE-GATED via broadcast_if_fits on their
-    parquet metadata counts, so past the cap those two joins shuffle
-    on their keys instead of OOMing an executor (round-6 review — the
-    same rule as the blocked-pair family). Share = DECIMAL-accumulated
+    aggregate. Only the fixed-size dims (two nation roles, region)
+    broadcast unconditionally; part, supplier, orders and customer
+    are ALL corpus-proportional (FIXTURES.md: part 200/2,000/20,000
+    and supplier 10/100/1,000 scale linearly with sf, exactly like
+    orders/customer) and are SIZE-GATED via broadcast_if_fits on
+    their parquet metadata counts, so past the cap those joins
+    shuffle on their keys instead of OOMing an executor (rounds 6-7
+    review — the same rule as the blocked-pair family). Share = DECIMAL-accumulated
     conditional volume ÷ DECIMAL-accumulated total volume, divided
     once in double — bit-identical to the oracle's formulation (both
     sums exact, one IEEE division)."""
@@ -1126,6 +1148,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n_orders = table_row_count(sf_dir, "orders")  # footer, no job
     n_cust = table_row_count(sf_dir, "customer")
+    n_part = table_row_count(sf_dir, "part")
+    n_supp = table_row_count(sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     n1 = n.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
@@ -1136,8 +1160,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_if_fits(p, n_part, 96), li.l_partkey == p.p_partkey)
+        .join(broadcast_if_fits(s, n_supp, 64), li.l_suppkey == s.s_suppkey)
         .join(broadcast_if_fits(o, n_orders, 64), li.l_orderkey == o.o_orderkey)
         .join(broadcast_if_fits(c, n_cust, 96), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
@@ -1212,19 +1236,33 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic correlated scalar subquery, decorrelated into an
     aggregate-join.
 
-    Scale shape: the per-part average is ONE groupBy over lineitem
-    (shuffle on partkey) joined back by partkey; the brand dim
-    broadcast-prunes the fact before the threshold join; the final
-    1-row aggregate is a partial+final. DECIMAL accumulation on both
-    the threshold average and the revenue sum keeps the single double
-    division (÷ 7.0) bit-identical to the oracle."""
+    Scale shape (round-7 review — the classic hand-optimized Q17):
+    Catalyst cannot push a join-derived IN-set into an aggregate, so
+    the per-part average's input is EXPLICITLY semi-joined with the
+    brand partkey set BEFORE groupBy(l_partkey) — the aggregate then
+    shuffles only ~1/|brands| of lineitem instead of the full table.
+    Results are identical: the oracle's pa rows for non-brand parts
+    were dropped by its own downstream partkey join anyway. part is
+    corpus-proportional (FIXTURES.md), so both its broadcasts are
+    SIZE-GATED on the footer count. The final 1-row aggregate is a
+    partial+final; DECIMAL accumulation on both the threshold average
+    and the revenue sum keeps the single double division (÷ 7.0)
+    bit-identical to the oracle."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.lit(0.2) * davg("l_quantity", 2)).alias("qty_threshold")
+    n_part = table_row_count(sf_dir, "part")  # footer, no job
+    keys = p.select("p_partkey")
+    pa = (
+        li.join(
+            broadcast_if_fits(keys, n_part, 16),
+            li.l_partkey == keys.p_partkey,
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.2) * davg("l_quantity", 2)).alias("qty_threshold"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_fits(p, n_part, 96), li.l_partkey == p.p_partkey)
         .join(pa, F.col("a_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"))

@@ -77,7 +77,33 @@ HEADLINE = (
 )
 
 
-def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False) -> None:
+def _prior_full_median(repo_dir: str) -> float | None:
+    """Median per-query time of the bench_full.json already on disk
+    (the last good quiet-window artifact), or None if absent/unusable."""
+    try:
+        with open(os.path.join(repo_dir, "bench_full.json")) as fh:
+            blob = json.load(fh)
+        vals = sorted(blob["queries"].values())
+        return vals[len(vals) // 2] if vals else None
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def guard_full_artifact(new_median: float | None, prior_median: float | None,
+                        force: bool) -> bool:
+    """True = the run may overwrite bench_full.json. A complete run
+    whose median is >25% above the committed artifact is a loaded-
+    window run, not a regression signal — round 7's quiet 183.9 s
+    artifact was silently replaced in the tree by a loaded 215.5 s
+    driver run. Mechanizes the standing 'snapshot immediately' rule;
+    bypass with --force after confirming the slowdown is real."""
+    if force or prior_median is None or new_median is None:
+        return True
+    return new_median <= 1.25 * prior_median
+
+
+def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,
+          force: bool = False) -> None:
     total = round(sum(timings.values()), 3)
     # Median/p90 ride along because the shared VM's hypervisor
     # throttle windows inflate single queries 5-40x (BASELINE.md
@@ -107,12 +133,24 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
     # and non-default SF runs (same clobber class the driver_sim SF
     # guard closes).
     sf = sf_of(SF_DIR)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     if subset:
         artifact = "bench_full_subset.json"
     elif partial:
         artifact = "bench_full_partial.json"
     elif sf != 0.1:
         artifact = f"bench_full_sf{sf}.json"
+    elif not guard_full_artifact(
+        payload["median_sec"], _prior_full_median(repo_dir), force
+    ):
+        artifact = "bench_full_rejected.json"
+        payload["rejected_loaded_run"] = True
+        print(
+            "bench: median >25% above committed bench_full.json — "
+            "writing bench_full_rejected.json (rerun in a quiet window "
+            "or pass --force)",
+            file=sys.stderr,
+        )
     else:
         artifact = "bench_full.json"
     blob = {"total_sec": total, "queries": timings, "sf": sf}
@@ -135,7 +173,9 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     specs = all_queries()
-    only = sys.argv[1:]  # optional: bench a subset by name
+    argv = sys.argv[1:]
+    force = "--force" in argv
+    only = [a for a in argv if a != "--force"]  # optional: subset by name
     names = only or sorted(specs)
 
     timings: dict[str, float] = {}
@@ -146,7 +186,7 @@ def main() -> None:
     import signal
 
     def on_term(signum, frame):
-        _emit(timings, partial=True, subset=bool(only))
+        _emit(timings, partial=True, subset=bool(only), force=force)
         os._exit(0)
 
     signal.signal(signal.SIGTERM, on_term)
@@ -173,7 +213,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
-    _emit(timings, subset=bool(only))
+    _emit(timings, subset=bool(only), force=force)
 
 
 if __name__ == "__main__":

@@ -265,6 +265,44 @@ def sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gemm_topk(spark, sf_dir)
 
 
+def read_manifest(path: str):
+    """Load a snapshot manifest; None if missing OR unparseable.
+
+    Treating corrupt JSON as 'no manifest' (→ caller rebuilds) is the
+    crash-recovery half of the manifest protocol: a truncated file
+    from a pre-atomic-write crash or manual tampering must degrade to
+    a rebuild, never to a JSONDecodeError every later run trips over
+    (round-7 advice)."""
+    import json as _json
+
+    try:
+        with open(path) as fh:
+            return _json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def write_manifest_atomic(path: str, manifest: dict) -> None:
+    """Publish a manifest via write-temp + fsync + os.replace.
+
+    os.replace is atomic on POSIX, so a reader opening `path` sees
+    either the previous complete manifest or the new complete one —
+    never a truncated mix — and a crash mid-write leaves only a stray
+    .tmp sibling, not a corrupt manifest. Single-writer: two racing
+    writers last-write-wins on the whole manifest (documented
+    constraint; a multi-writer table needs a real commit log à la
+    Delta/Iceberg, which this container cannot host)."""
+    import json as _json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 @register(
     "table_time_travel",
     "join",
@@ -295,8 +333,16 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and report changed rows. At 100 TB each snapshot is just
     parquet behind a manifest pointer, so time travel costs one
     manifest read, never a table copy — identical to how Delta/Iceberg
-    resolve versions, minus transactionality (documented)."""
-    import json as _json
+    resolve versions, minus multi-writer transactionality: the commit
+    protocol here is SINGLE-WRITER — snapshot dirs are written first,
+    then the manifest swaps in via write-temp + os.replace (atomic on
+    POSIX), so a crash mid-commit can never publish a truncated
+    manifest and a concurrent READER always resolves a complete
+    manifest (old or new, never a mix — pinned by
+    tests/test_time_travel_manifest.py). A corrupt or truncated
+    manifest (crash before the protocol existed, manual tampering) is
+    treated as stale and rebuilt, never surfaced as JSONDecodeError
+    (round-7 advice)."""
     import os
 
     from linux_logs_spark.catalog import dataset_fingerprint, table_path
@@ -310,12 +356,8 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "customer"))
     fingerprint = f"{size}:{mtime_ns}"
     manifest_path = os.path.join(base, "_MANIFEST.json")
-    stale = True
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as fh:
-            m = _json.load(fh)
-        stale = m.get("fingerprint") != fingerprint
-    if stale:
+    m = read_manifest(manifest_path)
+    if m is None or m.get("fingerprint") != fingerprint:
         v2 = c.withColumn(
             "c_acctbal",
             F.when(
@@ -324,12 +366,14 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for ver, frame in ((1, c), (2, v2)):
             frame.write.mode("overwrite").parquet(os.path.join(base, f"v={ver}"))
-        with open(manifest_path, "w") as fh:
-            _json.dump({"fingerprint": fingerprint, "versions": [1, 2]}, fh)
+        write_manifest_atomic(
+            manifest_path, {"fingerprint": fingerprint, "versions": [1, 2]}
+        )
 
     def read_as_of(version: int) -> DataFrame:
-        with open(manifest_path) as fh:
-            m = _json.load(fh)
+        m = read_manifest(manifest_path)
+        if m is None:
+            raise FileNotFoundError(f"no readable manifest at {manifest_path}")
         if version not in m["versions"]:
             raise ValueError(f"unknown snapshot version {version}: {m['versions']}")
         return spark.read.parquet(os.path.join(base, f"v={version}"))

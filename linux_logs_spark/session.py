@@ -58,6 +58,12 @@ def get_spark(
         # Streaming micro-batches in tests use small state; keep the
         # default HDFS-backed state store (works everywhere).
         .config("spark.sql.streaming.schemaInference", "false")
+        # Python DataSource pushFilters: without this Spark refuses to
+        # plan a reader that implements pushFilters. Declared here at
+        # construction so the engine's own sessions carry it from the
+        # start (round-7 advice); scan_python_datasource still sets it
+        # at runtime for plain driver-built sessions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     # 100 TB streaming story (opt-in, default off): the HDFS-backed
     # state store keeps every key's state ON HEAP, so a stateful query

@@ -73,9 +73,15 @@ class SynthLogReader(DataSourceReader):
         self.hi = self.n
 
     def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
-        """Narrow [lo, hi) from row_id range predicates; yield back
+        """Narrow [lo, hi) from row_id range predicates; return
         (= leave to Spark) everything else. Accepting a filter here is
-        a CORRECTNESS contract — only exact range algebra is taken."""
+        a CORRECTNESS contract — only exact range algebra is taken.
+        Deliberately a plain loop returning a list, NOT a generator
+        (round-7 advice): the narrowing side effects must land when
+        pushFilters returns, not only if the runtime exhausts the
+        iterator — a lazily-consuming runtime would otherwise mark
+        the range filters pushed while the source never narrowed."""
+        unsupported = []
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
             if col == "row_id" and isinstance(
@@ -93,7 +99,8 @@ class SynthLogReader(DataSourceReader):
                     self.lo = max(self.lo, f.value)
                     self.hi = min(self.hi, f.value + 1)
             else:
-                yield f
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self):
         lo, hi = self.lo, max(self.lo, self.hi)

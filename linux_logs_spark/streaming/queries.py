@@ -798,15 +798,42 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_out_{next(_counter)}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    done, runs = 0, 0
+
+    def _committed_pos(q) -> int:
+        """Absolute source position from the last committed batch's
+        endOffset — the offset IS the drain progress, unlike summed
+        numInputRows which double-counts a batch replayed after an
+        interrupted run (round-7 advice). availableNow always runs
+        ≥1 batch, so lastProgress is set after awaitTermination.
+
+        Python-source offsets surface as the dict's repr (single
+        quotes, e.g. "{'pos': 4000}"), not JSON — PySpark serializes
+        SimpleStreamReader offsets with str(); accept both."""
+        import ast as _ast
+        import json as _json
+
+        p = q.lastProgress
+        if not p or not p.get("sources"):
+            raise RuntimeError("stream_python_source: no progress after run")
+        eo = p["sources"][0].get("endOffset")
+        if isinstance(eo, str):
+            try:
+                eo = _json.loads(eo)
+            except ValueError:
+                eo = _ast.literal_eval(eo)
+        if not isinstance(eo, dict) or "pos" not in eo:
+            raise RuntimeError(f"stream_python_source: unreadable endOffset {eo!r}")
+        return int(eo["pos"])
+
+    pos, runs = 0, 0
     max_runs = math.ceil(_PYSRC_N / _PYSRC_BATCH) + 2
     try:
-        while done < _PYSRC_N:
+        while pos < _PYSRC_N:
             runs += 1
             if runs > max_runs:  # loud, not silent partial results
                 raise RuntimeError(
-                    f"stream_python_source failed to drain: {done}/{_PYSRC_N} "
-                    f"rows after {runs - 1} availableNow restarts"
+                    f"stream_python_source failed to drain: pos {pos}/{_PYSRC_N} "
+                    f"after {runs - 1} availableNow restarts"
                 )
             q = (
                 agg.writeStream.format("memory")
@@ -817,7 +844,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            done += sum(p["numInputRows"] for p in q.recentProgress)
+            pos = _committed_pos(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # the loop only starts a run when rows remain, so the LAST run

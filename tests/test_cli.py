@@ -36,3 +36,19 @@ def test_catalog_rejects_unknown_table(spark, sf_dir):
 def test_registry_rejects_duplicate_names():
     with pytest.raises(ValueError, match="duplicate query name"):
         register("agg_groupby", "aggregate")(lambda s, d: None)
+
+
+def test_bench_full_artifact_guard():
+    """bench.py must refuse to overwrite bench_full.json with a run
+    whose median is >25% above the committed artifact unless forced —
+    mechanizing the quiet-window snapshot rule (round-7 verdict: the
+    183.9 s close artifact was silently replaced by a loaded 215.5 s
+    driver run in the working tree)."""
+    from bench import guard_full_artifact
+
+    assert guard_full_artifact(0.40, 0.40, force=False)        # flat
+    assert guard_full_artifact(0.50, 0.40, force=False)        # ==1.25x
+    assert not guard_full_artifact(0.51, 0.40, force=False)    # loaded
+    assert guard_full_artifact(0.51, 0.40, force=True)         # forced
+    assert guard_full_artifact(0.51, None, force=False)        # no prior
+    assert guard_full_artifact(None, 0.40, force=False)        # no median

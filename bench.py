@@ -91,15 +91,18 @@ def _prior_full_median(repo_dir: str) -> float | None:
 
 def guard_full_artifact(new_median: float | None, prior_median: float | None,
                         force: bool) -> bool:
-    """True = the run may overwrite bench_full.json. A complete run
-    whose median is >25% above the committed artifact is a loaded-
-    window run, not a regression signal — round 7's quiet 183.9 s
-    artifact was silently replaced in the tree by a loaded 215.5 s
-    driver run. Mechanizes the standing 'snapshot immediately' rule;
-    bypass with --force after confirming the slowdown is real."""
+    """True = the run may overwrite bench_full.json. The artifact's
+    contract is 'best quiet-window run of the current code', so any
+    run with a median >10% above the committed one is presumed a
+    loaded window and rejected — round 7's quiet 183.9 s artifact was
+    silently replaced by a loaded 215.5 s driver run whose median was
+    only 12.5% inflated, so the gate must sit BELOW that (a 25%
+    threshold would have passed the exact incident it exists to
+    block — round-8 review). A real regression will show up under
+    --force after a quiet-window confirmation rerun."""
     if force or prior_median is None or new_median is None:
         return True
-    return new_median <= 1.25 * prior_median
+    return new_median <= 1.10 * prior_median
 
 
 def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,

@@ -277,9 +277,12 @@ def read_manifest(path: str):
 
     try:
         with open(path) as fh:
-            return _json.load(fh)
+            m = _json.load(fh)
     except (FileNotFoundError, ValueError):
         return None
+    # Valid JSON that isn't an object (tampering: "[1,2]", '"x"') must
+    # also degrade to a rebuild, not AttributeError on .get every run.
+    return m if isinstance(m, dict) else None
 
 
 def write_manifest_atomic(path: str, manifest: dict) -> None:
@@ -334,15 +337,22 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet behind a manifest pointer, so time travel costs one
     manifest read, never a table copy — identical to how Delta/Iceberg
     resolve versions, minus multi-writer transactionality: the commit
-    protocol here is SINGLE-WRITER — snapshot dirs are written first,
-    then the manifest swaps in via write-temp + os.replace (atomic on
-    POSIX), so a crash mid-commit can never publish a truncated
-    manifest and a concurrent READER always resolves a complete
-    manifest (old or new, never a mix — pinned by
-    tests/test_time_travel_manifest.py). A corrupt or truncated
-    manifest (crash before the protocol existed, manual tampering) is
-    treated as stale and rebuilt, never surfaced as JSONDecodeError
-    (round-7 advice)."""
+    protocol here is SINGLE-WRITER — snapshot dirs are IMMUTABLE
+    (written under a fingerprint-keyed root, never overwritten in
+    place: a rebuild writes a NEW root, so a reader that resolved the
+    old manifest keeps scanning intact old files — round-8 review;
+    plain v=N dirs under base would be deleted mid-scan by a
+    concurrent rebuild's mode('overwrite')), then the manifest swaps
+    in via write-temp + os.replace (atomic on POSIX), so a crash
+    mid-commit can never publish a truncated manifest and a concurrent
+    READER always resolves a complete manifest (old or new, never a
+    mix — pinned by tests/test_time_travel_manifest.py). Superseded
+    roots are pruned with one-generation retention (current root's
+    predecessor survives; older siblings go) — the zero-cost analogue
+    of VACUUM's retention window. A corrupt or truncated manifest
+    (crash before the protocol existed, manual tampering) is treated
+    as stale and rebuilt, never surfaced as JSONDecodeError (round-7
+    advice)."""
     import os
 
     from linux_logs_spark.catalog import dataset_fingerprint, table_path
@@ -356,8 +366,10 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "customer"))
     fingerprint = f"{size}:{mtime_ns}"
     manifest_path = os.path.join(base, "_MANIFEST.json")
+    root = f"r_{fingerprint.replace(':', '_')}"
     m = read_manifest(manifest_path)
-    if m is None or m.get("fingerprint") != fingerprint:
+    if m is None or m.get("fingerprint") != fingerprint or "root" not in m:
+        prev_root = (m or {}).get("root")
         v2 = c.withColumn(
             "c_acctbal",
             F.when(
@@ -365,10 +377,25 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("c_acctbal")),
         )
         for ver, frame in ((1, c), (2, v2)):
-            frame.write.mode("overwrite").parquet(os.path.join(base, f"v={ver}"))
+            frame.write.mode("overwrite").parquet(
+                os.path.join(base, root, f"v={ver}")
+            )
         write_manifest_atomic(
-            manifest_path, {"fingerprint": fingerprint, "versions": [1, 2]}
+            manifest_path,
+            {"fingerprint": fingerprint, "root": root, "versions": [1, 2]},
         )
+        # One-generation retention: readers holding the just-replaced
+        # manifest can still finish their scan of prev_root; anything
+        # older has been superseded twice and goes.
+        import shutil
+
+        for entry in os.listdir(base):
+            if (
+                entry.startswith("r_")
+                and entry not in (root, prev_root)
+                and os.path.isdir(os.path.join(base, entry))
+            ):
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     def read_as_of(version: int) -> DataFrame:
         m = read_manifest(manifest_path)
@@ -376,7 +403,7 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise FileNotFoundError(f"no readable manifest at {manifest_path}")
         if version not in m["versions"]:
             raise ValueError(f"unknown snapshot version {version}: {m['versions']}")
-        return spark.read.parquet(os.path.join(base, f"v={version}"))
+        return spark.read.parquet(os.path.join(base, m["root"], f"v={version}"))
 
     v1 = read_as_of(1).select(
         "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal_v1")

@@ -717,9 +717,19 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hx", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # eqNullSafe on lang: NULL is a valid language group under both
+    # the old partitionBy(lang) window and the DuckDB oracle's
+    # PARTITION BY — a null-unsafe equi-join would silently drop
+    # every NULL-lang document (round-8 review).
+    loc = ranked.withColumn("_local", F.sum("n_tokens").over(w))
     return (
-        ranked.withColumn("_local", F.sum("n_tokens").over(w))
-        .join(F.broadcast(offsets), ["_pid", "lang"])
+        loc.join(
+            F.broadcast(offsets),
+            (loc["_pid"] == offsets["_pid"])
+            & loc["lang"].eqNullSafe(offsets["lang"]),
+        )
+        .drop(offsets["_pid"])
+        .drop(offsets["lang"])
         .withColumn("cum_tokens", F.col("_local") + F.col("_off"))
         .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")

@@ -820,7 +820,10 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 eo = _json.loads(eo)
             except ValueError:
-                eo = _ast.literal_eval(eo)
+                try:
+                    eo = _ast.literal_eval(eo)
+                except (ValueError, SyntaxError):
+                    pass  # fall through to the labeled RuntimeError
         if not isinstance(eo, dict) or "pos" not in eo:
             raise RuntimeError(f"stream_python_source: unreadable endOffset {eo!r}")
         return int(eo["pos"])

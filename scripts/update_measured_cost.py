@@ -22,6 +22,20 @@ REGISTRY = os.path.join(REPO, "linux_logs_spark", "registry.py")
 RESULTS = os.path.join(REPO, "driver_sim_results.json")
 
 
+def _median_ratio_vs_table(costs: dict[str, float], src: str) -> float | None:
+    """Median new/old cost ratio against the current table — the
+    loaded-window detector bench.py's artifact guard uses, applied to
+    the cost table (round-8 review: the same clobber class)."""
+    old = {
+        k: float(v)
+        for k, v in re.findall(r'"([^"]+)": ([\d.]+)', src)
+    }
+    ratios = sorted(
+        costs[k] / old[k] for k in costs if old.get(k, 0) > 0.05
+    )
+    return ratios[len(ratios) // 2] if ratios else None
+
+
 def main() -> None:
     with open(RESULTS) as fh:
         data = json.load(fh)
@@ -44,6 +58,13 @@ def main() -> None:
 
     with open(REGISTRY) as fh:
         src = fh.read()
+    ratio = _median_ratio_vs_table(costs, src)
+    if ratio is not None and ratio > 1.10 and "--force" not in sys.argv:
+        raise SystemExit(
+            f"refusing: median cost ratio {ratio:.3f} vs current table "
+            "suggests a loaded-window run — rerun driver_sim quietly or "
+            "pass --force"
+        )
     pat = re.compile(
         r"(_MEASURED_COST: dict\[str, float\] = \{\n).*?(\n\})", re.DOTALL
     )
@@ -53,12 +74,19 @@ def main() -> None:
 
     # Maintain the machine-written provenance line so the table's
     # comment cannot go stale across refreshes (round-7 review).
-    note = sys.argv[1] if len(sys.argv) > 1 else "no note given"
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    note = args[0] if args else "no note given"
     prov = (
         f"# LAST REFRESH: {len(costs)} queries, total "
         f"{data.get('total_s', '?')} s, zero bad rows; {note}\n"
     )
-    prov_pat = re.compile(r"# LAST REFRESH: [^\n]*\n")
+    # A full refresh subsumes any hand-written supplemental lines
+    # (e.g. "(x added after that refresh: subset 2-pass)") — drop
+    # every comment line trailing LAST REFRESH up to the dict opener,
+    # so unmaintained annotations can't go stale (round-7 advice).
+    prov_pat = re.compile(
+        r"# LAST REFRESH: [^\n]*\n(?:# \([^\n]*\)\n)*"
+    )
     if prov_pat.search(src):
         src = prov_pat.sub(prov, src, count=1)
     else:

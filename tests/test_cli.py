@@ -40,15 +40,17 @@ def test_registry_rejects_duplicate_names():
 
 def test_bench_full_artifact_guard():
     """bench.py must refuse to overwrite bench_full.json with a run
-    whose median is >25% above the committed artifact unless forced —
+    whose median is >10% above the committed artifact unless forced —
     mechanizing the quiet-window snapshot rule (round-7 verdict: the
     183.9 s close artifact was silently replaced by a loaded 215.5 s
-    driver run in the working tree)."""
+    driver run; that incident's median inflation was 12.5%, so the
+    gate must catch a 12.5% bump)."""
     from bench import guard_full_artifact
 
     assert guard_full_artifact(0.40, 0.40, force=False)        # flat
-    assert guard_full_artifact(0.50, 0.40, force=False)        # ==1.25x
-    assert not guard_full_artifact(0.51, 0.40, force=False)    # loaded
-    assert guard_full_artifact(0.51, 0.40, force=True)         # forced
-    assert guard_full_artifact(0.51, None, force=False)        # no prior
+    assert guard_full_artifact(0.44, 0.40, force=False)        # ==1.10x
+    assert not guard_full_artifact(0.46, 0.409, force=False)   # the incident
+    assert not guard_full_artifact(0.45, 0.40, force=False)    # loaded
+    assert guard_full_artifact(0.45, 0.40, force=True)         # forced
+    assert guard_full_artifact(0.45, None, force=False)        # no prior
     assert guard_full_artifact(None, 0.40, force=False)        # no median

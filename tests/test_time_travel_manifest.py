@@ -74,6 +74,36 @@ def test_reader_mid_swap_sees_complete_manifest(tmp_path):
     assert not bad, bad[:1]
 
 
+def test_rebuild_writes_new_root_and_keeps_one_generation(spark, sf_dir):
+    """Snapshot roots are immutable: a rebuild triggered by a stale
+    fingerprint must write under a NEW fingerprint-keyed root — never
+    overwrite the dirs the old manifest points at (a reader resolving
+    the old manifest mid-rebuild keeps scanning intact files) — and
+    prune with one-generation retention (the old manifest's root
+    survives; roots superseded twice go)."""
+    from linux_logs_spark.operators.scans import _scratch
+
+    fn = _Q["table_time_travel"].fn
+    fn(spark, sf_dir).count()  # stage snapshots + current manifest
+    base = _scratch(sf_dir, "snapshots_customer")
+    manifest = os.path.join(base, "_MANIFEST.json")
+    cur = read_manifest(manifest)
+    assert cur is not None and cur["root"].startswith("r_")
+    # Forge an older generation and a stale manifest pointing at it.
+    os.makedirs(os.path.join(base, "r_older"), exist_ok=True)
+    os.rename(os.path.join(base, cur["root"]), os.path.join(base, "r_old"))
+    write_manifest_atomic(
+        manifest, {"fingerprint": "stale", "root": "r_old", "versions": [1, 2]}
+    )
+    fn(spark, sf_dir).count()  # fingerprint mismatch -> rebuild
+    new = read_manifest(manifest)
+    assert new["root"] == cur["root"] != "r_old"  # fresh root, not in-place
+    assert os.path.isdir(os.path.join(base, "r_old"))  # one generation kept
+    assert not os.path.exists(os.path.join(base, "r_older"))  # pruned
+    # The kept previous generation is still fully readable.
+    assert os.path.isdir(os.path.join(base, "r_old", "v=1"))
+
+
 def test_time_travel_recovers_from_corrupt_manifest(spark, sf_dir):
     """End-to-end: run once to stage snapshots, truncate the manifest
     in place, run again — the query must rebuild and return the same

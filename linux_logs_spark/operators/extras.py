@@ -682,3 +682,91 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         args={"tbl": "lineitem", "qmin": _PARAM_QMIN},
     )
+
+
+@register(
+    "table_merge_upsert",
+    "join",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS delta
+  FROM orders WHERE o_orderkey % 3 = 0
+  GROUP BY o_custkey
+  UNION ALL
+  SELECT o_custkey + 1000000 AS k, o_totalprice AS delta
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT coalesce(c.c_custkey, s.k) AS c_custkey,
+         CASE WHEN c.c_custkey IS NULL THEN concat('NEW-', CAST(s.k AS VARCHAR))
+              ELSE c.c_name END AS c_name,
+         CASE WHEN c.c_custkey IS NULL THEN s.delta
+              WHEN s.k IS NULL THEN c.c_acctbal
+              ELSE c.c_acctbal + s.delta END AS acctbal,
+         CASE WHEN c.c_custkey IS NULL THEN 'insert'
+              WHEN s.k IS NULL THEN 'keep'
+              WHEN c.c_acctbal + s.delta > 1000000 THEN 'delete'
+              ELSE 'update' END AS action
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+)
+SELECT c_custkey, c_name, acctbal, action
+FROM merged WHERE action <> 'delete'
+""",
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics over immutable parquet — all four
+    branches in one pass, which is what distinguishes it from
+    scd2_merge's update-only left join: WHEN MATCHED THEN UPDATE
+    (accumulate delta), WHEN MATCHED AND over-limit THEN DELETE (row
+    dropped from the new snapshot), WHEN NOT MATCHED THEN INSERT (new
+    key appears), WHEN NOT MATCHED BY SOURCE THEN keep. One FULL
+    OUTER join on the key + a branch projection IS the copy-on-write
+    MERGE plan every lakehouse runs (Delta/Iceberg add file-level
+    pruning of untouched partitions on top — table_time_travel's
+    manifest shows where that would slot in). Spark CANNOT broadcast
+    either side of a full outer join (a broadcast hint is silently
+    dropped with a HintErrorLogger warning — verified, so none is
+    given): both sides shuffle on the key, which is the honest 100 TB
+    plan for a MERGE that must see unmatched rows from BOTH sides.
+    The source is checkpointed once so the two-branch union isn't
+    recomputed per downstream consumer. DECIMAL
+    accumulation for the money sum; the final balance is ONE IEEE add
+    of two cross-engine-identical doubles, so it hash-matches raw and
+    un-rounded (compat rule — never round money)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(dsum("o_totalprice", 2).alias("delta"))
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_custkey") + 1_000_000).alias("k"),
+        F.col("o_totalprice").alias("delta"),
+    )
+    src = updates.unionByName(inserts).localCheckpoint()
+    merged = c.join(src, c.c_custkey == src.k, "full_outer")
+    new_bal = F.col("c_acctbal") + F.col("delta")
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("k").isNull(), "keep")
+        .when(new_bal > 1_000_000, "delete")
+        .otherwise("update")
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+            F.when(
+                F.col("c_custkey").isNull(),
+                F.concat(F.lit("NEW-"), F.col("k").cast("string")),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            F.when(F.col("c_custkey").isNull(), F.col("delta"))
+            .when(F.col("k").isNull(), F.col("c_acctbal"))
+            .otherwise(new_bal)
+            .alias("acctbal"),
+            action.alias("action"),
+        )
+        .filter(F.col("action") != "delete")
+    )

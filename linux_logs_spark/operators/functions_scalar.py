@@ -640,3 +640,109 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct("et").alias("case_variants"),
     )
+
+
+# Overflow pivot for the try_* family: rows with l_orderkey above this
+# overflow BIGINT on + _TRY_ADDEND; the oracle guards the same split.
+_TRY_PIVOT = 30_000
+_TRY_ADDEND = 9_223_372_036_854_775_807 - _TRY_PIVOT
+
+
+@register(
+    "fn_try_arith",
+    "scalar",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE round(l_extendedprice / l_discount, 6) END AS safe_div,
+       CASE WHEN l_orderkey > {_TRY_PIVOT} THEN NULL
+            ELSE l_orderkey + {_TRY_ADDEND} END AS safe_add,
+       CASE WHEN l_orderkey > {_TRY_PIVOT} THEN NULL
+            ELSE l_orderkey - (-{_TRY_ADDEND}) END AS safe_sub,
+       l_orderkey * 1 AS safe_mul_small,
+       CASE WHEN l_orderkey > 4 THEN NULL
+            ELSE l_orderkey * 2305843009213693951 END AS safe_mul
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (``try_add``/``try_subtract``/
+    ``try_multiply``/``try_divide``): overflow and division-by-zero
+    yield NULL instead of failing the job — the contract a 100 TB
+    pipeline needs, because one poisoned row must not kill a
+    1000-executor stage (the alternative, ansi=false silent wraparound,
+    corrupts results instead). All codegen'd JVM expressions; the
+    oracle is the equivalent guarded CASE (DuckDB raises on real
+    overflow, so the guard must be exact: x + A overflows iff
+    x > MAX - A)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 6
+        ).alias("safe_div"),
+        F.try_add(F.col("l_orderkey"), F.lit(_TRY_ADDEND)).alias("safe_add"),
+        F.try_subtract(F.col("l_orderkey"), F.lit(-_TRY_ADDEND)).alias("safe_sub"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(1)).alias("safe_mul_small"),
+        F.try_multiply(
+            F.col("l_orderkey"), F.lit(2_305_843_009_213_693_951)
+        ).alias("safe_mul"),
+    )
+
+
+# AES key for the roundtrip demo — 16 bytes, deterministic ECB so the
+# ciphertext (and its PKCS#7-padded length) is a pure function of the
+# plaintext and the oracle can predict it without a crypto library.
+_AES_KEY = "0123456789abcdef"
+
+
+@register(
+    "fn_aes_roundtrip",
+    "scalar",
+    oracle="""
+SELECT c_custkey,
+       CAST((length(c_name) // 16) * 16 + 16 AS BIGINT) AS cipher_len,
+       c_name AS decrypted,
+       true AS roundtrip_ok
+FROM customer
+WHERE c_custkey % 10 = 0
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (``aes_encrypt``/``aes_decrypt``,
+    AES-128-ECB + PKCS#7): encrypt-then-decrypt must be the identity,
+    and ECB ciphertext length is the deterministic padded length
+    floor(len/16)*16 + 16 — which is exactly what the oracle predicts
+    without running any crypto (the roundtrip-identity oracle pattern:
+    the engine under test does the real work; the oracle checks the
+    algebraic contract). ECB is chosen FOR determinism of the
+    demonstration — real deployments use the default GCM whose random
+    IV makes ciphertext non-deterministic by design (documented, not a
+    recommendation). Pure JVM expressions, map-side only, no shuffle."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    enc = c.select(
+        "c_custkey",
+        "c_name",
+        F.aes_encrypt(
+            F.col("c_name").cast("binary"),
+            F.lit(_AES_KEY).cast("binary"),
+            F.lit("ECB"),
+        ).alias("ct"),
+    )
+    return enc.select(
+        "c_custkey",
+        F.octet_length("ct").cast("long").alias("cipher_len"),
+        F.aes_decrypt(
+            F.col("ct"), F.lit(_AES_KEY).cast("binary"), F.lit("ECB")
+        )
+        .cast("string")
+        .alias("decrypted"),
+        (
+            F.aes_decrypt(
+                F.col("ct"), F.lit(_AES_KEY).cast("binary"), F.lit("ECB")
+            ).cast("string")
+            == F.col("c_name")
+        ).alias("roundtrip_ok"),
+    ).drop("c_name")

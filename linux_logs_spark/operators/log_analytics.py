@@ -732,3 +732,64 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_dec").cast("double").alias("value_sum"),
         )
     )
+
+
+@register(
+    "log_template_mine",
+    "log",
+    oracle=r"""
+WITH lines AS (
+  SELECT user_id,
+         printf('svc%d: user=%d action=%s value_cents=%d trace=%d',
+                event_id % 7, user_id, event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT),
+                event_id) AS line
+  FROM events
+), templ AS (
+  SELECT user_id, line,
+         regexp_replace(line, '[0-9]+', '<N>', 'g') AS template
+  FROM lines
+)
+SELECT template,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(line) AS example
+FROM templ
+GROUP BY template
+""",
+)
+def log_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining, the Drain-style first pass every log
+    platform runs: collapse each raw line's variable tokens (the digit
+    runs — ids, counters, sizes) into a placeholder and aggregate by
+    the survived constant skeleton. One template per event_type here
+    by construction, which is the point: the masked skeleton IS the
+    message type, recovered without knowing the format strings. Plan
+    shape: synthesize → one regexp_replace → hash aggregate on the
+    template string; all codegen'd, map-side partial aggregation does
+    the heavy dedup before the single shuffle, and template
+    cardinality (≈ distinct formats, thousands at worst) is tiny
+    regardless of corpus size — the 100 TB profile of real template
+    miners. Numbers embed as exact integer cents (floor(v*100+0.5) is
+    binary-exact both engines); min(line) is the deterministic
+    exemplar."""
+    e = load(spark, sf_dir, "events")
+    lines = e.select(
+        "user_id",
+        F.format_string(
+            "svc%d: user=%d action=%s value_cents=%d trace=%d",
+            F.col("event_id") % 7,
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            F.col("event_id"),
+        ).alias("line"),
+    )
+    templ = lines.withColumn(
+        "template", F.regexp_replace("line", "[0-9]+", "<N>")
+    )
+    return templ.groupBy("template").agg(
+        F.count("*").alias("n_lines"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("line").alias("example"),
+    )

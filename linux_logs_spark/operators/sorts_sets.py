@@ -120,3 +120,36 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # excludes it (round-5 review; latent only because c_custkey is
     # unique in the fixture).
     return c.subtract(o)
+
+
+@register(
+    "set_except_all",
+    "setop",
+    oracle="""
+WITH d AS (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 10
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS surplus
+FROM d GROUP BY l_partkey
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag difference): per part, occurrences of
+    high-quantity lines minus occurrences of returned lines — the
+    multiplicity-aware complement set_except's DISTINCT semantics
+    can't express (each right occurrence cancels exactly ONE left
+    occurrence). Spark plans exceptAll as a generate+sum-count
+    rewrite, not a join per row — one shuffle on the value, no
+    row-pairing blowup, so the 100 TB shape is a single hash
+    aggregate either side. The trailing count canonicalizes the bag
+    into deterministic (value, multiplicity) rows for the hash
+    compare — the surviving multiplicities ARE the semantics under
+    test."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(b).groupBy("l_partkey").agg(
+        F.count("*").alias("surplus")
+    )

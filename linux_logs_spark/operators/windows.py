@@ -389,3 +389,92 @@ def win_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id3").alias("end_event_id"),
         F.col("s").alias("start_s"),
     )
+
+
+@register(
+    "win_pattern_var",
+    "window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         (event_type = 'error') AS is_err,
+         lead(event_type) OVER w AS nxt,
+         CASE WHEN event_type = 'error'
+                   AND coalesce(lag(event_type) OVER w, '') <> 'error'
+              THEN 1 ELSE 0 END AS run_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *,
+         CAST(sum(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM marked WHERE is_err
+)
+SELECT user_id, run_id,
+       CAST(count(*) AS BIGINT) AS n_errors,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       min(s) AS start_s,
+       max(CASE WHEN nxt IS NULL OR nxt <> 'error'
+                THEN coalesce(nxt, '(stream end)') END) AS recovery
+FROM runs
+GROUP BY user_id, run_id
+HAVING count(*) >= 2
+""",
+)
+def win_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-length event-pattern detection — the ERROR{2,}
+    (followed-by-anything) shape win_pattern_seq's fixed lead() chain
+    cannot express (round-7 verdict gap 3: general MATCH_RECOGNIZE).
+    Classic gaps-and-islands: mark run starts with one lag(), number
+    runs with a running sum, aggregate each maximal consecutive-error
+    run per user, and read the recovery event from the run-end row's
+    lead() (exactly one row per run has nxt ≠ 'error'). Two window
+    passes over the SAME (user_id, ts, event_id) sort — Catalyst
+    executes them in one shuffle+sort since partitioning and ordering
+    agree — then a hash aggregate on (user, run_id): the 100 TB plan
+    is one shuffle, state bounded per user stream, no self-join and
+    no state machine. min/max(event_id) are the deterministic
+    in-run extrema (FIXTURES orders event_id with ts)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",  # the run-id window must share the lag/lead total order
+        F.unix_timestamp("ts").alias("s"),
+        (F.col("event_type") == "error").alias("is_err"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.coalesce(F.lag("event_type").over(w), F.lit("")) != "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("run_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter("is_err")
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+            F.min("s").alias("start_s"),
+            F.max(
+                F.when(
+                    F.col("nxt").isNull() | (F.col("nxt") != "error"),
+                    F.coalesce(F.col("nxt"), F.lit("(stream end)")),
+                )
+            ).alias("recovery"),
+        )
+        .filter(F.col("n_errors") >= 2)
+    )

@@ -1427,3 +1427,268 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("dst AS node", f"{rank_sql} AS rank")
         )
     return r.select(F.col("node").alias("l_partkey"), F.col("rank").alias("pagerank"))
+
+
+# Degree-orientation key spread: ok = deg * _TRI_SPREAD + node packs
+# (degree, node_id) into ONE sortable BIGINT. Valid while node ids
+# stay below the spread (partkeys: 2e4 at sf0.1, 2e7 at sf≈100;
+# 1e9 leaves the product < 2^63 up to degree ~9e9).
+_TRI_SPREAD = 1_000_000_000
+
+
+@register(
+    "graph_triangle_count",
+    "warehouse",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+), deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY p
+), oriented AS (
+  SELECT CASE WHEN da.d * {_TRI_SPREAD} + e.pa < db.d * {_TRI_SPREAD} + e.pb
+              THEN e.pa ELSE e.pb END AS src,
+         CASE WHEN da.d * {_TRI_SPREAD} + e.pa < db.d * {_TRI_SPREAD} + e.pb
+              THEN e.pb ELSE e.pa END AS dst,
+         least(da.d * {_TRI_SPREAD} + e.pa,
+               db.d * {_TRI_SPREAD} + e.pb) AS ok_src,
+         greatest(da.d * {_TRI_SPREAD} + e.pa,
+                  db.d * {_TRI_SPREAD} + e.pb) AS ok_dst
+  FROM edges e JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p
+), tri AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM oriented x
+  JOIN oriented y ON x.src = y.src AND x.ok_dst < y.ok_dst
+  JOIN oriented z ON z.src = x.dst AND z.dst = y.dst
+)
+SELECT least(u, v, w) AS p1,
+       u + v + w - least(u, v, w) - greatest(u, v, w) AS p2,
+       greatest(u, v, w) AS p3
+FROM tri
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the co-purchase graph (the clustering
+    /community primitive next to graph_pagerank) with DEGREE
+    ORIENTATION — the detail that decides whether triangle counting
+    survives a skewed 100 TB graph: orienting every edge from its
+    lower-(degree, id) endpoint to the higher one makes each wedge
+    enumeration pass generate Σ out_deg(u)² pairs with out-degrees
+    capped at O(√m), so total work is O(m^1.5) regardless of hub
+    nodes — the naive id-orientation instead explodes on any hub
+    (one degree-d node yields d²/2 wedges). Every step is an
+    equi-join + integer comparison: edges from the bounded
+    basket-pair join (part_copurchase's shape), degrees one hash
+    aggregate, wedges a self-equi-join on the oriented source, the
+    close a semi-shaped equi-join on (v, w). All-integer arithmetic →
+    exact cross-engine; output triangles canonicalized p1<p2<p3."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = base.alias("a"), base.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oka = F.col("da.d") * _TRI_SPREAD + F.col("pa")
+    okb = F.col("db.d") * _TRI_SPREAD + F.col("pb")
+    oriented = (
+        edges.join(da, F.col("pa") == F.col("da.p"))
+        .join(db, F.col("pb") == F.col("db.p"))
+        .select(
+            F.when(oka < okb, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(oka < okb, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.least(oka, okb).alias("ok_src"),
+            F.greatest(oka, okb).alias("ok_dst"),
+        )
+        # materialize once: the wedge pass reads it twice and the
+        # close a third time — without the checkpoint the basket
+        # self-join + degree joins would re-execute per reference
+        .localCheckpoint()
+    )
+    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.ok_dst") < F.col("y.ok_dst")),
+        )
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+    lo = F.least("u", "v", "w")
+    hi = F.greatest("u", "v", "w")
+    return tri.select(
+        lo.alias("p1"),
+        (F.col("u") + F.col("v") + F.col("w") - lo - hi).alias("p2"),
+        hi.alias("p3"),
+    )
+
+
+# K-means knobs: K centroids, ITERS Lloyd updates, components
+# quantized to integers at KM_SCALE so every distance and every
+# centroid mean is EXACT integer/float-exact arithmetic cross-engine
+# (the emb_quantize_int8 principle applied to make an iterative ML
+# algorithm hash-oracle-able; sums stay < 2^53 by construction:
+# |q| <= KM_SCALE, so even 10^9 members keep a component sum < 10^12).
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 1000
+_KM_DIM = 64
+
+
+def _km_q_exprs(col: str, one_based: bool) -> list[str]:
+    """The 64 quantization expressions: qi = floor(double(v[i]) * SCALE).
+    floor of an exact double product is bit-identical cross-engine."""
+    off = 1 if one_based else 0
+    return [
+        f"CAST(floor(CAST({col}[{i + off}] AS DOUBLE) * {KM_SCALE}.0) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(_KM_DIM)
+    ]
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE Lloyd replay (the graph_pagerank fixed-horizon
+    pattern): q = quantized vectors; per iteration an assignment CTE
+    (cross join the K-row centroid CTE, min over the packed
+    dist*K+k key) and an update CTE (per-cluster integer-mean with
+    empty-cluster carry-over via LEFT JOIN). Final stats from the
+    last assignment."""
+    qcols = ", ".join(f"q{i}" for i in range(_KM_DIM))
+    dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
+    upd = ", ".join(
+        f"CAST(floor(sum(q.q{i}) / count(*)) AS BIGINT) AS q{i}"
+        for i in range(_KM_DIM)
+    )
+    carry = ", ".join(f"coalesce(u.q{i}, p.q{i}) AS q{i}" for i in range(_KM_DIM))
+    sql = [
+        "WITH q AS (SELECT vec_id, "
+        + ", ".join(_km_q_exprs("embedding", one_based=True))
+        + " FROM embeddings)",
+        f", c0 AS (SELECT vec_id AS k, {qcols} FROM q WHERE vec_id < {KM_K})",
+    ]
+    for it in range(1, KM_ITERS + 1):
+        sql.append(
+            f", a{it} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
+            f" FROM q CROSS JOIN c{it - 1} c GROUP BY q.vec_id)"
+        )
+        sql.append(
+            f", u{it} AS (SELECT a.key % {KM_K} AS k, {upd}"
+            f" FROM q JOIN a{it} a ON q.vec_id = a.vec_id GROUP BY a.key % {KM_K})"
+        )
+        sql.append(
+            f", c{it} AS (SELECT p.k, {carry}"
+            f" FROM c{it - 1} p LEFT JOIN u{it} u ON p.k = u.k)"
+        )
+    final = KM_ITERS + 1
+    sql.append(
+        f", a{final} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
+        f" FROM q CROSS JOIN c{KM_ITERS} c GROUP BY q.vec_id)"
+    )
+    sql.append(
+        f"SELECT key % {KM_K} AS cluster,"
+        f" CAST(count(*) AS BIGINT) AS n_members,"
+        f" CAST(sum(key // {KM_K}) AS BIGINT) AS ssd"
+        f" FROM a{final} GROUP BY key % {KM_K}"
+    )
+    return "\n".join(sql)
+
+
+@register("emb_kmeans_lloyd", "llm", oracle=_km_oracle())
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    clustering step of corpus curation (topic balancing, dedup-aware
+    sampling, IVF index training: sim_ann_ivf's closed-form cells are
+    exactly what this replaces with LEARNED cells). Made hash-
+    oracle-able by integer quantization (KM_SCALE): distances, packed
+    argmin keys and centroid means are all exact integer/exact-double
+    ops, so a DuckDB unrolled-CTE replay matches bit-for-bit — the
+    graph_pagerank pattern extended from linear algebra to an
+    iterative ML training loop.
+
+    Scale shape: the quantized frame is checkpointed ONCE and reused
+    every iteration (the pagerank static-frame rule). Per iteration:
+    assignment is a pure map — centroids are collected to the driver
+    (K×dim ints, the bounded-collect class: 16 IVF centroids, 1-row
+    BPE argmax) and baked as LITERALS into one least()-packed
+    codegen'd projection, so there is NO join and NO shuffle in
+    assignment; the update is one hash aggregate (64 map-side partial
+    sums on an 8-valued key). Driver traffic per iteration = K rows.
+    At 100 TB: ITERS scans of the quantized corpus, each one
+    projection + one tiny aggregate — the textbook distributed
+    k-means plan. Empty clusters carry the previous centroid (both
+    engines, same rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
+    q = q.localCheckpoint()  # static frame, reused every iteration
+
+    init = q.filter(F.col("vec_id") < KM_K).collect()
+    cents = {
+        int(r["vec_id"]): [int(r[f"q{i}"]) for i in range(_KM_DIM)] for r in init
+    }
+
+    def key_expr() -> str:
+        packed = []
+        for k in range(KM_K):
+            c = cents[k]
+            d = " + ".join(
+                f"(q{i} - ({c[i]})) * (q{i} - ({c[i]}))" for i in range(_KM_DIM)
+            )
+            packed.append(f"({d}) * {KM_K} + {k}")
+        return "least(" + ", ".join(packed) + ")"
+
+    for _ in range(KM_ITERS):
+        assigned = q.selectExpr("*", f"{key_expr()} AS key")
+        upd = (
+            assigned.groupBy((F.col("key") % KM_K).alias("k"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(_KM_DIM)],
+            )
+            .collect()
+        )
+        import math
+
+        for r in upd:  # empty clusters keep their previous centroid
+            # s/n in double is exact (|s| < 2^53), so Python's floor
+            # is bit-identical to both engines' SQL floor
+            cents[int(r["k"])] = [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
+            ]
+
+    final = q.selectExpr("vec_id", f"{key_expr()} AS key")
+    return final.groupBy((F.col("key") % KM_K).alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.expr(f"key DIV {KM_K}")).alias("ssd"),
+    )

@@ -620,3 +620,38 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_STATS_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "agg_grouping_id",
+    "aggregate",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       (GROUPING(l_returnflag) = 0 AND GROUPING(l_linestatus) = 1)
+         AS is_flag_subtotal
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id()/grouping() over a ROLLUP — the disambiguator that
+    makes multi-level aggregates machine-consumable: a NULL group key
+    in rollup output is ambiguous (real NULL data vs subtotal row);
+    the grouping bitmask says which, so downstream consumers can route
+    subtotal rows without guessing. Same Expand-based plan as
+    agg_rollup (each input row replicated once per grouping set,
+    map-side partials per set) — grouping_id is metadata the Expand
+    node already carries, zero extra cost. Spark's grouping_id() bit
+    order (first listed column = most significant) is replayed in the
+    oracle as GROUPING(a)*2 + GROUPING(b)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.grouping_id().alias("gid"),
+        (
+            (F.grouping("l_returnflag") == 0) & (F.grouping("l_linestatus") == 1)
+        ).alias("is_flag_subtotal"),
+    )

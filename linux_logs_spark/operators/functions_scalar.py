@@ -746,3 +746,50 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("c_name")
         ).alias("roundtrip_ok"),
     ).drop("c_name")
+
+
+@register(
+    "fn_xpath",
+    "scalar",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority AS xp_priority,
+       o_totalprice AS xp_price,
+       CAST(o_custkey AS BIGINT) AS xp_cust,
+       concat(o_orderstatus, '|', o_orderpriority) AS xp_all_tags
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction family (``xpath_string`` / ``xpath_double`` /
+    ``xpath_long`` / ``xpath`` array form) — the XML drill-down
+    surface, verified by the roundtrip-identity pattern (fn_aes's
+    rule): XML is synthesized from typed columns with format_string,
+    every xpath extraction must return exactly the source column, so
+    the oracle is pure base-column algebra with no XML library. The
+    array form (``xpath`` returns array<string>) is canonicalized with
+    concat_ws — complex-typed outputs don't survive the driver's
+    pandas canonicalizer (round-1 agg_collect lesson). All JVM
+    expressions, map-side, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    xml = o.select(
+        "o_orderkey",
+        F.format_string(
+            '<order status="%s"><priority>%s</priority>'
+            "<price>%s</price><cust>%d</cust></order>",
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("string"),
+            F.col("o_custkey"),
+        ).alias("x"),
+    )
+    return xml.select(
+        "o_orderkey",
+        F.expr("xpath_string(x, '/order/priority')").alias("xp_priority"),
+        F.expr("xpath_double(x, '/order/price')").alias("xp_price"),
+        F.expr("xpath_long(x, '/order/cust')").alias("xp_cust"),
+        F.concat_ws(
+            "|", F.expr("xpath(x, '//@status | //priority/text()')")
+        ).alias("xp_all_tags"),
+    )

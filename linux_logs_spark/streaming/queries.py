@@ -295,17 +295,34 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, "append")
 
 
-@register("stream_dedup", "streaming", oracle=None)  # stateful dedup → rows-only
+@register(
+    "stream_dedup",
+    "streaming",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark) — state is evicted once the key's
     event time passes the watermark, which is what makes dedup
-    feasible on an unbounded 100 TB stream."""
+    feasible on an unbounded 100 TB stream.
+
+    Graduated from rows-only (round 8): the operator keeps an
+    ARBITRARY first-seen row per key, so projecting non-key columns
+    (the old event_id output) was nondeterministic by contract — but
+    the emitted KEY SET is exact: one row per distinct key whose state
+    survives, and under availableNow on this single-file source the
+    whole stream is ONE micro-batch, so the watermark never advances
+    mid-run, no key is evicted and re-emitted, and the keys-only
+    output ≡ batch DISTINCT — full hash oracle. (On a multi-batch
+    source a key re-arriving after its state's eviction re-emits by
+    design; that is watermark semantics, not nondeterminism.)"""
     src = _events_stream(spark, sf_dir)
     deduped = src.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    out = deduped.select("event_id", "user_id", "event_type")
+    out = deduped.select("user_id", "event_type")
     return _run(spark, out, "append")
 
 

@@ -770,3 +770,31 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("action") != "delete")
     )
+
+
+# ONE text for both engines (the _LATERAL_TOPK_SQL single-sourcing
+# rule): Spark 4 and DuckDB both parse GROUP BY ALL / ORDER BY ALL,
+# so the query and its oracle are the same string and cannot drift.
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q_group_by_all", "relational", oracle=_GROUP_BY_ALL_SQL)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 ⊃ the DuckDB-popularized
+    shorthand): every non-aggregate select item becomes a group key,
+    and the ordering covers all output columns left-to-right — the
+    ergonomic surface analysts use for quick rollups without
+    re-listing columns. Resolves at ANALYSIS time to the identical
+    grouped plan as an explicit GROUP BY (zero runtime cost; same
+    hash aggregate + exchange), so the 100 TB shape is agg_groupby's.
+    DECIMAL revenue accumulation per the compat rule."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

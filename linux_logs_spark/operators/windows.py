@@ -478,3 +478,60 @@ def win_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_errors") >= 2)
     )
+
+
+@register(
+    "win_session_window",
+    "window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), gaps AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                   >= 1800 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(s) AS session_start_s,
+       max(s) + 1800 AS session_end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def win_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session window (``F.session_window`` in batch
+    groupBy — the same operator Structured Streaming's stream_session
+    uses, here on the batch path) next to sessionize's manual
+    gaps-and-islands: one groupBy produces merged sessions directly,
+    no lag/running-sum windows. Boundary semantics differ from
+    sessionize AT THE EXACT GAP and both are pinned: session_window
+    [t, t+gap) windows merge only when the next event starts STRICTLY
+    before the current window's end, so a gap of exactly 1800 s starts
+    a NEW session (oracle: >= 1800), while sessionize's `gap > 1800`
+    keeps it (its oracle: > 1800). Events are floored to whole seconds
+    first (FIXTURES convention 3 — ns-vs-µs precision must not decide
+    a boundary). Plan: one shuffle on user_id + the session-merge
+    aggregate; window end = last event + gap by definition, replayed
+    as max(s) + 1800."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.unix_timestamp("ts")).alias("tss")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("tss", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            F.unix_timestamp("session_window.end").alias("session_end_s"),
+            "n_events",
+        )
+    )

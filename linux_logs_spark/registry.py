@@ -121,6 +121,7 @@ _MEASURED_COST: dict[str, float] = {
     "win_pattern_var": 1.71, "log_template_mine": 1.23, "table_merge_upsert": 1.48,
     "graph_triangle_count": 2.24, "emb_kmeans_lloyd": 5.56,
     "agg_grouping_id": 0.54, "fn_xpath": 0.55,
+    "win_session_window": 0.83, "q_group_by_all": 0.55,
     "agg_approx_distinct": 0.82, "agg_approx_percentile": 0.19, "agg_bitmap_distinct": 0.37, "agg_bool": 0.24,
     "agg_collect": 0.24, "agg_conditional_family": 0.45, "agg_count_distinct": 0.27, "agg_cube": 0.36,
     "agg_distinct_rows": 0.2, "agg_global": 0.32, "agg_groupby": 0.38, "agg_groupby_sql": 0.41,

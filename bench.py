@@ -77,15 +77,23 @@ HEADLINE = (
 )
 
 
+# Loaded-window gate: a full run whose median exceeds the committed
+# artifact's by more than this ratio is rejected (see guard_full_artifact).
+GUARD_RATIO = 1.10
+
+
 def _prior_full_median(repo_dir: str) -> float | None:
     """Median per-query time of the bench_full.json already on disk
-    (the last good quiet-window artifact), or None if absent/unusable."""
+    (the last good quiet-window artifact), or None if absent/unusable.
+    'Unusable' includes structurally wrong JSON (non-dict queries,
+    non-numeric values) — the guard must degrade, never crash a
+    finished run (round-8 review)."""
     try:
         with open(os.path.join(repo_dir, "bench_full.json")) as fh:
             blob = json.load(fh)
-        vals = sorted(blob["queries"].values())
+        vals = sorted(float(v) for v in blob["queries"].values())
         return vals[len(vals) // 2] if vals else None
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, AttributeError, TypeError):
         return None
 
 
@@ -102,7 +110,7 @@ def guard_full_artifact(new_median: float | None, prior_median: float | None,
     --force after a quiet-window confirmation rerun."""
     if force or prior_median is None or new_median is None:
         return True
-    return new_median <= 1.10 * prior_median
+    return new_median <= GUARD_RATIO * prior_median
 
 
 def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,
@@ -149,9 +157,9 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
         artifact = "bench_full_rejected.json"
         payload["rejected_loaded_run"] = True
         print(
-            "bench: median >25% above committed bench_full.json — "
-            "writing bench_full_rejected.json (rerun in a quiet window "
-            "or pass --force)",
+            f"bench: median >{round((GUARD_RATIO - 1) * 100)}% above "
+            "committed bench_full.json — writing bench_full_rejected.json "
+            "(rerun in a quiet window or pass --force)",
             file=sys.stderr,
         )
     else:

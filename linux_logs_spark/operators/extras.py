@@ -370,6 +370,16 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = read_manifest(manifest_path)
     if m is None or m.get("fingerprint") != fingerprint or "root" not in m:
         prev_root = (m or {}).get("root")
+        # NEVER write into an existing root — a corrupt-manifest
+        # rebuild with an UNCHANGED fingerprint would otherwise
+        # mode('overwrite') the very dir a pre-corruption reader is
+        # scanning (round-8 review). Suffix until the root is fresh;
+        # read_as_of always resolves through the manifest, so the
+        # name only needs to be unused.
+        n = 0
+        while os.path.exists(os.path.join(base, root)):
+            n += 1
+            root = f"r_{fingerprint.replace(':', '_')}_{n}"
         v2 = c.withColumn(
             "c_acctbal",
             F.when(
@@ -386,16 +396,20 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # One-generation retention: readers holding the just-replaced
         # manifest can still finish their scan of prev_root; anything
-        # older has been superseded twice and goes.
-        import shutil
+        # older has been superseded twice and goes. When the previous
+        # manifest was unreadable the prior root is UNKNOWN — skip
+        # pruning entirely rather than delete a root a reader may
+        # still hold (round-8 review).
+        if prev_root is not None:
+            import shutil
 
-        for entry in os.listdir(base):
-            if (
-                entry.startswith("r_")
-                and entry not in (root, prev_root)
-                and os.path.isdir(os.path.join(base, entry))
-            ):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            for entry in os.listdir(base):
+                if (
+                    entry.startswith("r_")
+                    and entry not in (root, prev_root)
+                    and os.path.isdir(os.path.join(base, entry))
+                ):
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     def read_as_of(version: int) -> DataFrame:
         m = read_manifest(manifest_path)
@@ -728,8 +742,11 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped with a HintErrorLogger warning — verified, so none is
     given): both sides shuffle on the key, which is the honest 100 TB
     plan for a MERGE that must see unmatched rows from BOTH sides.
-    The source is checkpointed once so the two-branch union isn't
-    recomputed per downstream consumer. DECIMAL
+    The source union stays LAZY — its single consumer is the one
+    join, so the plan executes it exactly once and a checkpoint would
+    be pure overhead (round-8 review; the dedup_edit_verify
+    checkpoint-then-count pattern only pays when a broadcast decision
+    needs the count, which a full-outer join cannot use). DECIMAL
     accumulation for the money sum; the final balance is ONE IEEE add
     of two cross-engine-identical doubles, so it hash-matches raw and
     un-rounded (compat rule — never round money)."""
@@ -744,7 +761,7 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") + 1_000_000).alias("k"),
         F.col("o_totalprice").alias("delta"),
     )
-    src = updates.unionByName(inserts).localCheckpoint()
+    src = updates.unionByName(inserts)
     merged = c.join(src, c.c_custkey == src.k, "full_outer")
     new_bal = F.col("c_acctbal") + F.col("delta")
     action = (

@@ -731,21 +731,24 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ECB"),
         ).alias("ct"),
     )
-    return enc.select(
+    # decrypt ONCE in its own projection; the comparison reuses the
+    # column (round-8 review: the inline form ran AES twice per row)
+    dec = enc.select(
         "c_custkey",
+        "c_name",
         F.octet_length("ct").cast("long").alias("cipher_len"),
         F.aes_decrypt(
             F.col("ct"), F.lit(_AES_KEY).cast("binary"), F.lit("ECB")
         )
         .cast("string")
         .alias("decrypted"),
-        (
-            F.aes_decrypt(
-                F.col("ct"), F.lit(_AES_KEY).cast("binary"), F.lit("ECB")
-            ).cast("string")
-            == F.col("c_name")
-        ).alias("roundtrip_ok"),
-    ).drop("c_name")
+    )
+    return dec.select(
+        "c_custkey",
+        "cipher_len",
+        "decrypted",
+        (F.col("decrypted") == F.col("c_name")).alias("roundtrip_ok"),
+    )
 
 
 @register(

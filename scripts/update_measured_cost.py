@@ -25,10 +25,18 @@ RESULTS = os.path.join(REPO, "driver_sim_results.json")
 def _median_ratio_vs_table(costs: dict[str, float], src: str) -> float | None:
     """Median new/old cost ratio against the current table — the
     loaded-window detector bench.py's artifact guard uses, applied to
-    the cost table (round-8 review: the same clobber class)."""
+    the cost table (round-8 review: the same clobber class). Old costs
+    are parsed ONLY from the _MEASURED_COST block (round-8 review #2:
+    a bare repo-wide regex would absorb any quoted numeric literal
+    added elsewhere in registry.py)."""
+    block = re.search(
+        r"_MEASURED_COST: dict\[str, float\] = \{(.*?)\n\}", src, re.DOTALL
+    )
+    if not block:
+        return None
     old = {
         k: float(v)
-        for k, v in re.findall(r'"([^"]+)": ([\d.]+)', src)
+        for k, v in re.findall(r'"([^"]+)": ([\d.]+)', block.group(1))
     }
     ratios = sorted(
         costs[k] / old[k] for k in costs if old.get(k, 0) > 0.05

@@ -837,3 +837,51 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+# Feature-hashing dimensionality: buckets for the hashing trick. 64
+# keeps the demonstration's collision structure visible at test scale;
+# production HashingTF defaults to 2^18 — the plan is identical.
+HASHING_TF_DIM = 64
+
+
+@register(
+    "text_hashing_tf",
+    "llm",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(word), 1, 8))::BIGINT % {HASHING_TF_DIM} AS bucket,
+       CAST(count(*) AS BIGINT) AS tf
+FROM w
+GROUP BY doc_id, bucket
+""",
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF): project every document onto a
+    FIXED bucket dimension with a stateless hash — the vectorizer a
+    100 TB featurization pipeline uses precisely because it needs NO
+    vocabulary pass, no dictionary broadcast, and no coordination:
+    bucket = h(word) % D is computed map-side on each executor, so the
+    whole operator is explode → hash → one (doc, bucket) aggregate
+    (vocab_build's two-pass dictionary is the contrast). Collisions
+    are the accepted trade (D=64 here makes them visible; 2^18 in
+    production). Cross-engine hash = first 8 hex chars of md5 as an
+    integer — the split_train_holdout md5-threshold convention
+    extended to bucket arithmetic, exact in both engines. Long-format
+    (doc_id, bucket, tf) output: sparse by construction, no map/array
+    columns for the driver canonicalizer to choke on."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words("text")).alias("word"))
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        % HASHING_TF_DIM
+    )
+    return (
+        w.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )

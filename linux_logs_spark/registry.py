@@ -115,6 +115,8 @@ def _ensure_loaded() -> None:
 # query has an entry so additions can't silently default.
 # LAST REFRESH: 216 queries, total 465.2 s, zero bad rows; round-8 full 2-pass, 216 queries, zero bad rows; host ~15% slower than the r7 quiet baseline across three uniform runs (medians 1.14/1.20/1.15) — forced as the current-host baseline
 _MEASURED_COST: dict[str, float] = {
+    # round-8 addition after the full refresh (subset 2-pass):
+    "text_hashing_tf": 1.16,
     "agg_approx_distinct": 0.9, "agg_approx_percentile": 0.15, "agg_bitmap_distinct": 0.29, "agg_bool": 0.27,
     "agg_collect": 0.23, "agg_conditional_family": 0.86, "agg_count_distinct": 0.28, "agg_cube": 0.37,
     "agg_distinct_rows": 0.16, "agg_global": 0.38, "agg_groupby": 0.58, "agg_groupby_sql": 0.58,

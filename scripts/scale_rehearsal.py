@@ -75,6 +75,16 @@ HEAVY = [
     # 31-words/lang synthetic vocab ⇒ round cost should be FLAT at
     # 10x; only the first pass grows). Round-7 verdict item 7.
     "bpe_train_merges",
+    # round-8 adds with a scale claim worth a datapoint:
+    # - kmeans: per-iteration cost ∝ N·K map-side + K-key agg; wall
+    #   should grow ≲ linearly with vectors (driver traffic constant).
+    # - triangles: degree orientation caps wedge work at O(m^1.5);
+    #   edges ∝ orders, so 10x orders bounds the wedge-join curve.
+    # - budget trim: the distributed prefix sum (r7 verdict item 4's
+    #   fix) must scale with partitions, not |langs|.
+    "emb_kmeans_lloyd",
+    "graph_triangle_count",
+    "corpus_budget_trim",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed

@@ -90,6 +90,13 @@ def test_rebuild_writes_new_root_and_keeps_one_generation(spark, sf_dir):
     cur = read_manifest(manifest)
     assert cur is not None and cur["root"].startswith("r_")
     # Forge an older generation and a stale manifest pointing at it.
+    # (rm any forged dirs a previous run of THIS test left behind —
+    # r_old legitimately survives via one-generation retention, which
+    # made the rename below non-idempotent.)
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "r_old"), ignore_errors=True)
+    shutil.rmtree(os.path.join(base, "r_older"), ignore_errors=True)
     os.makedirs(os.path.join(base, "r_older"), exist_ok=True)
     os.rename(os.path.join(base, cur["root"]), os.path.join(base, "r_old"))
     write_manifest_atomic(
@@ -97,7 +104,9 @@ def test_rebuild_writes_new_root_and_keeps_one_generation(spark, sf_dir):
     )
     fn(spark, sf_dir).count()  # fingerprint mismatch -> rebuild
     new = read_manifest(manifest)
-    assert new["root"] == cur["root"] != "r_old"  # fresh root, not in-place
+    # fresh root, not in place (suffixing may pick any unused r_* name)
+    assert new["root"].startswith("r_") and new["root"] != "r_old"
+    assert not os.path.exists(os.path.join(base, new["root"] + ".tmp"))
     assert os.path.isdir(os.path.join(base, "r_old"))  # one generation kept
     assert not os.path.exists(os.path.join(base, "r_older"))  # pruned
     # The kept previous generation is still fully readable.

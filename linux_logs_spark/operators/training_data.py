@@ -709,8 +709,15 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # offset side carries RENAMED keys: offsets shares ranked's
+    # lineage, so joining on same-named attributes would rely on
+    # Spark's self-join disambiguation (it warns 'trivially true
+    # equals predicate' — round-8 rehearsal); distinct names make the
+    # condition unambiguous by construction.
     offsets = pl.select(
-        "_pid", "lang", F.coalesce(F.sum("_tok").over(cum), F.lit(0)).alias("_off")
+        F.col("_pid").alias("o_pid"),
+        F.col("lang").alias("o_lang"),
+        F.coalesce(F.sum("_tok").over(cum), F.lit(0)).alias("_off"),
     )
     w = (
         Window.partitionBy("_pid", "lang")
@@ -725,11 +732,9 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         loc.join(
             F.broadcast(offsets),
-            (loc["_pid"] == offsets["_pid"])
-            & loc["lang"].eqNullSafe(offsets["lang"]),
+            (F.col("_pid") == F.col("o_pid"))
+            & F.col("lang").eqNullSafe(F.col("o_lang")),
         )
-        .drop(offsets["_pid"])
-        .drop(offsets["lang"])
         .withColumn("cum_tokens", F.col("_local") + F.col("_off"))
         .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")

@@ -793,3 +793,63 @@ def log_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.min("line").alias("example"),
     )
+
+
+_ENT_TERM6 = "sign(p * ln(p)) * floor(abs(p * ln(p)) * 1e6 + 0.5) / 1e6"
+
+
+@register(
+    "log_entropy_profile",
+    "log",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT hour_of_day, sum(n) AS n_events, count(*) AS n_types
+  FROM c GROUP BY hour_of_day
+), p AS (
+  SELECT c.hour_of_day, CAST(t.n_events AS BIGINT) AS n_events,
+         CAST(t.n_types AS BIGINT) AS n_types,
+         CAST(c.n AS DOUBLE) / CAST(t.n_events AS DOUBLE) AS p
+  FROM c JOIN t ON c.hour_of_day = t.hour_of_day
+)
+SELECT hour_of_day, n_events, n_types,
+       -CAST(sum(CAST({_ENT_TERM6} AS DECIMAL(25,6))) AS DOUBLE)
+         AS entropy_nats
+FROM p
+GROUP BY hour_of_day, n_events, n_types
+""",
+)
+def log_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per hour-of-day — the
+    drift/anomaly profile a platform baselines traffic against (a
+    sudden entropy drop means one event type is flooding; a rise means
+    new/unusual traffic). H = -Σ p·ln(p) in nats.
+
+    Scale shape: events collapse to |hours|×|types| counts in ONE
+    map-side partial aggregate before any shuffle; everything after is
+    arithmetic over ≤ 24×|types| rows (the per-hour totals join is a
+    24-row broadcast). Float parity: p is a single IEEE division;
+    ln() is libm-vs-JVM so each p·ln(p) term is rounded half-away at 6
+    digits, then accumulated in DECIMAL(25,6) — exact and order-free
+    (compat.py failure mode 2) — and negated after the final cast."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("hour_of_day").agg(
+        F.sum("n").alias("n_events"), F.count("*").alias("n_types")
+    )
+    p = c.join(F.broadcast(t), "hour_of_day").select(
+        "hour_of_day",
+        "n_events",
+        "n_types",
+        (F.col("n").cast("double") / F.col("n_events").cast("double")).alias("p"),
+    )
+    return p.groupBy("hour_of_day", "n_events", "n_types").agg(
+        (-F.sum(F.expr(_ENT_TERM6).cast("decimal(25,6)")).cast("double")).alias(
+            "entropy_nats"
+        )
+    )

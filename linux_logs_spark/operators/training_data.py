@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.text import STOPWORDS, word_shingles, words
+from linux_logs_spark.functions.vector import round6_away_sql
 from linux_logs_spark.operators.llm_pipeline import (
     _JACCARD_PAIRS_SQL,
     blocked_jaccard_pairs,
@@ -564,6 +565,91 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target",
             rate.alias("sample_rate"),
             kept.alias("kept_docs"),
+        )
+    )
+
+
+# Temperature exponent for multilingual sampling (the p^α / Σ p^α
+# re-weighting used to up-sample low-resource languages when building
+# a training mix). 0.3 is the published mBERT/XLM-R operating point;
+# the literal parses to the identical double in Spark and DuckDB, so
+# both engines raise to exactly the same exponent.
+SAMPLING_TEMPERATURE_ALPHA = "0.3"
+
+_TEMP_TERM6 = round6_away_sql(f"pow(p_raw, {SAMPLING_TEMPERATURE_ALPHA})")
+_TEMP_WEIGHT6 = round6_away_sql("term6 / z")
+
+
+@register(
+    "corpus_temperature_sample",
+    "llm",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT sum(n_docs) AS total_docs FROM s
+), p AS (
+  SELECT lang, n_docs, total_docs,
+         CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS p_raw
+  FROM s CROSS JOIN t
+), w AS (
+  SELECT *, {_TEMP_TERM6} AS term6 FROM p
+), z AS (
+  SELECT CAST(sum(CAST(term6 AS DECIMAL(25,6))) AS DOUBLE) AS z FROM w
+), ws AS (
+  SELECT lang, n_docs, p_raw, total_docs, {_TEMP_WEIGHT6} AS samp_weight
+  FROM w CROSS JOIN z
+)
+SELECT lang, n_docs, p_raw, samp_weight,
+       CAST(floor(samp_weight * CAST(total_docs AS DOUBLE) + 0.5) AS BIGINT)
+         AS expected_epoch_docs
+FROM ws
+""",
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights: w_l = p_l^α / Σ_m
+    p_m^α with α = 0.3 — the multilingual-pretraining re-weighting
+    that up-samples low-resource languages without discarding the
+    high-resource ones (α=1 keeps the natural mix, α→0 flattens it).
+    Output is the per-lang weight plus the expected docs drawn per
+    epoch, i.e. the numbers a sampler daemon actually consumes.
+
+    Scale shape: one count aggregate over lang (map-side partial,
+    |langs| rows out), two 1-row broadcasts (corpus total, partition
+    normalizer) — cost is |langs|, independent of corpus bytes.
+    Float parity: p_raw is a single IEEE division; pow() is libm vs
+    JVM so the term is rounded half-away at 6 digits BEFORE the
+    normalizer sum, which accumulates in DECIMAL(25,6) (exact,
+    order-free — compat.py failure mode 2); the final weight is one
+    IEEE division of identical doubles, rounded once more."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    t = s.agg(F.sum("n_docs").alias("total_docs"))
+    w = s.join(F.broadcast(t)).selectExpr(
+        "lang",
+        "n_docs",
+        "total_docs",
+        "cast(n_docs as double) / cast(total_docs as double) as p_raw",
+    ).selectExpr("*", f"{_TEMP_TERM6} as term6")
+    z = w.agg(
+        F.sum(F.col("term6").cast("decimal(25,6)")).cast("double").alias("z")
+    )
+    return (
+        w.join(F.broadcast(z))
+        .selectExpr(
+            "lang", "n_docs", "p_raw", "total_docs",
+            f"{_TEMP_WEIGHT6} as samp_weight",
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "p_raw",
+            "samp_weight",
+            "cast(floor(samp_weight * cast(total_docs as double) + 0.5) as bigint)"
+            " as expected_epoch_docs",
         )
     )
 

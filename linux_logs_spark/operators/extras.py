@@ -306,60 +306,45 @@ def write_manifest_atomic(path: str, manifest: dict) -> None:
     os.replace(tmp, path)
 
 
-@register(
-    "table_time_travel",
-    "join",
-    oracle="""
-WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-     v2 AS (SELECT c_custkey,
-                   CASE WHEN c_mktsegment = 'BUILDING'
-                        THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal
-            FROM customer)
-SELECT v1.c_custkey, v1.c_name,
-       v1.c_acctbal AS acctbal_v1,
-       v2.c_acctbal AS acctbal_v2,
-       (v2.c_acctbal <> v1.c_acctbal) AS changed
-FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
-""",
-)
-def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot time travel over immutable parquet — the read side of
-    the lakehouse story scd2_merge writes (the round-6 verdict's one
-    'searchable store falls short' gap, closed as far as a
-    no-Delta/Iceberg container allows): every MERGE writes a NEW
-    versioned snapshot directory plus a manifest recording the version
-    list; read-as-of(v) resolves the manifest and scans only that
-    snapshot's files. Here v1 = customer as loaded, v2 = v1 with the
-    scd2 update applied (BUILDING acctbal × 1.1), both staged once
-    (source-fingerprinted, idempotent — the bucketed-table rule); the
-    registered query is the classic as-of diff: join v1 to v2 on the
-    key and report changed rows. At 100 TB each snapshot is just
-    parquet behind a manifest pointer, so time travel costs one
-    manifest read, never a table copy — identical to how Delta/Iceberg
-    resolve versions, minus multi-writer transactionality: the commit
-    protocol here is SINGLE-WRITER — snapshot dirs are IMMUTABLE
-    (written under a fingerprint-keyed root, never overwritten in
-    place: a rebuild writes a NEW root, so a reader that resolved the
-    old manifest keeps scanning intact old files — round-8 review;
-    plain v=N dirs under base would be deleted mid-scan by a
-    concurrent rebuild's mode('overwrite')), then the manifest swaps
-    in via write-temp + os.replace (atomic on POSIX), so a crash
-    mid-commit can never publish a truncated manifest and a concurrent
-    READER always resolves a complete manifest (old or new, never a
-    mix — pinned by tests/test_time_travel_manifest.py). Superseded
-    roots are pruned with one-generation retention (current root's
-    predecessor survives; older siblings go) — the zero-cost analogue
-    of VACUUM's retention window. A corrupt or truncated manifest
-    (crash before the protocol existed, manual tampering) is treated
-    as stale and rebuilt, never surfaced as JSONDecodeError (round-7
-    advice)."""
+# CDC derivation constants for the v2→v3 snapshot delta (Spark build
+# and DuckDB oracle replays are f-strings over these so the two can
+# never desync): v3 deletes keys ≡ CDC_DELETE_RESIDUE (mod
+# CDC_DELETE_MOD) and inserts key-shifted zero-balance copies of keys
+# ≡ CDC_INSERT_RESIDUE (mod CDC_INSERT_MOD). The shift must exceed the
+# largest real custkey at the deployed scale so inserted keys can
+# never collide (10⁷ ≫ the fixture's key space; a 100 TB table would
+# derive it from max(custkey) or use a surrogate-key allocator).
+CDC_DELETE_MOD, CDC_DELETE_RESIDUE = 11, 3
+CDC_INSERT_MOD, CDC_INSERT_RESIDUE = 13, 5
+CDC_INSERT_KEY_SHIFT = 10_000_000
+
+
+def _customer_snapshot_reader(spark: SparkSession, sf_dir: str):
+    """Stage the versioned customer snapshot family ONCE and return
+    ``read_as_of(version) -> DataFrame`` — the shared storage layer
+    behind table_time_travel (v1 vs v2 as-of diff) and
+    table_incremental_changes (v1 → v3 CDC read).
+
+    Versions: v1 = customer as loaded; v2 = v1 with the scd2 update
+    applied (BUILDING acctbal × 1.1); v3 = v2 with deletes (custkey %
+    11 == 3 dropped) and inserts (key-shifted zero-balance copies of
+    custkey % 13 == 5) — so the family exhibits every change class a
+    CDC reader must classify. Commit protocol (single-writer,
+    pinned by tests/test_time_travel_manifest.py): snapshot dirs are
+    IMMUTABLE under a fingerprint-keyed root — a rebuild writes a NEW
+    root, never in place — and the manifest publishes via write-temp +
+    fsync + os.replace, so a concurrent reader always resolves a
+    complete manifest (old or new, never a mix). Superseded roots are
+    pruned with one-generation retention; corrupt/truncated manifests
+    degrade to a rebuild. A manifest whose version list predates v3
+    (written by an earlier build of this module) is treated as stale
+    the same way."""
     import os
 
     from linux_logs_spark.catalog import dataset_fingerprint, table_path
     from linux_logs_spark.operators.scans import _scratch
 
     c = load(spark, sf_dir, "customer")
-    n_cust = table_row_count(sf_dir, "customer")
     base = _scratch(sf_dir, "snapshots_customer")
     # dir-aware shared fingerprint (round-7 review: a bare os.stat is
     # blind to in-place part rewrites on directory-form datasets)
@@ -368,7 +353,12 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest_path = os.path.join(base, "_MANIFEST.json")
     root = f"r_{fingerprint.replace(':', '_')}"
     m = read_manifest(manifest_path)
-    if m is None or m.get("fingerprint") != fingerprint or "root" not in m:
+    if (
+        m is None
+        or m.get("fingerprint") != fingerprint
+        or "root" not in m
+        or m.get("versions") != [1, 2, 3]
+    ):
         prev_root = (m or {}).get("root")
         # NEVER write into an existing root — a corrupt-manifest
         # rebuild with an UNCHANGED fingerprint would otherwise
@@ -386,13 +376,22 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") * 1.1
             ).otherwise(F.col("c_acctbal")),
         )
-        for ver, frame in ((1, c), (2, v2)):
+        v3 = v2.filter(
+            F.col("c_custkey") % CDC_DELETE_MOD != CDC_DELETE_RESIDUE
+        ).unionByName(
+            v2.filter(
+                F.col("c_custkey") % CDC_INSERT_MOD == CDC_INSERT_RESIDUE
+            ).withColumn(
+                "c_custkey", F.col("c_custkey") + CDC_INSERT_KEY_SHIFT
+            ).withColumn("c_acctbal", F.lit(0.0))
+        )
+        for ver, frame in ((1, c), (2, v2), (3, v3)):
             frame.write.mode("overwrite").parquet(
                 os.path.join(base, root, f"v={ver}")
             )
         write_manifest_atomic(
             manifest_path,
-            {"fingerprint": fingerprint, "root": root, "versions": [1, 2]},
+            {"fingerprint": fingerprint, "root": root, "versions": [1, 2, 3]},
         )
         # One-generation retention: readers holding the just-replaced
         # manifest can still finish their scan of prev_root; anything
@@ -419,6 +418,45 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(f"unknown snapshot version {version}: {m['versions']}")
         return spark.read.parquet(os.path.join(base, m["root"], f"v={version}"))
 
+    return read_as_of
+
+
+@register(
+    "table_time_travel",
+    "join",
+    oracle="""
+WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+     v2 AS (SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal
+            FROM customer)
+SELECT v1.c_custkey, v1.c_name,
+       v1.c_acctbal AS acctbal_v1,
+       v2.c_acctbal AS acctbal_v2,
+       (v2.c_acctbal <> v1.c_acctbal) AS changed
+FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+""",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over immutable parquet — the read side of
+    the lakehouse story scd2_merge writes (the round-6 verdict's one
+    'searchable store falls short' gap, closed as far as a
+    no-Delta/Iceberg container allows): every MERGE writes a NEW
+    versioned snapshot directory plus a manifest recording the version
+    list; read-as-of(v) resolves the manifest and scans only that
+    snapshot's files. Storage + commit protocol (atomic manifest swap,
+    immutable fingerprint-keyed roots, one-generation retention,
+    corrupt-manifest recovery) live in _customer_snapshot_reader,
+    shared with table_incremental_changes. The registered query is the
+    classic as-of diff: join v1 to v2 on the key and report changed
+    rows. At 100 TB each snapshot is just parquet behind a manifest
+    pointer, so time travel costs one manifest read, never a table
+    copy — identical to how Delta/Iceberg resolve versions, minus
+    multi-writer transactionality (single-writer documented
+    constraint)."""
+    n_cust = table_row_count(sf_dir, "customer")
+    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+
     v1 = read_as_of(1).select(
         "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal_v1")
     )
@@ -437,6 +475,107 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_v2",
             (F.col("acctbal_v2") != F.col("acctbal_v1")).alias("changed"),
         )
+    )
+
+
+@register(
+    "table_incremental_changes",
+    "join",
+    oracle=f"""
+WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_mktsegment = 'BUILDING'
+              THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+),
+v3 AS (
+  SELECT c_custkey, c_name, c_acctbal FROM v2
+  WHERE c_custkey % {CDC_DELETE_MOD} <> {CDC_DELETE_RESIDUE}
+  UNION ALL
+  SELECT c_custkey + {CDC_INSERT_KEY_SHIFT}, c_name, CAST(0.0 AS DOUBLE)
+  FROM v2 WHERE c_custkey % {CDC_INSERT_MOD} = {CDC_INSERT_RESIDUE}
+),
+j AS (
+  SELECT v1.c_custkey AS k1, v1.c_name AS name1, v1.c_acctbal AS bal1,
+         v3.c_custkey AS k3, v3.c_name AS name3, v3.c_acctbal AS bal3
+  FROM v1 FULL OUTER JOIN v3 ON v1.c_custkey = v3.c_custkey
+)
+SELECT k1 AS c_custkey, name1 AS c_name, bal1 AS c_acctbal,
+       'delete' AS change_type
+FROM j WHERE k3 IS NULL
+UNION ALL
+SELECT k3, name3, bal3, 'insert' FROM j WHERE k1 IS NULL
+UNION ALL
+SELECT k1, name1, bal1, 'update_preimage' FROM j
+WHERE k1 IS NOT NULL AND k3 IS NOT NULL
+  AND (bal1 <> bal3 OR name1 <> name3)
+UNION ALL
+SELECT k3, name3, bal3, 'update_postimage' FROM j
+WHERE k1 IS NOT NULL AND k3 IS NOT NULL
+  AND (bal1 <> bal3 OR name1 <> name3)
+""",
+)
+def table_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read between two table versions — the Delta CHANGE DATA
+    FEED / Iceberg incremental-read surface: given snapshots v1 and v3
+    of the customer table (resolved through the same manifest
+    _customer_snapshot_reader stages for time travel; v3 carries
+    updates, deletes AND inserts), emit exactly the changed rows
+    classified as insert / delete / update_preimage /
+    update_postimage — the four-row-kind contract downstream
+    incremental consumers (streaming materialized views, sync jobs)
+    are built against.
+
+    Plan shape: ONE full-outer shuffle join on the key (full-outer
+    cannot broadcast — the honest CDC plan, same class as
+    table_merge_upsert), then a single codegen'd projection that
+    classifies each joined row and EXPLODES updates into their
+    pre/post image pair — the three change classes never re-execute
+    the join (a UNION of filtered branches would embed it three
+    times). Unchanged keys are filtered out before the explode. At
+    100 TB a real CDF avoids even this join by reading per-commit
+    delta files; diffing two manifest-resolved snapshots is the
+    storage-agnostic fallback that works on any pair of versions.
+    Float parity: balances flow through unchanged doubles (×1.1 is
+    one IEEE op replayed identically by the oracle); the NULL-guarded
+    <> comparisons classify rows the same way in both engines."""
+    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+    v1 = read_as_of(1).select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("name1"),
+        F.col("c_acctbal").alias("bal1"),
+    )
+    v3 = read_as_of(3).select(
+        F.col("c_custkey").alias("k3"),
+        F.col("c_name").alias("name3"),
+        F.col("c_acctbal").alias("bal3"),
+    )
+    j = v1.join(v3, F.col("k1") == F.col("k3"), "full_outer").filter(
+        "k1 is null or k3 is null or bal1 <> bal3 or name1 <> name3"
+    )
+    classify = F.expr(
+        """
+        case
+          when k3 is null then array(named_struct(
+            'c_custkey', k1, 'c_name', name1, 'c_acctbal', bal1,
+            'change_type', 'delete'))
+          when k1 is null then array(named_struct(
+            'c_custkey', k3, 'c_name', name3, 'c_acctbal', bal3,
+            'change_type', 'insert'))
+          else array(
+            named_struct('c_custkey', k1, 'c_name', name1,
+                         'c_acctbal', bal1,
+                         'change_type', 'update_preimage'),
+            named_struct('c_custkey', k3, 'c_name', name3,
+                         'c_acctbal', bal3,
+                         'change_type', 'update_postimage'))
+        end
+        """
+    )
+    return (
+        j.select(F.explode(classify).alias("ch"))
+        .select("ch.c_custkey", "ch.c_name", "ch.c_acctbal", "ch.change_type")
     )
 
 

@@ -1555,6 +1555,132 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-source BFS knobs: hop horizon + the source-set residue rule
+# (nodes with partkey ≡ 0 mod BFS_SRC_MOD seed at distance 0). Fixed
+# horizon for the same reason as PR_ITERS: it makes the iteration
+# exactly replayable as unrolled CTEs.
+BFS_ITERS = 4
+BFS_SRC_MOD = 50
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS_ITERS-step relaxation replay (the graph_pagerank
+    oracle pattern): d_{k+1}(v) = min(d_k(v), min over edges u→v of
+    d_k(u)+1). All-integer, so no rounding convention is needed at
+    all — the strongest parity class."""
+    steps = []
+    for k in range(1, BFS_ITERS + 1):
+        steps.append(
+            f"d{k} AS (\n"
+            f"  SELECT node, min(dist) AS dist FROM (\n"
+            f"    SELECT node, dist FROM d{k - 1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.dst AS node, r.dist + 1 AS dist\n"
+            f"    FROM ed e JOIN d{k - 1} r ON e.src = r.node\n"
+            f"  ) GROUP BY node\n)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), ed AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs
+), d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM ed
+  WHERE src % {BFS_SRC_MOD} = 0
+),
+{chain}
+SELECT node AS l_partkey, dist AS n_hops FROM d{BFS_ITERS}
+"""
+
+
+@register("graph_shortest_path", "warehouse", oracle=_bfs_oracle())
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the part co-purchase graph
+    (which parts sit within k recommendation hops of the seeded
+    catalog set) — the unweighted-shortest-path member of the graph
+    family, alongside PageRank (numeric power method), triangle count
+    (structural), and dedup_clusters_cc (component labels).
+
+    Scale shape: edges come from the order-key self-equi-join
+    (Σ(basket choose 2), never |parts|²) and are localCheckpoint'd
+    once — the frame appears in all BFS_ITERS iterations, the
+    graph_pagerank lifecycle rule. The iteration is FRONTIER-DELTA
+    BFS (dedup_clusters_cc's delta discipline, not naive relaxation):
+    each round joins edges against only the nodes settled LAST round,
+    then anti-joins the settled set to keep the genuinely new ones —
+    on a dense graph the frontier collapses after saturation and late
+    rounds cost ~nothing, where the relaxation form would re-shuffle
+    every settled node every round (measured at sf0.1: relaxation
+    15.8 s → frontier 7.0 s Spark-side for the same result). Each
+    round's frontier is localCheckpoint'd: the next round's settled
+    set references every prior frontier, so without the cut the
+    settled plan re-nests per round (the lazy-chain rule inverts here
+    — pagerank's state is referenced once per round, BFS's twice).
+    Frontiers are small (≤ |V|) so the per-round cut is cheap.
+    The oracle replays the same distances as unrolled min-relaxation
+    CTEs (frontier BFS and relaxation compute the identical hop
+    function). All-integer distances: no float convention anywhere."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+    # symmetrize in one pass (graph_pagerank's explode form — a union
+    # of two selects would execute the pair self-join twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a").alias("src"), F.col("part_b").alias("dst")),
+                F.struct(F.col("part_b").alias("src"), F.col("part_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ed = edges.localCheckpoint(eager=True)
+    frontier = (
+        ed.filter(F.col("src") % BFS_SRC_MOD == 0)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    layers = [frontier]
+    for k in range(1, BFS_ITERS + 1):
+        reached = (
+            ed.join(frontier.select("node"), ed.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        settled = layers[0]
+        for layer in layers[1:]:
+            settled = settled.unionByName(layer)
+        frontier = (
+            reached.join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        layers.append(frontier)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out.select(F.col("node").alias("l_partkey"), F.col("dist").alias("n_hops"))
+
+
 # K-means knobs: K centroids, ITERS Lloyd updates, components
 # quantized to integers at KM_SCALE so every distance and every
 # centroid mean is EXACT integer/float-exact arithmetic cross-engine

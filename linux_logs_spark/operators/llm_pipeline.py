@@ -660,6 +660,175 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.5)
 
 
+# Substring-dedup window width (words). Real substring dedup (the
+# "Deduplicating Training Data Makes LMs Better" suffix-array pass)
+# flags 50-token spans; 8 fits this fixture's 30-80-word docs while
+# still being long enough that shared spans mean real duplication.
+SPAN_K = 8
+
+
+@register(
+    "dedup_substring_span",
+    "llm",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, len(ws) AS n_words FROM d),
+s AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - {SPAN_K} + 1)) AS start,
+         ws
+  FROM d
+), sh AS (
+  SELECT doc_id, start,
+         array_to_string(list_slice(ws, start, start + {SPAN_K} - 1), ' ') AS sh
+  FROM s
+), dup AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT sh.doc_id, p.p
+  FROM sh JOIN dup USING (sh),
+       LATERAL (SELECT unnest(generate_series(sh.start,
+                                              sh.start + {SPAN_K} - 1)) AS p) p
+), c AS (
+  SELECT doc_id, count(*) AS n_dup_positions FROM cov GROUP BY doc_id
+)
+SELECT n.doc_id, CAST(n.n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(c.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(c.n_dup_positions, 0) AS DOUBLE) / n.n_words AS dup_frac
+FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+""",
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup coverage — per document, the fraction of
+    word positions covered by any SPAN_K-word span that also occurs
+    verbatim in ANOTHER document. This is the span-granular metric
+    behind suffix-array substring dedup (docs sharing boilerplate or
+    quoted passages score high even when whole-doc similarity is low —
+    the case pairwise Jaccard and minhash both miss); the downstream
+    policy cuts or trims docs above a dup_frac threshold.
+
+    Scale shape: shingles ride as (xxhash64 key, doc_id, start) — the
+    8-byte posting discipline of dedup_shingle_jaccard, never the
+    strings; duplicated-span detection is one hash aggregate on the
+    key (count(distinct doc) ≥ 2, map-side partial), and the
+    instances come back via a semi-join on the same key (shuffle
+    bounded by posting count, not doc bytes; no broadcast hint — the
+    dup-key set is corpus-proportional, AQE promotes it if it turns
+    out tiny). Interval-union coverage is computed exactly by
+    exploding each surviving span into its SPAN_K positions and
+    DISTINCT-counting per doc — positions are bounded by
+    |dup postings|×SPAN_K, and overlap dedup happens in the same
+    shuffle as the final count. All-integer except the final single
+    IEEE division; xxhash64 keying is semantics-preserving modulo
+    collisions (the documented decontam caveat — the oracle joins raw
+    strings)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    n = d.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+    sh = d.select(
+        "doc_id", F.posexplode(word_shingles(F.col("ws"), SPAN_K)).alias("pos", "sh")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("start"),
+        F.xxhash64("sh").alias("shk"),
+    )
+    dup = (
+        sh.groupBy("shk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shk")
+    )
+    cov = (
+        sh.join(dup, "shk")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(SPAN_K - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    c = cov.groupBy("doc_id").agg(F.count("*").alias("n_dup_positions"))
+    return n.join(c, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        (
+            F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+_BIGRAM_LOGPROB6 = round6_away_sql(
+    "ln((cast(n as double) + 1.0) / (cast(c1 as double) + cast(v as double)))"
+)
+
+
+@register(
+    "text_bigram_lm",
+    "llm",
+    oracle=f"""
+WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM d WHERE len(ws) >= 2)
+), c12 AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+v AS (SELECT count(DISTINCT word) AS v FROM tok)
+SELECT c12.w1, c12.w2, CAST(c12.n AS BIGINT) AS n,
+       {_BIGRAM_LOGPROB6} AS logprob
+FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model TRAINING over the corpus — the producer
+    side of the perplexity-filter loop (text_perplexity scores docs
+    against an LM; this builds one): Laplace-smoothed conditional
+    log-probabilities ln((c(w1,w2)+1) / (c(w1)+V)) for every observed
+    bigram, V = corpus vocabulary size.
+
+    Scale shape: the bigram explode is a pure map-side flatMap (the
+    ws[i], ws[i+1] zip — short-doc guarded the word_shingles way);
+    counts collapse in ONE hash aggregate on (w1,w2) with map-side
+    partials, and the head counts c(w1) derive from c12 (vocab-sized
+    input), never from a second corpus pass. V is a 1-row broadcast.
+    The c12⋈c1 join is vocab×vocab — no broadcast hint; AQE promotes
+    the c1 side when it fits (vocabulary is corpus-dependent). Float
+    parity: the smoothed ratio is integer-exact numerator/denominator
+    in one IEEE division; ln() is libm-vs-JVM so the result rounds
+    half-away at 6 digits (the text_perplexity convention)."""
+    d = load(spark, sf_dir, "documents").select(words("text").alias("ws"))
+    big = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "struct(element_at(ws, i) as w1, "
+                    "element_at(ws, i + 1) as w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    c1 = c12.groupBy("w1").agg(F.sum("n").alias("c1"))
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(words("text")).alias("word")
+    )
+    v = tok.agg(F.count_distinct("word").alias("v"))
+    return (
+        c12.join(c1, "w1")
+        .join(F.broadcast(v))
+        .selectExpr("w1", "w2", "n", f"{_BIGRAM_LOGPROB6} as logprob")
+    )
+
+
 # Scrub patterns: RE2 (DuckDB) and java.util.regex (Spark) agree on
 # this conservative subset — char classes, bounded quantifiers, no
 # backrefs/lookaround. Keep it that way: oracle parity depends on it.

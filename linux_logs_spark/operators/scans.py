@@ -463,6 +463,154 @@ def table_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order clustering knobs: each dimension is RANGE-NORMALIZED to a
+# Z_BITS-wide rank (floor((v - min) * (2^Z_BITS - 1) / range) — the
+# scale-invariant geometry Delta's OPTIMIZE ZORDER gets from range
+# partition ids; raw-value interleave degenerates whenever one dim's
+# data range is narrower than a fixed cell), then the bits interleave
+# into a 32-bit Morton code. Buckets are the code's top bits (shift
+# 22 → a 32×32 grid over the normalized space). The anchor date
+# underflows every o_orderdate so day numbers are non-negative.
+Z_BITS = 16
+Z_MAXN = (1 << Z_BITS) - 1
+Z_BUCKET_SHIFT = 22
+Z_DAY_ANCHOR = "1992-01-01"
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Morton/Z-value of two Z_BITS-wide non-negative ints as ONE SQL
+    string valid in BOTH Spark and DuckDB (`<<`/`>>`/`&` parse and
+    evaluate identically — verified; + is safe because the shifted
+    bits are disjoint). Generated from the same function for the
+    engine and the oracle so the bit layout can never desync."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_norm_sql(v: str, mn: str, mx: str) -> str:
+    """Range-normalize v to [0, Z_MAXN] as an integer rank. The
+    multiply stays exact in double (< 2^53) and the division is one
+    IEEE op on identical inputs, so floor() lands identically in both
+    engines."""
+    return (
+        f"cast(floor(cast(({v}) - ({mn}) as double) * {Z_MAXN}"
+        f" / cast(greatest(({mx}) - ({mn}), 1) as double)) as bigint)"
+    )
+
+
+# engine-side day extraction; the oracle uses DuckDB's date_diff
+_Z_DAY_SPARK = f"datediff(cast(o_orderdate as date), date '{Z_DAY_ANCHOR}')"
+_Z_DAY_DUCK = f"date_diff('day', DATE '{Z_DAY_ANCHOR}', CAST(o_orderdate AS DATE))"
+_Z_CODE = _z_interleave_sql("xn", "yn")
+
+
+def orders_zframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders + (day_no, _z) — the Morton-coded frame both the
+    registered query and tests/test_zorder.py cluster by. The min/max
+    normalization bounds come from one tiny aggregate broadcast as a
+    1-row cross join (at 100 TB: a footer-stats read, zero jobs)."""
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "*", f"{_Z_DAY_SPARK} as day_no"
+    )
+    b = o.selectExpr(
+        "min(o_custkey) as mn_ck",
+        "max(o_custkey) as mx_ck",
+        "min(day_no) as mn_d",
+        "max(day_no) as mx_d",
+    )
+    return (
+        o.join(F.broadcast(b))
+        .selectExpr(
+            "*",
+            f"{_z_norm_sql('o_custkey', 'mn_ck', 'mx_ck')} as xn",
+            f"{_z_norm_sql('day_no', 'mn_d', 'mx_d')} as yn",
+        )
+        .selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority", "day_no",
+            f"({_Z_CODE}) as _z",
+        )
+    )
+
+
+@register(
+    "table_zorder_cluster",
+    "scan",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, {_Z_DAY_DUCK} AS day_no FROM orders
+), b AS (
+  SELECT min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+         min(day_no) AS mn_d, max(day_no) AS mx_d
+  FROM o
+), z AS (
+  SELECT o_custkey, day_no,
+         {_z_norm_sql('o_custkey', 'mn_ck', 'mx_ck')} AS xn,
+         {_z_norm_sql('day_no', 'mn_d', 'mx_d')} AS yn
+  FROM o CROSS JOIN b
+)
+SELECT ({_Z_CODE}) >> {Z_BUCKET_SHIFT} AS z_bucket,
+       count(*) AS n_orders,
+       min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+       CAST(min(day_no) AS BIGINT) AS min_day,
+       CAST(max(day_no) AS BIGINT) AS max_day
+FROM z
+GROUP BY 1
+""",
+)
+def table_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering (Delta `OPTIMIZE ... ZORDER BY (custkey,
+    orderdate)`): range-normalize both dimensions, interleave their
+    bits into a Morton code, range-repartition + sort the table by it,
+    and rewrite — after which every file covers a TIGHT RECTANGLE in
+    the 2-D key space, so min/max footer stats prune files for
+    predicates on EITHER column (a single-column sort only prunes its
+    own column; that is the whole point of Z-order). The staged
+    rewrite is the real write path — repartitionByRange(_z) gives
+    non-overlapping per-file z-ranges and sortWithinPartitions packs
+    row groups — and the registered output aggregates the READ-BACK
+    per z-bucket (top Morton bits ≡ a 32×32 grid over the normalized
+    space): the count proves the rewrite lost nothing, and the
+    per-bucket min/max of BOTH dimensions exhibit the
+    bounded-rectangle property the file stats inherit.
+    tests/test_zorder.py pins the physical claim on actual row-group
+    footers with the metric skipping actually obeys (expected fraction
+    of row groups a predicate on dimension d reads = avg normalized
+    span of d): the z layout's WORST dimension prunes >2× better than
+    the single-column-sorted layout's unsorted dimension, which reads
+    ~everything. The Morton and normalization expressions are generated
+    SQL strings shared verbatim by engine and oracle (all-integer
+    after one exact-double floor — the strongest parity class); at
+    100 TB the identical plan shape applies per partition, the
+    normalization bounds come from footer stats instead of an
+    aggregate, and the z computation is pure codegen'd projection, so
+    the only cost over a plain rewrite is the range exchange every
+    OPTIMIZE pays anyway."""
+    zpath = _scratch(sf_dir, "orders_zorder")
+    (
+        orders_zframe(spark, sf_dir)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    back = spark.read.parquet(zpath)
+    return (
+        back.selectExpr("o_custkey", "day_no", f"(_z >> {Z_BUCKET_SHIFT}) as z_bucket")
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("day_no").cast("long").alias("min_day"),
+            F.max("day_no").cast("long").alias("max_day"),
+        )
+    )
+
+
 @register(
     "scan_xml_roundtrip",
     "scan",

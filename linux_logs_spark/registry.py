@@ -123,6 +123,7 @@ _MEASURED_COST: dict[str, float] = {
     "table_incremental_changes": 0.52,
     "dedup_substring_span": 1.87,
     "text_bigram_lm": 0.98,
+    "table_zorder_cluster": 1.42,
     "agg_approx_distinct": 0.9, "agg_approx_percentile": 0.15, "agg_bitmap_distinct": 0.29, "agg_bool": 0.27,
     "agg_collect": 0.23, "agg_conditional_family": 0.86, "agg_count_distinct": 0.28, "agg_cube": 0.37,
     "agg_distinct_rows": 0.16, "agg_global": 0.38, "agg_groupby": 0.58, "agg_groupby_sql": 0.58,

@@ -85,6 +85,16 @@ HEAVY = [
     "emb_kmeans_lloyd",
     "graph_triangle_count",
     "corpus_budget_trim",
+    # - frontier BFS: per-round cost ∝ edges⋈frontier; on a dense
+    #   graph the frontier saturates after round 1-2, so 10x edges
+    #   should grow wall ≲ linearly (the anti-join keeps late rounds
+    #   near-free — the claim the frontier-delta form was chosen for).
+    "graph_shortest_path",
+    # - substring dedup: postings ∝ corpus words; the dup detection is
+    #   one hash agg and the coverage explode is bounded by dup
+    #   postings × SPAN_K — wall should track posting volume, with no
+    #   quadratic pair term anywhere.
+    "dedup_substring_span",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -98,6 +108,11 @@ WARM_FIRST = {
     # inverting the 1x/10x curve (round-8; same class as the bucketed
     # join's cold-leg artifact).
     "bpe_train_merges",
+    # same cold-compile artifact (first measured pass 2.09s vs 0.5s
+    # warm at 1x inverted the curve); BFS additionally re-checkpoints
+    # its edge frame per run, so warming levels the codegen share.
+    "dedup_substring_span",
+    "graph_shortest_path",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

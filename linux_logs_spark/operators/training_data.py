@@ -930,6 +930,91 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted-sampling knobs: K docs per language, salted two-phase
+# top-k fan-in. The salt count bounds phase-2 input at SALT×K rows
+# per lang regardless of corpus size.
+WEIGHTED_SAMPLE_K = 10
+WEIGHTED_SAMPLE_SALTS = 32
+
+# A-Res priority: u^(1/w) with u hash-uniform in (0,1]. u is EXACT in
+# double ((h32+1)/2^32 — integer numerator, power-of-two denominator),
+# so only pow() needs the round6 half-away convention.
+_ARES_U_SPARK = (
+    "(cast(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint) + 1 as double) / 4294967296.0)"
+)
+_ARES_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1"
+    " AS DOUBLE) / 4294967296.0)"
+)
+
+
+def _ares_priority(u_sql: str) -> str:
+    return round6_away_sql(f"pow({u_sql}, 1.0 / cast(n_chars as double))")
+
+
+@register(
+    "sample_weighted_priority",
+    "llm",
+    oracle=f"""
+WITH p AS (
+  SELECT lang, doc_id, {_ares_priority(_ARES_U_DUCK)} AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, doc_id, priority, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+  FROM p
+) WHERE rn <= {WEIGHTED_SAMPLE_K}
+""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirtsis
+    A-Res): each doc draws priority u^(1/w) — u hash-uniform from
+    md5(doc_id), w = n_chars — and the top-K priorities per language
+    ARE a w-weighted sample without replacement. The
+    quality/length-weighted cousin of sample_stratified's uniform
+    exact-rank filter, and fully REPRODUCIBLE: the hash replaces
+    rand(), so the same corpus always yields the same sample on any
+    cluster layout.
+
+    Scale shape: priority is one codegen'd map-side projection (u is
+    exact in double — integer numerator over 2^32 — so only pow()
+    needs the round6 convention); selection is TWO-PHASE top-K — a
+    ranking window over (lang, salt) keeps every sort partition at
+    corpus/|langs|/32 rows, then the finalist window ranks ≤ 32·K rows
+    per lang. A single per-lang window would funnel the whole corpus
+    through |langs| tasks (the corpus_budget_trim lesson); two-phase
+    top-K is exact (any global top-K member is top-K within its
+    salt), so the single-window oracle replays it verbatim. Ties on
+    the rounded priority break by doc_id in both engines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pr = d.selectExpr(
+        "lang",
+        "doc_id",
+        f"{_ares_priority(_ARES_U_SPARK)} as priority",
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64("doc_id"), F.lit(WEIGHTED_SAMPLE_SALTS)).cast("int"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    finalists = (
+        pr.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= WEIGHTED_SAMPLE_K)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        finalists.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("lang", "doc_id", "priority", "sample_rank")
+    )
+
+
 # Feature-hashing dimensionality: buckets for the hashing trick. 64
 # keeps the demonstration's collision structure visible at test scale;
 # production HashingTF defaults to 2^18 — the plan is identical.

@@ -113,71 +113,67 @@ def _ensure_loaded() -> None:
 # scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
-# LAST REFRESH: 216 queries, total 465.2 s, zero bad rows; round-8 full 2-pass, 216 queries, zero bad rows; host ~15% slower than the r7 quiet baseline across three uniform runs (medians 1.14/1.20/1.15) — forced as the current-host baseline
+# LAST REFRESH: 224 queries, total 555.3 s, zero bad rows; round-8 continuation full 2-pass, 224 queries, zero bad rows
 _MEASURED_COST: dict[str, float] = {
-    # round-8 addition after the full refresh (subset 2-pass):
-    "text_hashing_tf": 1.16,
-    "corpus_temperature_sample": 0.81,
-    "log_entropy_profile": 0.65,
-    "graph_shortest_path": 2.87,
-    "table_incremental_changes": 0.52,
-    "dedup_substring_span": 1.87,
-    "text_bigram_lm": 0.98,
-    "table_zorder_cluster": 1.42,
-    "agg_approx_distinct": 0.9, "agg_approx_percentile": 0.15, "agg_bitmap_distinct": 0.29, "agg_bool": 0.27,
-    "agg_collect": 0.23, "agg_conditional_family": 0.86, "agg_count_distinct": 0.28, "agg_cube": 0.37,
-    "agg_distinct_rows": 0.16, "agg_global": 0.38, "agg_groupby": 0.58, "agg_groupby_sql": 0.58,
-    "agg_grouping_id": 0.28, "agg_grouping_sets": 0.29, "agg_having": 0.27, "agg_histogram": 0.18,
-    "agg_hll_sketch_rollup": 0.54, "agg_min_max_by": 0.22, "agg_mode": 0.26, "agg_percentile": 0.43,
-    "agg_pivot": 0.48, "agg_regression_family": 0.4, "agg_rollup": 0.35, "agg_stats": 0.3,
-    "agg_string_concat": 0.25, "agg_unpivot": 0.17, "bpe_train_merges": 3.73, "corpus_budget_trim": 0.51,
-    "corpus_mix_rebalance": 0.42, "cust_order_intervals": 0.48, "cust_rfm_segments": 1.98, "decontam_ngram_overlap": 1.46,
-    "dedup_clusters_cc": 3.09, "dedup_edit_verify": 1.52, "dedup_embedding_cosine": 1.38, "dedup_exact": 0.16,
-    "dedup_exact_hash": 0.22, "dedup_near_minhash": 1.37, "dedup_ngram_jaccard": 1.61, "dedup_shingle_jaccard": 1.22,
-    "dedup_simhash": 1.29, "doc_chunk": 0.18, "doc_pii_scrub": 0.23, "dq_expectations": 0.35,
-    "emb_centroid_outliers": 0.88, "emb_kmeans_lloyd": 9.84, "emb_label_centroid": 0.21, "emb_neighborhood_purity": 1.24,
-    "emb_pca_power": 0.52, "emb_quantize_int8": 0.39, "fn_aes_roundtrip": 0.16, "fn_array": 0.91,
-    "fn_array_agg": 0.2, "fn_bitwise": 0.29, "fn_collation": 0.4, "fn_conditional": 0.61,
-    "fn_datetime": 0.95, "fn_hash": 0.13, "fn_interval": 0.24, "fn_json": 0.31,
-    "fn_map": 0.3, "fn_math": 0.23, "fn_posexplode": 0.16, "fn_regex": 0.25,
-    "fn_sql_udf": 0.25, "fn_string": 0.16, "fn_string_extended": 0.24, "fn_trig": 0.15,
-    "fn_try_arith": 0.15, "fn_url_parse": 0.12, "fn_variant": 0.13, "fn_xpath": 0.26,
-    "graph_pagerank": 4.32, "graph_triangle_count": 1.67, "join_asof": 0.27, "join_broadcast": 0.37,
-    "join_bucketed_colocated": 2.62, "join_cross": 0.11, "join_full_outer": 0.26, "join_inner_equi": 0.54,
-    "join_inner_equi_sql": 0.61, "join_left_anti": 0.22, "join_left_outer": 0.3, "join_left_semi": 0.15,
-    "join_null_safe": 0.4, "join_partition_pruned": 0.39, "join_range_binned": 0.67, "join_self_multi": 0.28,
-    "join_skew_salted": 0.52, "join_theta_range": 0.13, "limit_topk": 0.13, "log_anomaly_zscore": 0.45,
-    "log_burst_detect": 0.35, "log_corr_matrix": 0.55, "log_error_rate_hourly": 0.26, "log_error_rate_hourly_sql": 0.32,
-    "log_event_transitions": 0.26, "log_gap_fill": 0.55, "log_retention_cohorts": 0.49, "log_rollup_incremental": 0.5,
-    "log_rollup_multires": 1.34, "log_search": 0.26, "log_seasonality_profile": 0.35, "log_slo_burn": 0.35,
-    "log_template_mine": 0.4, "log_top_services": 0.28, "log_type_hour_matrix": 0.28, "log_user_funnel": 0.32,
-    "multimodal_features": 0.41, "multimodal_frame_sample": 0.35, "multimodal_join": 0.19, "multimodal_resize": 0.36,
-    "obs_metrics": 0.71, "pack_sequences": 0.29, "part_copurchase": 0.96, "pipeline_corpus_prep": 0.73,
-    "q_case_when": 0.25, "q_exists_correlated": 0.15, "q_filter_basic": 0.28, "q_filter_basic_sql": 0.32,
-    "q_filter_in_between": 0.26, "q_filter_like": 0.16, "q_group_by_all": 0.29, "q_lateral_topk": 0.26,
-    "q_parameterized_sql": 0.18, "q_pipe_syntax": 0.18, "q_project": 1.48, "q_recursive_cte": 1.08,
-    "q_subquery_scalar": 0.26, "sample_stratified": 0.28, "scan_apache_log": 0.34, "scan_binary_files": 0.16,
-    "scan_csv_malformed": 0.29, "scan_csv_roundtrip": 0.34, "scan_json_lines": 0.2, "scan_orc_roundtrip": 0.53,
-    "scan_parquet": 0.1, "scan_python_datasource": 0.93, "scan_text_gzip": 0.52, "scan_text_parse": 0.33,
-    "scan_xml_roundtrip": 0.27, "scd2_merge": 0.2, "sessionize": 0.48, "set_except": 0.24,
-    "set_except_all": 0.38, "set_intersect": 0.23, "set_union_all": 0.22, "set_union_distinct": 0.2,
-    "shuffle_shard": 0.25, "sim_ann_ivf": 1.59, "sim_ann_lsh": 1.14, "sim_cosine_blocked": 0.51,
-    "sim_cosine_topk": 1.05, "sim_knn_label": 0.82, "sink_parquet_partitioned": 1.02, "sink_parquet_rebalanced": 0.53,
-    "sort_multi": 0.57, "split_train_holdout": 0.13, "stream_custom_state": 0.96, "stream_dedup": 1.05,
-    "stream_foreach_batch": 1.19, "stream_python_source": 5.06, "stream_session": 1.1, "stream_sliding": 1.22,
-    "stream_state_reader": 0.24, "stream_static_join": 1.21, "stream_stream_join": 2.77, "stream_text_tail": 1.09,
-    "stream_transform_with_state": 1.3, "stream_tumbling": 1.03, "stream_watermark_late": 1.3, "table_column_stats": 1.02,
-    "table_merge_upsert": 0.53, "table_optimize_compact": 0.79, "table_time_travel": 0.33, "text_fingerprint": 0.46,
-    "text_lang_id": 0.28, "text_lang_stats": 0.28, "text_ngram_topk": 0.65, "text_perplexity": 0.66,
-    "text_quality_score": 0.2, "text_repetition_score": 0.36, "text_tfidf": 1.38, "text_token_count_bpe": 0.19,
-    "text_tokenize_counts": 0.23, "topk_per_group": 0.43, "tpch_q10": 0.47, "tpch_q13": 0.28,
-    "tpch_q14": 0.4, "tpch_q15": 0.55, "tpch_q17": 0.37, "tpch_q18": 0.67,
-    "tpch_q3": 0.49, "tpch_q5": 0.47, "tpch_q6": 0.23, "tpch_q7": 0.68,
-    "tpch_q8": 0.43, "udaf_arrow_grouped": 0.45, "udaf_pandas_agg": 0.43, "udf_arrow_batch": 0.46,
-    "udf_pandas_scalar": 0.36, "udf_python": 0.38, "udtf_apply_in_pandas": 0.5, "udtf_python_native": 0.79,
-    "vocab_build": 0.24, "win_first_last": 0.39, "win_lag_lead": 0.41, "win_latest_per_key": 0.23,
-    "win_nth_value": 0.33, "win_pattern_seq": 0.23, "win_pattern_var": 0.47, "win_range_frame": 2.06,
-    "win_ranking": 0.82, "win_ranking_sql": 1.29, "win_running": 0.82, "win_session_window": 0.69,
+    # post-refresh addition (subset 2-pass; folds in at the next full
+    # refresh — update_measured_cost.py prunes this line):
+    "sample_weighted_priority": 0.73,
+    "agg_approx_distinct": 0.83, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.33, "agg_bool": 0.25,
+    "agg_collect": 0.35, "agg_conditional_family": 0.51, "agg_count_distinct": 0.31, "agg_cube": 0.33,
+    "agg_distinct_rows": 0.21, "agg_global": 0.32, "agg_groupby": 0.5, "agg_groupby_sql": 0.48,
+    "agg_grouping_id": 0.46, "agg_grouping_sets": 0.24, "agg_having": 0.22, "agg_histogram": 0.26,
+    "agg_hll_sketch_rollup": 0.57, "agg_min_max_by": 0.22, "agg_mode": 0.3, "agg_percentile": 0.37,
+    "agg_pivot": 0.42, "agg_regression_family": 0.33, "agg_rollup": 0.41, "agg_stats": 0.37,
+    "agg_string_concat": 0.25, "agg_unpivot": 0.2, "bpe_train_merges": 7.52, "corpus_budget_trim": 0.64,
+    "corpus_mix_rebalance": 0.46, "corpus_temperature_sample": 0.84, "cust_order_intervals": 0.39, "cust_rfm_segments": 2.09,
+    "decontam_ngram_overlap": 1.1, "dedup_clusters_cc": 2.72, "dedup_edit_verify": 1.34, "dedup_embedding_cosine": 1.44,
+    "dedup_exact": 0.2, "dedup_exact_hash": 0.21, "dedup_near_minhash": 1.17, "dedup_ngram_jaccard": 1.4,
+    "dedup_shingle_jaccard": 1.25, "dedup_simhash": 1.1, "dedup_substring_span": 1.74, "doc_chunk": 0.23,
+    "doc_pii_scrub": 0.23, "dq_expectations": 0.34, "emb_centroid_outliers": 0.85, "emb_kmeans_lloyd": 10.93,
+    "emb_label_centroid": 0.25, "emb_neighborhood_purity": 0.77, "emb_pca_power": 0.48, "emb_quantize_int8": 0.36,
+    "fn_aes_roundtrip": 0.32, "fn_array": 0.12, "fn_array_agg": 0.23, "fn_bitwise": 0.33,
+    "fn_collation": 0.47, "fn_conditional": 0.47, "fn_datetime": 0.72, "fn_hash": 0.14,
+    "fn_interval": 0.28, "fn_json": 0.31, "fn_map": 0.26, "fn_math": 0.23,
+    "fn_posexplode": 0.14, "fn_regex": 0.15, "fn_sql_udf": 0.32, "fn_string": 0.15,
+    "fn_string_extended": 0.29, "fn_trig": 0.15, "fn_try_arith": 0.35, "fn_url_parse": 0.17,
+    "fn_variant": 0.17, "fn_xpath": 0.63, "graph_pagerank": 5.67, "graph_shortest_path": 3.54,
+    "graph_triangle_count": 2.57, "join_asof": 0.45, "join_broadcast": 0.31, "join_bucketed_colocated": 1.41,
+    "join_cross": 0.12, "join_full_outer": 0.3, "join_inner_equi": 0.43, "join_inner_equi_sql": 0.51,
+    "join_left_anti": 0.19, "join_left_outer": 0.31, "join_left_semi": 0.18, "join_null_safe": 0.43,
+    "join_partition_pruned": 0.43, "join_range_binned": 0.49, "join_self_multi": 0.27, "join_skew_salted": 0.48,
+    "join_theta_range": 0.16, "limit_topk": 0.15, "log_anomaly_zscore": 0.41, "log_burst_detect": 0.42,
+    "log_corr_matrix": 0.57, "log_entropy_profile": 0.88, "log_error_rate_hourly": 0.26, "log_error_rate_hourly_sql": 0.3,
+    "log_event_transitions": 0.31, "log_gap_fill": 0.49, "log_retention_cohorts": 0.44, "log_rollup_incremental": 0.75,
+    "log_rollup_multires": 0.97, "log_search": 0.31, "log_seasonality_profile": 0.4, "log_slo_burn": 0.41,
+    "log_template_mine": 0.85, "log_top_services": 0.19, "log_type_hour_matrix": 0.39, "log_user_funnel": 0.33,
+    "multimodal_features": 0.39, "multimodal_frame_sample": 0.28, "multimodal_join": 0.19, "multimodal_resize": 0.48,
+    "obs_metrics": 3.84, "pack_sequences": 0.27, "part_copurchase": 0.84, "pipeline_corpus_prep": 0.61,
+    "q_case_when": 0.28, "q_exists_correlated": 0.2, "q_filter_basic": 0.25, "q_filter_basic_sql": 0.3,
+    "q_filter_in_between": 0.17, "q_filter_like": 0.18, "q_group_by_all": 0.52, "q_lateral_topk": 0.31,
+    "q_parameterized_sql": 0.21, "q_pipe_syntax": 0.22, "q_project": 1.44, "q_recursive_cte": 2.86,
+    "q_subquery_scalar": 0.23, "sample_stratified": 0.3, "scan_apache_log": 0.41, "scan_binary_files": 0.2,
+    "scan_csv_malformed": 0.31, "scan_csv_roundtrip": 0.33, "scan_json_lines": 0.2, "scan_orc_roundtrip": 0.22,
+    "scan_parquet": 0.07, "scan_python_datasource": 4.05, "scan_text_gzip": 0.44, "scan_text_parse": 0.4,
+    "scan_xml_roundtrip": 0.35, "scd2_merge": 0.21, "sessionize": 0.48, "set_except": 0.23,
+    "set_except_all": 0.7, "set_intersect": 0.25, "set_union_all": 0.23, "set_union_distinct": 0.24,
+    "shuffle_shard": 0.27, "sim_ann_ivf": 2.13, "sim_ann_lsh": 1.35, "sim_cosine_blocked": 0.42,
+    "sim_cosine_topk": 1.22, "sim_knn_label": 0.66, "sink_parquet_partitioned": 1.0, "sink_parquet_rebalanced": 0.62,
+    "sort_multi": 0.55, "split_train_holdout": 0.13, "stream_custom_state": 2.05, "stream_dedup": 1.57,
+    "stream_foreach_batch": 0.81, "stream_python_source": 6.29, "stream_session": 0.99, "stream_sliding": 0.91,
+    "stream_state_reader": 0.39, "stream_static_join": 1.1, "stream_stream_join": 2.74, "stream_text_tail": 0.92,
+    "stream_transform_with_state": 1.16, "stream_tumbling": 1.05, "stream_watermark_late": 1.61, "table_column_stats": 0.59,
+    "table_incremental_changes": 0.66, "table_merge_upsert": 0.76, "table_optimize_compact": 0.84, "table_time_travel": 0.36,
+    "table_zorder_cluster": 1.53, "text_bigram_lm": 1.03, "text_fingerprint": 0.39, "text_hashing_tf": 0.58,
+    "text_lang_id": 0.27, "text_lang_stats": 0.38, "text_ngram_topk": 0.69, "text_perplexity": 0.81,
+    "text_quality_score": 0.19, "text_repetition_score": 0.4, "text_tfidf": 1.24, "text_token_count_bpe": 0.2,
+    "text_tokenize_counts": 0.26, "topk_per_group": 0.26, "tpch_q10": 0.48, "tpch_q13": 0.29,
+    "tpch_q14": 0.33, "tpch_q15": 0.4, "tpch_q17": 0.4, "tpch_q18": 0.57,
+    "tpch_q3": 0.44, "tpch_q5": 0.43, "tpch_q6": 0.22, "tpch_q7": 0.47,
+    "tpch_q8": 0.39, "udaf_arrow_grouped": 0.43, "udaf_pandas_agg": 0.34, "udf_arrow_batch": 0.45,
+    "udf_pandas_scalar": 0.27, "udf_python": 0.33, "udtf_apply_in_pandas": 0.36, "udtf_python_native": 0.6,
+    "vocab_build": 0.28, "win_first_last": 0.42, "win_lag_lead": 0.42, "win_latest_per_key": 0.26,
+    "win_nth_value": 0.28, "win_pattern_seq": 0.29, "win_pattern_var": 0.84, "win_range_frame": 1.9,
+    "win_ranking": 0.78, "win_ranking_sql": 1.07, "win_running": 0.85, "win_session_window": 0.76,
 }
 
 _DEFAULT_COST = 0.9

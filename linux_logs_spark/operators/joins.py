@@ -580,3 +580,62 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("dt").cast("string").alias("dt")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    "join",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+GROUP BY l_returnflag
+""",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning — the row-level sibling of
+    dynamic partition pruning (join_partition_pruned): Catalyst's
+    InjectRuntimeFilter builds a bloom filter over the SELECTIVE side's
+    join keys (urgent high-value orders) and semi-filters the fact scan
+    with bloom_filter_might_contain BEFORE the shuffle, so lineitem
+    rows that cannot join never leave the map side. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    ~the join's selectivity; it engages precisely when the dim side is
+    too big to broadcast — the regime where no other row-pruning
+    mechanism exists.
+
+    The frame is built on an ISOLATED spark.newSession() so the
+    demo-scale conf overrides cannot leak into sibling queries (the
+    scan_python_datasource lesson, solved with session isolation
+    instead of a documented leak): broadcast is disabled there because
+    a 32 MB-threshold broadcast join at test scale would make the bloom
+    filter moot (Spark skips injection when the creation side can
+    broadcast — correctly, since BHJ already avoids the shuffle), and
+    the 10 GB application-side threshold is lowered because a 2 MB test
+    scan is below a gate that a real fact table clears by orders of
+    magnitude. Results are conf-independent (bloom is a pure
+    subset-pass filter; false positives only ever let rows through to
+    the exact join). tests/test_plans.py pins bloom_filter_agg +
+    might_contain in the physical plan."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(s2, sf_dir, "lineitem")
+    o = load(s2, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", 2).alias("revenue"),
+        )
+    )

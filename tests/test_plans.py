@@ -814,3 +814,21 @@ def test_join_partition_pruned_injects_dpp(spark, sf_dir):
     # the runtime one renders as `dt#N IN dynamicpruning#M` — only the
     # literal forms are forbidden
     assert not any(re.search(r"dt#\d+ (= |IN \()", ln) for ln in pf), pf
+
+
+def test_bloom_runtime_filter_in_plan(spark, sf_dir):
+    """join_bloom_runtime_filter must carry BOTH halves of the runtime
+    filter: the bloom_filter_agg build over the selective orders side
+    and the might_contain semi-filter applied to the lineitem scan side
+    BEFORE the join — the row-level pruning the operator exists to
+    demonstrate. Checked on the operator's own frame (isolated
+    newSession confs included), not a rebuild."""
+    from linux_logs_spark.plans.explain import plan_string
+
+    df = _Q["join_bloom_runtime_filter"].fn(spark, sf_dir)
+    plan = plan_string(df).lower()
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan, plan[:2000]
+    # and the join really is a shuffle join there (no broadcast): the
+    # bloom filter is pointless under BHJ and Spark won't inject it
+    assert "broadcasthashjoin" not in plan, plan[:2000]

@@ -930,6 +930,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pack_sequences_ffd", "llm", oracle=None)  # sequential per-group algorithm → rows-only; exact pin in tests/test_packing.py
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing BIN PACKING of whole documents into
+    PACK_BUDGET-token training sequences — the no-split counterpart of
+    pack_sequences (which streams docs contiguously and SPLITS them at
+    chunk boundaries). No-split packing is what instruction-tuning /
+    contrastive batches need (a split example is a corrupted example),
+    and FFD is the standard near-optimal (11/9 OPT + 1) heuristic:
+    sort docs longest-first, drop each into the first bin it fits.
+
+    Scale shape: packing is inherently sequential WITHIN a bin stream,
+    so the parallel unit is the group — applyInPandas over source
+    (at 100 TB: over (source, shard) so each pandas group stays
+    ~memory-sized; shard by hash exactly like shuffle_shard). The
+    sort+pack runs on one group's docs in memory; output is one row
+    per doc. Docs longer than the budget get a singleton oversize bin
+    (flagged) rather than being dropped silently. Deterministic: ties
+    sort by doc_id, so the assignment is a pure function of the group
+    — pinned EXACTLY against an independent single-process FFD in
+    tests/test_packing.py (the bpe_train_merges evidence pattern),
+    which also measures the fill-efficiency edge over closing bins in
+    arrival order."""
+    import pandas as pd
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n >= PACK_BUDGET:
+                # oversize: singleton bin, capacity exhausted
+                bins.append(0)
+                assign.append(len(bins) - 1)
+                continue
+            for i, rem in enumerate(bins):
+                if n <= rem:
+                    bins[i] = rem - n
+                    assign.append(i)
+                    break
+            else:
+                bins.append(PACK_BUDGET - n)
+                assign.append(len(bins) - 1)
+        out = pdf[["source", "doc_id", "n_tokens"]].copy()
+        out["bin_id"] = pd.array(assign, dtype="int64")
+        out["oversize"] = out["n_tokens"] >= PACK_BUDGET
+        return out
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "source", "doc_id", "cast(size(split(text, ' ')) as long) as n_tokens"
+    )
+    return d.groupBy("source").applyInPandas(
+        ffd, "source string, doc_id long, n_tokens long, bin_id long, oversize boolean"
+    )
+
+
 # Weighted-sampling knobs: K docs per language, salted two-phase
 # top-k fan-in. The salt count bounds phase-2 input at SALT×K rows
 # per lang regardless of corpus size.

@@ -1704,13 +1704,60 @@ def _km_q_exprs(col: str, one_based: bool) -> list[str]:
     ]
 
 
-def _km_oracle() -> str:
-    """Unrolled-CTE Lloyd replay (the graph_pagerank fixed-horizon
-    pattern): q = quantized vectors; per iteration an assignment CTE
-    (cross join the K-row centroid CTE, min over the packed
-    dist*K+k key) and an update CTE (per-cluster integer-mean with
-    empty-cluster carry-over via LEFT JOIN). Final stats from the
-    last assignment."""
+def _km_train(q, iters: int):
+    """Collect-train Lloyd centroids on the checkpointed quantized
+    frame (shared by emb_kmeans_lloyd's full training and
+    dedup_semantic_cluster's coarse clustering). Per iteration:
+    assignment bakes the current centroids as literals into one
+    least()-packed codegen projection (no join, no shuffle), the
+    update is a K-key hash aggregate collected to the driver (K×dim
+    ints — bounded-collect class). Returns the key_expr builder, a
+    closure over the trained centroids: key = dist²·K + k, so
+    key % K is the cluster and key DIV K the squared distance."""
+    import math
+
+    init = q.filter(F.col("vec_id") < KM_K).collect()
+    cents = {
+        int(r["vec_id"]): [int(r[f"q{i}"]) for i in range(_KM_DIM)] for r in init
+    }
+
+    def key_expr() -> str:
+        packed = []
+        for k in range(KM_K):
+            c = cents[k]
+            d = " + ".join(
+                f"(q{i} - ({c[i]})) * (q{i} - ({c[i]}))" for i in range(_KM_DIM)
+            )
+            packed.append(f"({d}) * {KM_K} + {k}")
+        return "least(" + ", ".join(packed) + ")"
+
+    for _ in range(iters):
+        assigned = q.selectExpr("*", f"{key_expr()} AS key")
+        upd = (
+            assigned.groupBy((F.col("key") % KM_K).alias("k"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(_KM_DIM)],
+            )
+            .collect()
+        )
+        for r in upd:  # empty clusters keep their previous centroid
+            # s/n in double is exact (|s| < 2^53), so Python's floor
+            # is bit-identical to both engines' SQL floor
+            cents[int(r["k"])] = [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
+            ]
+    return key_expr
+
+
+def _km_chain_sql(iters: int) -> list[str]:
+    """The oracle-side WITH-chain for `iters` Lloyd updates: q =
+    quantized vectors (+ raw embedding, harmless to kmeans, needed by
+    the semantic-dedup pair join), c0 = first-K seed, then per
+    iteration an assignment CTE (cross join the K-row centroid CTE,
+    min over the packed dist·K+k key) and an update CTE (per-cluster
+    integer mean with empty-cluster carry-over via LEFT JOIN). The
+    caller appends its own final assignment over c{iters}."""
     qcols = ", ".join(f"q{i}" for i in range(_KM_DIM))
     dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
     upd = ", ".join(
@@ -1719,12 +1766,12 @@ def _km_oracle() -> str:
     )
     carry = ", ".join(f"coalesce(u.q{i}, p.q{i}) AS q{i}" for i in range(_KM_DIM))
     sql = [
-        "WITH q AS (SELECT vec_id, "
+        "WITH q AS (SELECT vec_id, embedding, "
         + ", ".join(_km_q_exprs("embedding", one_based=True))
         + " FROM embeddings)",
         f", c0 AS (SELECT vec_id AS k, {qcols} FROM q WHERE vec_id < {KM_K})",
     ]
-    for it in range(1, KM_ITERS + 1):
+    for it in range(1, iters + 1):
         sql.append(
             f", a{it} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
             f" FROM q CROSS JOIN c{it - 1} c GROUP BY q.vec_id)"
@@ -1737,6 +1784,15 @@ def _km_oracle() -> str:
             f", c{it} AS (SELECT p.k, {carry}"
             f" FROM c{it - 1} p LEFT JOIN u{it} u ON p.k = u.k)"
         )
+    return sql
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE Lloyd replay (the graph_pagerank fixed-horizon
+    pattern) over the shared _km_chain_sql; final stats from the
+    last assignment."""
+    dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
+    sql = _km_chain_sql(KM_ITERS)
     final = KM_ITERS + 1
     sql.append(
         f", a{final} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
@@ -1779,42 +1835,110 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
     q = q.localCheckpoint()  # static frame, reused every iteration
 
-    init = q.filter(F.col("vec_id") < KM_K).collect()
-    cents = {
-        int(r["vec_id"]): [int(r[f"q{i}"]) for i in range(_KM_DIM)] for r in init
-    }
-
-    def key_expr() -> str:
-        packed = []
-        for k in range(KM_K):
-            c = cents[k]
-            d = " + ".join(
-                f"(q{i} - ({c[i]})) * (q{i} - ({c[i]}))" for i in range(_KM_DIM)
-            )
-            packed.append(f"({d}) * {KM_K} + {k}")
-        return "least(" + ", ".join(packed) + ")"
-
-    for _ in range(KM_ITERS):
-        assigned = q.selectExpr("*", f"{key_expr()} AS key")
-        upd = (
-            assigned.groupBy((F.col("key") % KM_K).alias("k"))
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(_KM_DIM)],
-            )
-            .collect()
-        )
-        import math
-
-        for r in upd:  # empty clusters keep their previous centroid
-            # s/n in double is exact (|s| < 2^53), so Python's floor
-            # is bit-identical to both engines' SQL floor
-            cents[int(r["k"])] = [
-                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
-            ]
+    key_expr = _km_train(q, KM_ITERS)
 
     final = q.selectExpr("vec_id", f"{key_expr()} AS key")
     return final.groupBy((F.col("key") % KM_K).alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum(F.expr(f"key DIV {KM_K}")).alias("ssd"),
+    )
+
+
+# SemDeDup knobs: coarse-cluster with SEMDEDUP_ITERS Lloyd updates
+# (cluster QUALITY barely moves the dedup result — candidates only
+# need to land in the same cell), then exact cosine within cells.
+# The threshold matches dedup_embedding_cosine's 0.35 so the recall
+# test can compare against the oracle-verified exact pair set.
+SEMDEDUP_ITERS = 1
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """Lloyd chain (shared _km_chain_sql) → final assignment →
+    within-cluster pair join with list_cosine_similarity, the
+    dedup_embedding_cosine rounding convention."""
+    dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
+    final = SEMDEDUP_ITERS + 1
+    cos = (
+        "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[])), 6)"
+    )
+    sql = _km_chain_sql(SEMDEDUP_ITERS)
+    sql.append(
+        f", a{final} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
+        f" FROM q CROSS JOIN c{SEMDEDUP_ITERS} c GROUP BY q.vec_id)"
+    )
+    sql.append(
+        f", m AS (SELECT vec_id, key % {KM_K} AS cluster FROM a{final})"
+    )
+    sql.append(
+        f"""
+SELECT a.cluster, a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS sim
+FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN q ea ON a.vec_id = ea.vec_id
+JOIN q eb ON b.vec_id = eb.vec_id
+WHERE {cos} >= {SEMDEDUP_THRESHOLD}
+"""
+    )
+    return "\n".join(sql)
+
+
+@register("dedup_semantic_cluster", "llm", oracle=_semdedup_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC deduplication the way the published
+    pipeline actually runs it at scale: coarse k-means clustering
+    first, exact cosine only WITHIN clusters. The cluster equi-join
+    cuts the pair space from n² to Σ|cell|² ≈ n²/K while keeping
+    near-duplicates (they embed close together, so they land in the
+    same cell almost surely); the price is cluster-boundary misses,
+    and tests/test_ann_quality.py measures that recall against the
+    oracle-verified exact pair set (dedup_embedding_cosine) instead
+    of asserting it.
+
+    Plan shape: one quantized-frame checkpoint (reused by the trainer
+    and the final assignment), SEMDEDUP_ITERS Lloyd updates via the
+    shared _km_train (assignment = centroid-literal codegen
+    projection, NO join; update = K-key hash agg; K×dim driver
+    traffic), then ONE shuffle equi-join on the cluster id with
+    vec_a < vec_b as residual — same-cell pairs only, never a
+    cartesian. Cosine parity: the per-pair dot stays the JVM
+    left-fold with F.round (the dedup_embedding_cosine convention and
+    its documented janino rationale); the oracle replays the cluster
+    assignment exactly (all-integer) and the cosine via
+    list_cosine_similarity."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id", "embedding", *_km_q_exprs("embedding", one_based=False)
+    ).localCheckpoint()
+    key_expr = _km_train(q, SEMDEDUP_ITERS)
+    m = q.selectExpr(
+        "vec_id",
+        "embedding",
+        f"({key_expr()}) % {KM_K} AS cluster",
+    ).select(
+        "cluster",
+        "vec_id",
+        "embedding",
+        F.expr(norm_unrolled_sql("embedding")).alias("nrm"),
+    )
+    a = m.select(
+        "cluster",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        "cluster",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cluster", "doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
     )

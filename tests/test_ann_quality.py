@@ -146,3 +146,24 @@ def test_simhash_banding_is_complete_for_radius_3(spark, sf_dir):
     assert got == exact, (
         f"{len(got - exact)} extra, {len(exact - got)} missing of {len(exact)}"
     )
+
+
+def test_semdedup_recall_vs_exact_pairs(spark, sf_dir):
+    """dedup_semantic_cluster (SemDeDup: within-cluster exact cosine)
+    vs the oracle-verified full pair set at the same threshold
+    (dedup_embedding_cosine). Cluster-local search can only MISS
+    cluster-boundary pairs, never invent one — so precision must be
+    1.0 exactly, and the measured recall documents the boundary-miss
+    cost of the n²→n²/K cut."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in _Q["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    sem = {
+        (r["doc_a"], r["doc_b"])
+        for r in _Q["dedup_semantic_cluster"].fn(spark, sf_dir).collect()
+    }
+    assert sem <= exact, f"false positives: {sorted(sem - exact)[:5]}"
+    assert exact, "fixture must contain threshold pairs"
+    recall = len(sem) / len(exact)
+    assert recall >= 0.25, f"recall {recall:.3f}"

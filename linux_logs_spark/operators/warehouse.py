@@ -1942,3 +1942,108 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
     )
+
+
+# Matryoshka evaluation knobs: prefix widths to score, and the
+# deterministic vector sample whose pairs are measured (id-residue
+# sampling — reproducible, join-free to express in both engines).
+MRL_PREFIX_DIMS = (8, 16, 32)
+MRL_SAMPLE_MOD = 17
+
+
+def _mrl_cos6(a: str, b: str, dim: int) -> str:
+    """round6'd prefix cosine from the shared unrolled fold — the
+    sim-family convention, parameterized by prefix width."""
+    return round6_away_sql(
+        f"({dot_unrolled_sql(a, b, dim)})"
+        f" / ({norm_unrolled_sql(a, dim)} * {norm_unrolled_sql(b, dim)})"
+    )
+
+
+def _mrl_oracle() -> str:
+    cols = []
+    for d in MRL_PREFIX_DIMS:
+        cos_d = (
+            f"round(list_cosine_similarity("
+            f"list_slice(CAST(a.embedding AS DOUBLE[]), 1, {d}),"
+            f" list_slice(CAST(b.embedding AS DOUBLE[]), 1, {d})), 6)"
+        )
+        cols.append(f"abs({cos_d} - cos64) AS err{d}")
+    stats = ", ".join(
+        f"CAST(CAST(sum(CAST(err{d} AS DECIMAL(25,6))) AS DOUBLE) / count(*)"
+        f" AS DOUBLE) AS mean{d}, max(err{d}) AS max{d}"
+        for d in MRL_PREFIX_DIMS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS prefix_dim, n_pairs,"
+        f" mean{d} AS mean_abs_err, max{d} AS max_abs_err FROM s"
+        for d in MRL_PREFIX_DIMS
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {MRL_SAMPLE_MOD} = 0
+), p AS (
+  SELECT round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos64,
+         {", ".join(cols)}
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs, {stats} FROM p
+)
+{rows}
+"""
+
+
+@register("emb_matryoshka_truncate", "llm", oracle=_mrl_oracle())
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much retrieval signal
+    survives when embeddings are cut to their first 8/16/32 dims —
+    the measurement that decides whether the serving tier can store
+    the short prefix (8× less memory and ANN bandwidth) instead of
+    the full vector. Reports, per prefix width, the mean/max absolute
+    cosine error against the full-width cosine over a deterministic
+    id-residue pair sample.
+
+    Scale shape: the sample filter is map-side (vec_id % mod — no
+    rand(), reproducible); the pair join is sample×sample (mod² below
+    the corpus pair count — at 100 TB you'd widen the modulus, same
+    plan); every cosine is the shared unrolled codegen fold. Parity:
+    each prefix/full cosine is round6'd FIRST (identical doubles both
+    engines — the sim-family class), so the error terms are exact
+    differences of identical doubles; means accumulate via
+    DECIMAL(25,6) (order-free), max is order-free by nature."""
+    v = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % MRL_SAMPLE_MOD == 0
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos64 = _mrl_cos6("va", "vb", 64)
+    errs = [
+        f"abs({_mrl_cos6('va', 'vb', d)} - ({cos64})) as err{d}"
+        for d in MRL_PREFIX_DIMS
+    ]
+    p = a.join(b, F.col("ia") < F.col("ib")).selectExpr(*errs)
+    s = p.agg(
+        F.count("*").alias("n_pairs"),
+        *[
+            x
+            for d in MRL_PREFIX_DIMS
+            for x in (
+                (
+                    F.sum(F.col(f"err{d}").cast("decimal(25,6)")).cast("double")
+                    / F.count("*")
+                ).alias(f"mean{d}"),
+                F.max(f"err{d}").alias(f"max{d}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"cast({d} as bigint), mean{d}, max{d}" for d in MRL_PREFIX_DIMS
+    )
+    return s.selectExpr(
+        "n_pairs",
+        f"stack({len(MRL_PREFIX_DIMS)}, {stack})"
+        " as (prefix_dim, mean_abs_err, max_abs_err)",
+    ).select("prefix_dim", "n_pairs", "mean_abs_err", "max_abs_err")

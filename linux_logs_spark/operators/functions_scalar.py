@@ -796,3 +796,46 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.expr("xpath(x, '//@status | //priority/text()')")
         ).alias("xp_all_tags"),
     )
+
+
+@register(
+    "fn_struct",
+    "function",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority AS prio,
+       o_totalprice * 1.01 AS total_with_fee,
+       o_totalprice AS total_roundtrip
+FROM orders
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT column manipulation surface: build a nested struct,
+    reach through it with dotted access, evolve it in place with
+    withField (the nested-schema-evolution primitive — at 100 TB you
+    patch one leaf of a deep event struct without rewriting the
+    column), prune with dropFields, and extract scalars back out. The
+    oracle replays from base columns (the fn_xpath roundtrip-identity
+    pattern: every extraction must return what went in — here the fee
+    field is the only computed leaf). All map-side codegen projections;
+    struct ops never shuffle."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderpriority").alias("prio"),
+        F.struct(
+            F.col("o_totalprice").alias("amount"),
+        ).alias("money"),
+    )
+    evolved = (
+        o.withColumn("s", s)
+        .withColumn(
+            "s", F.col("s").withField("money.with_fee", F.col("o_totalprice") * 1.01)
+        )
+        .withColumn("s", F.col("s").dropFields("money.amount"))
+    )
+    return evolved.select(
+        "o_orderkey",
+        F.col("s.prio").alias("prio"),
+        F.col("s.money.with_fee").alias("total_with_fee"),
+        F.col("o_totalprice").alias("total_roundtrip"),
+    )

@@ -153,3 +153,32 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).groupBy("l_partkey").agg(
         F.count("*").alias("surplus")
     )
+
+
+@register(
+    "set_intersect_all",
+    "setop",
+    oracle="""
+WITH d AS (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 10
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM d GROUP BY l_partkey
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — min-of-multiplicities bag
+    intersection, completing the set-op family (set_intersect is the
+    DISTINCT form, set_except_all the bag difference). Spark plans
+    intersectAll as the same generate+min-count rewrite as exceptAll:
+    one shuffle on the value, per-key min of the two sides' counts,
+    no row pairing. The trailing count canonicalizes the bag into
+    deterministic (value, multiplicity) rows for the hash compare."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(b).groupBy("l_partkey").agg(
+        F.count("*").alias("multiplicity")
+    )

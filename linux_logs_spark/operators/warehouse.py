@@ -2047,3 +2047,59 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(MRL_PREFIX_DIMS)}, {stack})"
         " as (prefix_dim, mean_abs_err, max_abs_err)",
     ).select("prefix_dim", "n_pairs", "mean_abs_err", "max_abs_err")
+
+
+# q19 disjunct table (brand, max p_size, quantity lo/hi): three
+# AND-clauses OR'd together — the classic multi-attribute promo query.
+# Brands 11/12/13 exist at every fixture SF.
+Q19_CLAUSES = (
+    ("Brand#11", 15, 1, 11),
+    ("Brand#12", 25, 10, 20),
+    ("Brand#13", 35, 20, 30),
+)
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in Q19_CLAUSES
+    )
+
+
+@register(
+    "tpch_q19",
+    "warehouse",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_pred_sql()}
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue promo query (TPC-H Q19 shape, adapted to the
+    reduced schema): an equi-join whose REAL predicate is a
+    DISJUNCTION of multi-attribute clauses spanning BOTH sides —
+    the optimizer shape none of the other TPC-H picks exercise.
+    Catalyst handles it the way a hand-planner would: each disjunct's
+    single-side conjuncts are extracted and pushed below the join
+    (part scans only the three brands' size ranges, lineitem only
+    quantity 1-30 — visible as PushedFilters on both scans), while
+    the cross-side residual evaluates post-join. part is
+    corpus-proportional, so its broadcast is SIZE-GATED on the
+    parquet footer count (the tpch_q14 rule); revenue accumulates in
+    DECIMAL(25,4), order-free."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    n_part = table_row_count(sf_dir, "part")
+    return (
+        li.join(broadcast_if_fits(p, n_part, 96), li.l_partkey == p.p_partkey)
+        .filter(F.expr(_q19_pred_sql()))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+    )

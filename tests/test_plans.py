@@ -832,3 +832,18 @@ def test_bloom_runtime_filter_in_plan(spark, sf_dir):
     # and the join really is a shuffle join there (no broadcast): the
     # bloom filter is pointless under BHJ and Spark won't inject it
     assert "broadcasthashjoin" not in plan, plan[:2000]
+
+
+def test_q19_disjunct_pushdown_both_scans(spark, sf_dir):
+    """tpch_q19's OR-of-conjuncts predicate must split: each side's
+    single-table conjuncts reach that side's parquet scan as
+    PushedFilters (p_brand/p_size on part, l_quantity on lineitem) —
+    Catalyst's CNF extraction, the optimizer shape this query
+    exercises. A plan that evaluates the whole disjunction post-join
+    scans both tables in full."""
+    from linux_logs_spark.plans.explain import plan_string
+
+    plan = plan_string(_Q["tpch_q19"].fn(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), pushed
+    assert any("l_quantity" in ln for ln in pushed), pushed

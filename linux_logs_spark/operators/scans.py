@@ -765,3 +765,124 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["type"].alias("event_type"),
         m["value"].cast("double").alias("value"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    "scan",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+         AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read: a table whose older files PREDATE a
+    column (the writer added o_orderpriority later) must still read
+    as one dataset — `mergeSchema` unions the per-file footers and
+    back-fills the missing column with NULLs, which is exactly how a
+    lakehouse survives additive schema change without rewriting
+    history. Staged here as two file generations (even keys written
+    WITHOUT the priority column, odd keys with it) under one root;
+    the read-back aggregate proves rows survive and the NULL group is
+    precisely the old-generation rows. At 100 TB the mergeSchema
+    footer union is the only extra cost (per-file, at planning);
+    scans and pushdown behave normally on both generations. The
+    oracle replays the generation rule columnar-side (CASE on the
+    same key parity)."""
+    o = load(spark, sf_dir, "orders")
+    root = _scratch(sf_dir, "orders_schema_evo")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=2"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# Partition-spec evolution cutoff: files written before it use the
+# ORIGINAL spec (partitioned by event_type), files after use the
+# EVOLVED spec (partitioned by day) — both specs live under one
+# logical table, as in Iceberg where old files keep their spec_id.
+PART_EVO_CUTOFF = "2024-01-16"
+
+
+@register(
+    "table_partition_evolution",
+    "scan",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS dt,
+       CAST(count(*) AS BIGINT) AS n_errors
+FROM events
+WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+GROUP BY 1
+""",
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION: the table started life partitioned by
+    event_type and was later re-specced to daily partitions — but the
+    old files are never rewritten (Iceberg semantics: each file keeps
+    the spec it was written under), so every read must span BOTH
+    layouts. Staged as two generations under one root (pre-cutoff
+    rows under et=<type>/, post-cutoff under dt=<day>/); the query is
+    a daily error-rate window STRADDLING the cutoff. Each side still
+    prunes by its own spec — the predicate event_type='error' prunes
+    the old generation to one directory, the day range prunes the new
+    generation's dt partitions — which is exactly the promise spec
+    evolution makes: old data keeps old pruning, new data gets the
+    better layout, no rewrite. At 100 TB the alternative (rewriting
+    history into the new spec) is the cost this feature exists to
+    avoid. The oracle replays the union from the raw events."""
+    e = load(spark, sf_dir, "events")
+    cut = F.lit(PART_EVO_CUTOFF).cast("timestamp")
+    root = _scratch(sf_dir, "events_part_evo")
+    (
+        e.filter(F.col("ts") < cut)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(os.path.join(root, "spec1"))
+    )
+    (
+        e.filter(F.col("ts") >= cut)
+        .withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(os.path.join(root, "spec2"))
+    )
+    lo, hi = "2024-01-11", "2024-01-21"
+    old = (
+        spark.read.parquet(os.path.join(root, "spec1"))
+        .filter(F.col("event_type") == "error")  # prunes et= dirs
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select(F.date_trunc("day", "ts").cast("date").alias("dt"))
+    )
+    new = (
+        spark.read.parquet(os.path.join(root, "spec2"))
+        .filter(F.col("event_type") == "error")
+        .filter((F.col("dt") >= lo) & (F.col("dt") < hi))  # prunes dt= dirs
+        .select("dt")
+    )
+    return (
+        old.unionByName(new)
+        .groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(F.count("*").alias("n_errors"))
+    )

@@ -847,3 +847,15 @@ def test_q19_disjunct_pushdown_both_scans(spark, sf_dir):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("p_brand" in ln for ln in pushed), pushed
     assert any("l_quantity" in ln for ln in pushed), pushed
+
+
+def test_partition_evolution_prunes_both_specs(spark, sf_dir):
+    """table_partition_evolution's promise: each generation prunes by
+    ITS OWN partition spec — the old layout by event_type directory,
+    the evolved layout by dt range — in one plan."""
+    from linux_logs_spark.plans.explain import plan_string
+
+    plan = plan_string(_Q["table_partition_evolution"].fn(spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln and "error" in ln for ln in pf), pf
+    assert any("dt" in ln and "2024-01-11" in ln for ln in pf), pf

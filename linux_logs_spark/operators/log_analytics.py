@@ -853,3 +853,72 @@ def log_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         )
     )
+
+
+# Debounce window: a repeat alert for the same user within this many
+# seconds of the PREVIOUS alert is suppressed (lag-debounce — the
+# stateless policy; an anchored cooldown that measures from the last
+# EMITTED alert is inherently sequential per key and would be an
+# applyInPandas op like pack_sequences_ffd).
+ALERT_DEBOUNCE_S = 600
+
+
+@register(
+    "log_alert_debounce",
+    "log",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'error'
+), f AS (
+  SELECT user_id, ts,
+         (prev_ts IS NOT NULL AND
+          date_diff('microsecond', prev_ts, ts) < {ALERT_DEBOUNCE_S} * 1000000)
+           AS suppressed
+  FROM a
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_alerts,
+       CAST(count(*) FILTER (WHERE NOT suppressed) AS BIGINT) AS n_emitted,
+       CAST(count(*) FILTER (WHERE suppressed) AS BIGINT) AS n_suppressed,
+       min(ts) AS first_alert,
+       max(ts) AS last_alert
+FROM f
+GROUP BY user_id
+""",
+)
+def log_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert DEBOUNCE — the noise-suppression pass every paging
+    pipeline runs before notifying: a repeat error alert for the same
+    user within ALERT_DEBOUNCE_S of the previous one is suppressed,
+    and the per-user accounting (emitted vs suppressed volume) is what
+    an alert-quality review consumes. Gap measured in exact integer
+    MICROSECONDS (timestamps are µs-precision; an epoch-seconds
+    difference would be float) so the threshold compare is identical
+    cross-engine.
+
+    Scale shape: one shuffle on user_id serves both the lag window and
+    the rollup (the cust_order_intervals discipline); the
+    (ts, event_id) lag ordering is a total order, so the
+    previous-alert pairing is deterministic under any partitioning.
+    The stateful variant of this policy — cooldown anchored to the
+    last EMITTED alert — lives in streaming as stream_custom_state's
+    class of per-key state machine, not in one window."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    a = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "suppressed",
+        F.col("prev_ts").isNotNull()
+        & (
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+            < ALERT_DEBOUNCE_S * 1_000_000
+        ),
+    )
+    return a.groupBy("user_id").agg(
+        F.count("*").alias("n_alerts"),
+        F.count_if(~F.col("suppressed")).alias("n_emitted"),
+        F.count_if(F.col("suppressed")).alias("n_suppressed"),
+        F.min("ts").alias("first_alert"),
+        F.max("ts").alias("last_alert"),
+    )

@@ -535,3 +535,41 @@ def win_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "win_time_range_frame",
+    "window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS val_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame — the sliding-window velocity feature
+    (events/value per user in the trailing hour, evaluated AT EVERY
+    event) that rate limiting and fraud features are built on, and the
+    one window mode win_range_frame's numeric RANGE doesn't cover:
+    the frame boundary is a timestamp INTERVAL, so peers are defined
+    by event-time distance, not row position. RANGE semantics make
+    the result deterministic without a tiebreak column (equal-ts rows
+    are peers — included together in both engines). One shuffle on
+    user_id; per-user streams sort locally; value sums accumulate in
+    DECIMAL inside the frame (order-free). At 100 TB this is the
+    batch twin of stream_sliding's windowed aggregate — same feature,
+    event-time frames instead of micro-batch state."""
+    e = load(spark, sf_dir, "events")
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "cast(count(*) OVER (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        " as bigint) as n_1h",
+        "cast(sum(cast(value as decimal(25,2))) OVER (PARTITION BY user_id"
+        " ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        " as double) as val_1h",
+    )

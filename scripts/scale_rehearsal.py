@@ -95,6 +95,12 @@ HEAVY = [
     #   postings × SPAN_K — wall should track posting volume, with no
     #   quadratic pair term anywhere.
     "dedup_substring_span",
+    # - SemDeDup: within-cluster pair volume is Σ|cell|² ≈ n²/K — at
+    #   fixed K the 10x leg measures the n²/K curve directly;
+    #   production raises K with n (the paper's sizing rule) exactly
+    #   like the LSH plane count, trading kmeans assignment cost
+    #   (N·K) for pair volume.
+    "dedup_semantic_cluster",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -113,6 +119,8 @@ WARM_FIRST = {
     # its edge frame per run, so warming levels the codegen share.
     "dedup_substring_span",
     "graph_shortest_path",
+    # kmeans-train collect + 64-dim codegen: cold first pass dominates
+    "dedup_semantic_cluster",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

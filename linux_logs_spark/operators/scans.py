@@ -886,3 +886,76 @@ def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dt").cast("string").alias("dt"))
         .agg(F.count("*").alias("n_errors"))
     )
+
+
+@register(
+    "sink_python_datasource",
+    "scan",
+    oracle=f"""
+WITH g AS (
+  SELECT i AS row_id, (i * 2654435761) % 4294967296 AS h
+  FROM range({_SYNTH_N}) t(i)
+), r AS (
+  SELECT CASE ((h // 16) % 4) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+              WHEN 2 THEN 'error' ELSE 'debug' END AS severity,
+         (h % 100000) / 100.0 AS value
+  FROM g
+)
+SELECT severity,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM r GROUP BY severity
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (the other half of Spark 4's
+    ``pyspark.sql.datasource`` — scan_python_datasource covers read +
+    pushdown, stream_python_source the stream reader; this completes
+    the surface): ``df.write.format("synthlog")`` drives the full
+    two-phase commit protocol in pure Python — per-task hidden temp
+    files + WriterCommitMessage, driver-side commit() publish,
+    abort() cleanup (sources/synthetic.py:JsonDirWriter). The staged
+    dataset round-trips source → custom sink → spark.read.json, and
+    the read-back severity rollup must match the generator formula
+    replayed relationally by the oracle — proving no row was lost,
+    duplicated, or mangled by the task/commit dance. Values are
+    2-decimal doubles (JSON shortest-repr text-exact both ways).
+    At 100 TB: one temp file per task on the object store, one
+    rename fan-in at commit — the same protocol every FileFormat
+    sink runs, here user-programmable."""
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    # same runtime conf as scan_python_datasource (and for the same
+    # reason): a plain driver session has Python-source pushdown off,
+    # and a reader that implements pushFilters refuses to plan at all
+    # without it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = (
+        spark.read.format("synthlog")
+        .option("n", str(_SYNTH_N))
+        .option("parts", "8")
+        .load()
+    )
+    path = _scratch(sf_dir, "synthlog_sink")
+    (
+        src.write.format("synthlog")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("severity", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("severity").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

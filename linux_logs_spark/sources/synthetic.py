@@ -34,6 +34,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 # Weyl-style multiplicative mix: i * K mod 2^32 is full-period on the
@@ -160,7 +162,80 @@ class SynthLogDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SynthLogStreamReader:
         return SynthLogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonDirWriter":
+        return JsonDirWriter(self.options, overwrite)
+
 
 def register_synthlog(spark) -> None:
     """Idempotent per-session registration (re-register replaces)."""
     spark.dataSource.register(SynthLogDataSource)
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Per-task commit message: the hidden temp file the task wrote."""
+
+    def __init__(self, tmp_name: str):
+        self.tmp_name = tmp_name
+
+
+class JsonDirWriter(DataSourceWriter):
+    """Batch WRITER half of the Python DataSource API — the full
+    two-phase commit protocol in pure Python: each task writes a
+    HIDDEN temp file (underscore-prefixed: invisible to any Spark
+    reader that lists the directory mid-job) and returns its name as
+    the commit message; the driver's commit() publishes all temp
+    files at once by renaming them to part files and dropping a
+    _SUCCESS marker; abort() removes the temps so a failed job leaves
+    the directory readable with ONLY the previous contents. Local FS
+    rename stands in for the object-store manifest publish a real
+    sink uses (extras.write_manifest_atomic is the same protocol one
+    level up); the commit-time swap of old part files is the
+    documented non-atomic window a manifest fixes."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthlog sink requires option('path', ...)")
+        self.overwrite = overwrite
+
+    # executor-side
+    def write(self, rows) -> _SinkCommit:
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r.asDict()) + "\n")
+        return _SinkCommit(tmp)
+
+    # driver-side
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass

@@ -130,6 +130,7 @@ _MEASURED_COST: dict[str, float] = {
     "log_alert_debounce": 0.47,
     "win_time_range_frame": 0.70,
     "sink_python_datasource": 1.28,
+    "stream_python_sink": 1.72,
     "agg_approx_distinct": 0.83, "agg_approx_percentile": 0.16, "agg_bitmap_distinct": 0.33, "agg_bool": 0.25,
     "agg_collect": 0.35, "agg_conditional_family": 0.51, "agg_count_distinct": 0.31, "agg_cube": 0.33,
     "agg_distinct_rows": 0.21, "agg_global": 0.32, "agg_groupby": 0.5, "agg_groupby_sql": 0.48,

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     DataSourceWriter,
+    DataSourceStreamWriter,
     WriterCommitMessage,
 )
 
@@ -165,6 +166,9 @@ class SynthLogDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonDirWriter":
         return JsonDirWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonDirStreamWriter":
+        return JsonDirStreamWriter(self.options)
+
 
 def register_synthlog(spark) -> None:
     """Idempotent per-session registration (re-register replaces)."""
@@ -230,6 +234,59 @@ class JsonDirWriter(DataSourceWriter):
             pass
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink half (DataSourceStreamWriter): same per-task
+    temp-file + driver-publish protocol as JsonDirWriter, with the
+    batchId woven into the published names — a REPLAYED micro-batch
+    (restart between write and checkpoint commit) republishes the
+    SAME part-b<batch>-<i> names via os.replace, so recovery is
+    idempotent instead of duplicating rows. That per-batch idempotent
+    publish is exactly the contract foreachBatch sinks implement by
+    hand (streaming/queries.py:stream_foreach_batch); here it lives
+    behind the DataSource API."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthlog stream sink requires option('path', ...)")
+
+    # executor-side
+    def write(self, rows) -> _SinkCommit:
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r.asDict(), default=str) + "\n")
+        return _SinkCommit(tmp)
+
+    # driver-side, per micro-batch
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

@@ -25,6 +25,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from linux_logs_spark.catalog import load, nanos_ts_to_micros, table_path
 from linux_logs_spark.registry import register
@@ -870,3 +871,64 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the loop only starts a run when rows remain, so the LAST run
     # committed a batch and the memory sink holds the full aggregate
     return _register_sink(spark, name)
+
+
+@register(
+    "stream_python_sink",
+    "streaming",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING sink (DataSourceStreamWriter — with
+    scan_python_datasource, stream_python_source and
+    sink_python_datasource this closes the last quadrant of the
+    pyspark.sql.datasource surface): the event stream lands through
+    `writeStream.format("synthlog")`, whose per-micro-batch commit
+    publishes batchId-keyed part files idempotently (a replayed batch
+    republishes the same names — sources/synthetic.py:
+    JsonDirStreamWriter), and the read-back rollup must equal the
+    batch answer over events. Payload restricted to JSON-text-exact
+    columns (ids, enum, 2-decimal doubles). The checkpoint lives
+    beside the sink and both reset together, so the run is
+    self-contained and idempotent."""
+    import shutil
+
+    from linux_logs_spark.operators.scans import _scratch
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    src = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    target = _scratch(sf_dir, "python_stream_sink")
+    shutil.rmtree(target, ignore_errors=True)
+    sink_dir = os.path.join(target, "out")
+    q = (
+        src.writeStream.format("synthlog")
+        .option("path", sink_dir)
+        .option("checkpointLocation", os.path.join(target, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(sink_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -144,3 +144,48 @@ def test_stream_custom_state_converges_across_three_microbatches(
     g = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in final.collect()}
     e = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in expect.collect()}
     assert g == e
+
+
+def test_stream_python_sink_publishes_per_batch(
+    spark, sf_dir, split_events_dir, tmp_path
+):
+    """The custom Python STREAMING sink under real multi-trigger
+    execution: 3 files × maxFilesPerTrigger=1 forces ≥3 micro-batches,
+    each commit() publishes batchId-keyed part files, and the sink's
+    total contents must still equal the batch answer — the
+    per-batch-idempotent-publish contract, exercised beyond the
+    single-batch driver gate."""
+    import os
+
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    sink_dir = str(tmp_path / "out")
+    q = (
+        _stream_src(spark, split_events_dir)
+        .select("event_id", "event_type")
+        .writeStream.format("synthlog")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240), "drain did not finish"
+    finally:
+        if q.isActive:
+            q.stop()
+    n_triggers = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_triggers >= 3, n_triggers
+
+    batches = {
+        f.split("-")[1] for f in os.listdir(sink_dir) if f.startswith("part-b")
+    }
+    assert len(batches) >= 3, sorted(os.listdir(sink_dir))
+
+    back = spark.read.schema("event_id long, event_type string").json(sink_dir)
+    got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(
+        F.count("*").alias("n")).collect()}
+    want = {r["event_type"]: r["n"] for r in load(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == want

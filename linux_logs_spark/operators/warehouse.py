@@ -1907,21 +1907,44 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment exactly (all-integer) and the cosine via
     list_cosine_similarity."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.selectExpr(
-        "vec_id", "embedding", *_km_q_exprs("embedding", one_based=False)
+    # Train on the NARROW quantized frame (vec_id + q-cols only, the
+    # emb_kmeans_lloyd shape): carrying the raw embedding array
+    # through the trainer's assignment/update stages pushed the
+    # generated processNext() past janino's 64 KB method limit and
+    # dropped those stages to interpreted (measured in the round-8
+    # full 2-pass: 8-11 s per run vs 2.9 s after the split; the
+    # narrow form codegens clean — zero CodeGenerator errors).
+    qn = emb.selectExpr(
+        "vec_id", *_km_q_exprs("embedding", one_based=False)
     ).localCheckpoint()
-    key_expr = _km_train(q, SEMDEDUP_ITERS)
-    m = q.selectExpr(
-        "vec_id",
-        "embedding",
-        f"({key_expr()}) % {KM_K} AS cluster",
-    ).select(
-        "cluster",
-        "vec_id",
-        "embedding",
-        F.expr(norm_unrolled_sql("embedding")).alias("nrm"),
+    key_expr = _km_train(qn, SEMDEDUP_ITERS)
+    # The (vec_id, cluster) assignment gets its OWN stage cut: left
+    # lazy, the ~8×128-term centroid expression fuses into the join
+    # stage below and pushes ITS processNext() past the janino limit
+    # too (bisected: the m-materialization stage was the failing one).
+    # The checkpointed frame is 2 longs per vector — trivial.
+    assign = qn.selectExpr(
+        "vec_id", f"({key_expr()}) % {KM_K} AS cluster"
+    ).localCheckpoint(eager=True)
+    # Checkpoint the assigned+normed frame: computes the norm ONCE
+    # (not once per join side) and keeps the surviving pair join
+    # exactly dedup_embedding_cosine's codegen-proven shape.
+    m = (
+        emb.join(assign, "vec_id")
+        .select(
+            "cluster",
+            "vec_id",
+            "embedding",
+            F.expr(norm_unrolled_sql("embedding")).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
-    a = m.select(
+    # Round-robin the PROBE side across the cluster: the checkpointed
+    # frame inherits the source file's few partitions, so without the
+    # spread a handful of tasks evaluate every same-cluster dot
+    # (measured at the 10× rehearsal: 255 s → the spread is the same
+    # 13× fix dedup_embedding_cosine documents for its cell probe).
+    a = m.repartition(default_parallelism()).select(
         "cluster",
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("va"),
@@ -1936,8 +1959,20 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(
         F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
     )
+    # EXPLICIT size-gated broadcast of the build side: a checkpointed
+    # frame carries no size statistics, so AQE assumes
+    # defaultSizeInBytes (huge), refuses the broadcast, and plans a
+    # sort-merge join on the 8-valued cluster key — at most K tasks do
+    # all the pair work (measured at the 10× rehearsal: 86 s → 435 s
+    # when the implicit broadcast was lost). Broadcast-hash keeps the
+    # probe side partitioned by DATA, not by key count. Past the gate
+    # (vectors no longer broadcastable) the key-skew problem is real
+    # and the fix is the one the docstring already names: K grows
+    # with n, so the cluster key stops being low-cardinality long
+    # before the build side outgrows memory.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     return (
-        a.join(b, "cluster")
+        a.join(broadcast_if_fits(b, n_vecs, 360), "cluster")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("cluster", "doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)

@@ -101,6 +101,11 @@ HEAVY = [
     #   like the LSH plane count, trading kmeans assignment cost
     #   (N·K) for pair volume.
     "dedup_semantic_cluster",
+    # - z-order rewrite: cost = one range exchange + sorted write,
+    #   both ∝ table bytes; the 10x leg pins that the clustering
+    #   rewrite stays a linear single-pass (no global sort, no
+    #   quadratic term) as the table grows.
+    "table_zorder_cluster",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -121,6 +126,8 @@ WARM_FIRST = {
     "graph_shortest_path",
     # kmeans-train collect + 64-dim codegen: cold first pass dominates
     "dedup_semantic_cluster",
+    # scratch-dir staging + write-path JIT on the first pass
+    "table_zorder_cluster",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

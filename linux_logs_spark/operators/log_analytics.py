@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load
 from linux_logs_spark.functions.compat import dec
+from linux_logs_spark.functions.vector import round6_away_sql
 from linux_logs_spark.registry import register
 
 
@@ -795,7 +796,7 @@ def log_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENT_TERM6 = "sign(p * ln(p)) * floor(abs(p * ln(p)) * 1e6 + 0.5) / 1e6"
+_ENT_TERM6 = round6_away_sql("p * ln(p)")
 
 
 @register(

@@ -962,8 +962,10 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = []
         for n in pdf["n_tokens"]:
             n = int(n)
-            if n >= PACK_BUDGET:
-                # oversize: singleton bin, capacity exhausted
+            if n > PACK_BUDGET:
+                # oversize: singleton bin, capacity exhausted (an
+                # exact-fit doc is NOT oversize — it packs its own
+                # full bin through the normal path below)
                 bins.append(0)
                 assign.append(len(bins) - 1)
                 continue
@@ -977,7 +979,7 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assign.append(len(bins) - 1)
         out = pdf[["source", "doc_id", "n_tokens"]].copy()
         out["bin_id"] = pd.array(assign, dtype="int64")
-        out["oversize"] = out["n_tokens"] >= PACK_BUDGET
+        out["oversize"] = out["n_tokens"] > PACK_BUDGET
         return out
 
     d = load(spark, sf_dir, "documents").selectExpr(

@@ -1970,9 +1970,11 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the fix is the one the docstring already names: K grows
     # with n, so the cluster key stops being low-cardinality long
     # before the build side outgrows memory.
+    from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
+
     n_vecs = table_row_count(sf_dir, "embeddings")
     return (
-        a.join(broadcast_if_fits(b, n_vecs, 360), "cluster")
+        a.join(broadcast_if_fits(b, n_vecs, _EMBED_ROW_BYTES), "cluster")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("cluster", "doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)

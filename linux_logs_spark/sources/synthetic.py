@@ -197,10 +197,17 @@ class JsonDirWriter(DataSourceWriter):
     documented non-atomic window a manifest fixes."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("synthlog sink requires option('path', ...)")
         self.overwrite = overwrite
+        # Unique per-JOB publish prefix (driver-side, once): append
+        # mode must accumulate across jobs, and a fixed part-00000...
+        # naming would make the second append's os.replace silently
+        # clobber the first's files (round-8 review).
+        self.job_id = uuid.uuid4().hex[:8]
 
     # executor-side
     def write(self, rows) -> _SinkCommit:
@@ -228,7 +235,7 @@ class JsonDirWriter(DataSourceWriter):
         for i, m in enumerate(messages):
             os.replace(
                 os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(self.path, f"part-{self.job_id}-{i:05d}.jsonl"),
             )
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
@@ -280,6 +287,16 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import os
 
+        # A replayed batch may produce FEWER tasks than the crashed
+        # attempt already published (different shuffle layout after
+        # restart) — name-idempotent renames alone would leave the
+        # surplus part-b<batch>-* files in place and double-count
+        # rows (round-8 review). Clear the batch's own previous
+        # publish first: replay then republishes the batch exactly.
+        prefix = f"part-b{batchId:05d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix):
+                os.remove(os.path.join(self.path, f))
         for i, m in enumerate(messages):
             os.replace(
                 os.path.join(self.path, m.tmp_name),

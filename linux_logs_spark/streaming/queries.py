@@ -891,7 +891,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark.sql.datasource surface): the event stream lands through
     `writeStream.format("synthlog")`, whose per-micro-batch commit
     publishes batchId-keyed part files idempotently (a replayed batch
-    republishes the same names — sources/synthetic.py:
+    clears and republishes its own files — sources/synthetic.py:
     JsonDirStreamWriter), and the read-back rollup must equal the
     batch answer over events. Payload restricted to JSON-text-exact
     columns (ids, enum, 2-decimal doubles). The checkpoint lives

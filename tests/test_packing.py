@@ -29,7 +29,7 @@ def _reference_ffd(rows):
         docs.sort(key=lambda t: (-t[1], t[0]))
         bins = []
         for doc, n in docs:
-            if n >= PACK_BUDGET:
+            if n > PACK_BUDGET:
                 bins.append(0)
                 out[(src, doc)] = (len(bins) - 1, True)
                 continue
@@ -79,7 +79,7 @@ def test_ffd_fill_beats_arrival_order(spark, sf_dir):
     rem = {}
     for src, doc, n in sorted(rows, key=lambda t: (t[0], t[1])):
         n = int(n)
-        if n >= PACK_BUDGET:
+        if n > PACK_BUDGET:
             naive_bins[src] += 1
             continue
         if src not in rem or n > rem[src]:

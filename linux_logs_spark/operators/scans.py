@@ -589,10 +589,18 @@ def table_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the z computation is pure codegen'd projection, so
     the only cost over a plain rewrite is the range exchange every
     OPTIMIZE pays anyway."""
+    from linux_logs_spark.catalog import table_row_count
+
     zpath = _scratch(sf_dir, "orders_zorder")
+    # file count derives from the table's footer row count (the
+    # table_optimize_compact rule: ~50k rows per file, floor of 8 so
+    # test scale still exhibits multi-file range layout) — a fixed
+    # writer-task count would emit ever-larger files as the table
+    # grows.
+    n_files = max(8, table_row_count(sf_dir, "orders") // 50_000)
     (
         orders_zframe(spark, sf_dir)
-        .repartitionByRange(8, "_z")
+        .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .write.mode("overwrite")
         .parquet(zpath)

@@ -923,3 +923,58 @@ def log_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_alert"),
         F.max("ts").alias("last_alert"),
     )
+
+
+@register(
+    "log_latency_percentiles",
+    "log",
+    oracle="""
+SELECT event_type, date_trunc('hour', ts) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def log_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service-hour latency percentiles — THE canonical SRE
+    dashboard query (p50/p95/p99 per service per hour, the panel every
+    latency SLO is judged against). Exact DISCRETE percentiles via the
+    agg_percentile rule (element at row_number == ceil(n·p) in sort
+    order ≡ DuckDB's quantile_disc — actual data elements, so no
+    interpolation arithmetic can drift cross-engine).
+
+    Scale shape: one shuffle on (event_type, hour) serves both the
+    ranking window and the rollup; group cardinality is
+    services×hours (bounded), and each group sorts locally — no
+    global sort. At 100 TB the exact form is affordable precisely
+    because the partition key bounds every sort; the sketch
+    alternative (approx_percentile, rows-only) is registered for the
+    cases where even that shuffle is too much."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start"), "value"
+    )
+    w = Window.partitionBy("event_type", "hour_start").orderBy("value")
+    ranked = e.select(
+        "event_type",
+        "hour_start",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type", "hour_start"))
+        .alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+        )
+
+    return ranked.groupBy("event_type", "hour_start").agg(
+        F.max("n").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+    )

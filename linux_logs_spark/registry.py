@@ -119,6 +119,7 @@ _MEASURED_COST: dict[str, float] = {
     # update_measured_cost.py prunes this line): the janino/broadcast/
     # spread fixes cut dedup_semantic_cluster 8.02 -> 2.86
     "dedup_semantic_cluster": 2.86,
+    "log_latency_percentiles": 0.67,
     "agg_approx_distinct": 0.96, "agg_approx_percentile": 0.19, "agg_bitmap_distinct": 0.32, "agg_bool": 0.25,
     "agg_collect": 0.24, "agg_conditional_family": 0.42, "agg_count_distinct": 0.32, "agg_cube": 0.35,
     "agg_distinct_rows": 0.17, "agg_global": 0.41, "agg_groupby": 0.4, "agg_groupby_sql": 0.45,

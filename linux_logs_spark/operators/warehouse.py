@@ -1750,14 +1750,22 @@ def _km_train(q, iters: int):
     return key_expr
 
 
-def _km_chain_sql(iters: int) -> list[str]:
+def _km_chain_sql(
+    iters: int, k_sql: str = str(KM_K), extra_cte: str = ""
+) -> list[str]:
     """The oracle-side WITH-chain for `iters` Lloyd updates: q =
     quantized vectors (+ raw embedding, harmless to kmeans, needed by
     the semantic-dedup pair join), c0 = first-K seed, then per
     iteration an assignment CTE (cross join the K-row centroid CTE,
     min over the packed dist·K+k key) and an update CTE (per-cluster
     integer mean with empty-cluster carry-over via LEFT JOIN). The
-    caller appends its own final assignment over c{iters}."""
+    caller appends its own final assignment over c{iters}.
+
+    `k_sql` is the SQL expression for K — a literal for the fixed-K
+    kmeans showcase, or a scalar subquery over a caller-supplied
+    `extra_cte` (the SemDeDup K∝n sizing rule, which must be computed
+    FROM THE DATA so the one oracle string stays correct at every
+    scale factor the driver runs it at)."""
     qcols = ", ".join(f"q{i}" for i in range(_KM_DIM))
     dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
     upd = ", ".join(
@@ -1766,19 +1774,19 @@ def _km_chain_sql(iters: int) -> list[str]:
     )
     carry = ", ".join(f"coalesce(u.q{i}, p.q{i}) AS q{i}" for i in range(_KM_DIM))
     sql = [
-        "WITH q AS (SELECT vec_id, embedding, "
+        f"WITH {extra_cte}q AS (SELECT vec_id, embedding, "
         + ", ".join(_km_q_exprs("embedding", one_based=True))
         + " FROM embeddings)",
-        f", c0 AS (SELECT vec_id AS k, {qcols} FROM q WHERE vec_id < {KM_K})",
+        f", c0 AS (SELECT vec_id AS k, {qcols} FROM q WHERE vec_id < {k_sql})",
     ]
     for it in range(1, iters + 1):
         sql.append(
-            f", a{it} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
+            f", a{it} AS (SELECT q.vec_id, min(({dist}) * {k_sql} + c.k) AS key"
             f" FROM q CROSS JOIN c{it - 1} c GROUP BY q.vec_id)"
         )
         sql.append(
-            f", u{it} AS (SELECT a.key % {KM_K} AS k, {upd}"
-            f" FROM q JOIN a{it} a ON q.vec_id = a.vec_id GROUP BY a.key % {KM_K})"
+            f", u{it} AS (SELECT a.key % {k_sql} AS k, {upd}"
+            f" FROM q JOIN a{it} a ON q.vec_id = a.vec_id GROUP BY a.key % {k_sql})"
         )
         sql.append(
             f", c{it} AS (SELECT p.k, {carry}"
@@ -1849,27 +1857,92 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # need to land in the same cell), then exact cosine within cells.
 # The threshold matches dedup_embedding_cosine's 0.35 so the recall
 # test can compare against the oracle-verified exact pair set.
+# K follows the paper's sizing rule K ∝ n (cells stay ~TARGET_CELL
+# rows as the corpus grows, so pair volume Σ|cell|² ≈ n·TARGET_CELL
+# stays LINEAR in n instead of the n²/K curve a fixed K measures —
+# the round-8 rehearsal's 23×-at-10× finding). K is derived from the
+# parquet footer row count (zero jobs) on the Spark side and from
+# count(*) in the oracle, so both engines compute the same K at any
+# scale factor from the data alone.
 SEMDEDUP_ITERS = 1
 SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_TARGET_CELL_ROWS = 250
+
+
+def _semdedup_k(n_vecs: int) -> int:
+    """max(KM_K, n // TARGET): never below the kmeans floor, grows
+    linearly with the corpus. Python // and DuckDB // agree (floor)
+    on the non-negative ints involved."""
+    return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
+
+
+def _km_train_array(qa, iters: int, k: int):
+    """Dynamic-K Lloyd trainer over an array-quantized frame
+    (vec_id, qa: array<bigint>[64]) — the _km_train contract with the
+    assignment expressed as data, not code: centroids ship as a
+    LITERAL array-of-arrays and the packed argmin key is one
+    array_min(transform(...)) over it, so the expression size is
+    O(1) in codegen terms no matter how large K grows (the unrolled
+    least() form blows janino's 64 KB method limit past K≈16; arrays
+    are looped at runtime, not expanded into code). Same exact
+    integer math as _km_train: key = dist²·K + k, empty clusters
+    carry their previous centroid, component means floor-divide."""
+    import math
+
+    init = qa.filter(F.col("vec_id") < k).collect()
+    cents = {int(r["vec_id"]): [int(v) for v in r["qa"]] for r in init}
+
+    def key_expr() -> str:
+        arr = ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in cents[j]) + ")" for j in range(k)
+        )
+        return (
+            f"array_min(transform(array({arr}), (c, j) -> "
+            f"aggregate(zip_with(qa, c, (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, v) -> acc + v)"
+            f" * CAST({k} AS BIGINT) + j))"
+        )
+
+    for _ in range(iters):
+        assigned = qa.selectExpr("vec_id", "qa", f"{key_expr()} AS key")
+        upd = (
+            assigned.groupBy((F.col("key") % k).alias("kk"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("qa")[i]).alias(f"s{i}") for i in range(_KM_DIM)],
+            )
+            .collect()
+        )
+        for r in upd:  # empty clusters keep their previous centroid
+            cents[int(r["kk"])] = [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
+            ]
+    return key_expr
 
 
 def _semdedup_oracle() -> str:
-    """Lloyd chain (shared _km_chain_sql) → final assignment →
+    """Lloyd chain (shared _km_chain_sql, K from the data via the kk
+    CTE — the sizing rule replayed in SQL) → final assignment →
     within-cluster pair join with list_cosine_similarity, the
     dedup_embedding_cosine rounding convention."""
     dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
     final = SEMDEDUP_ITERS + 1
+    k_sql = "(SELECT kv FROM kk)"
+    kk_cte = (
+        f"kk AS (SELECT GREATEST({KM_K},"
+        f" count(*) // {SEMDEDUP_TARGET_CELL_ROWS}) AS kv FROM embeddings), "
+    )
     cos = (
         "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
         " CAST(eb.embedding AS DOUBLE[])), 6)"
     )
-    sql = _km_chain_sql(SEMDEDUP_ITERS)
+    sql = _km_chain_sql(SEMDEDUP_ITERS, k_sql=k_sql, extra_cte=kk_cte)
     sql.append(
-        f", a{final} AS (SELECT q.vec_id, min(({dist}) * {KM_K} + c.k) AS key"
+        f", a{final} AS (SELECT q.vec_id, min(({dist}) * {k_sql} + c.k) AS key"
         f" FROM q CROSS JOIN c{SEMDEDUP_ITERS} c GROUP BY q.vec_id)"
     )
     sql.append(
-        f", m AS (SELECT vec_id, key % {KM_K} AS cluster FROM a{final})"
+        f", m AS (SELECT vec_id, key % {k_sql} AS cluster FROM a{final})"
     )
     sql.append(
         f"""
@@ -1896,35 +1969,49 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     of asserting it.
 
     Plan shape: one quantized-frame checkpoint (reused by the trainer
-    and the final assignment), SEMDEDUP_ITERS Lloyd updates via the
-    shared _km_train (assignment = centroid-literal codegen
-    projection, NO join; update = K-key hash agg; K×dim driver
-    traffic), then ONE shuffle equi-join on the cluster id with
-    vec_a < vec_b as residual — same-cell pairs only, never a
-    cartesian. Cosine parity: the per-pair dot stays the JVM
-    left-fold with F.round (the dedup_embedding_cosine convention and
-    its documented janino rationale); the oracle replays the cluster
-    assignment exactly (all-integer) and the cosine via
-    list_cosine_similarity."""
+    and the final assignment), K = max(KM_K, n // TARGET_CELL) from
+    the parquet FOOTER row count (the sizing rule, zero jobs),
+    SEMDEDUP_ITERS Lloyd updates via _km_train_array (assignment =
+    centroid-LITERAL-ARRAY argmin in one compact higher-order
+    expression — data not code, so K can grow with n without blowing
+    janino's 64 KB method limit the way an unrolled least() does past
+    K≈16; update = K-key hash agg; K×dim driver traffic), then ONE
+    shuffle equi-join on the cluster id with vec_a < vec_b as
+    residual — same-cell pairs only, never a cartesian, and pair
+    volume stays ~n·TARGET_CELL instead of n²/K (the round-8
+    rehearsal measured fixed K=8 at 23× wall under 10× rows; the K∝n
+    rule is the paper's fix). Cosine parity: the per-pair dot stays
+    the JVM left-fold with F.round (the dedup_embedding_cosine
+    convention and its documented janino rationale); the oracle
+    replays K (count(*)-derived), the cluster assignment (all-
+    integer) and the cosine via list_cosine_similarity."""
+    n_vecs = table_row_count(sf_dir, "embeddings")
+    k = _semdedup_k(n_vecs)
     emb = load(spark, sf_dir, "embeddings")
-    # Train on the NARROW quantized frame (vec_id + q-cols only, the
-    # emb_kmeans_lloyd shape): carrying the raw embedding array
-    # through the trainer's assignment/update stages pushed the
+    # Train on the NARROW quantized frame (vec_id + the qa array
+    # only, the emb_kmeans_lloyd shape): carrying the raw embedding
+    # array through the trainer's assignment/update stages pushed the
     # generated processNext() past janino's 64 KB method limit and
     # dropped those stages to interpreted (measured in the round-8
     # full 2-pass: 8-11 s per run vs 2.9 s after the split; the
     # narrow form codegens clean — zero CodeGenerator errors).
-    qn = emb.selectExpr(
-        "vec_id", *_km_q_exprs("embedding", one_based=False)
-    ).localCheckpoint()
-    key_expr = _km_train(qn, SEMDEDUP_ITERS)
+    qn = (
+        emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
+        .selectExpr(
+            "vec_id",
+            "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
+        )
+        .localCheckpoint()
+    )
+    key_expr = _km_train_array(qn, SEMDEDUP_ITERS, k)
     # The (vec_id, cluster) assignment gets its OWN stage cut: left
-    # lazy, the ~8×128-term centroid expression fuses into the join
-    # stage below and pushes ITS processNext() past the janino limit
-    # too (bisected: the m-materialization stage was the failing one).
+    # lazy, the centroid-array expression fuses into the join stage
+    # below and re-evaluates per joined row (bisected in round 8: the
+    # m-materialization stage was the failing one for the unrolled
+    # form; the cut also keeps the array loop off the pair hot path).
     # The checkpointed frame is 2 longs per vector — trivial.
     assign = qn.selectExpr(
-        "vec_id", f"({key_expr()}) % {KM_K} AS cluster"
+        "vec_id", f"({key_expr()}) % {k} AS cluster"
     ).localCheckpoint(eager=True)
     # Checkpoint the assigned+normed frame: computes the norm ONCE
     # (not once per join side) and keeps the surviving pair join
@@ -1962,17 +2049,16 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXPLICIT size-gated broadcast of the build side: a checkpointed
     # frame carries no size statistics, so AQE assumes
     # defaultSizeInBytes (huge), refuses the broadcast, and plans a
-    # sort-merge join on the 8-valued cluster key — at most K tasks do
-    # all the pair work (measured at the 10× rehearsal: 86 s → 435 s
-    # when the implicit broadcast was lost). Broadcast-hash keeps the
-    # probe side partitioned by DATA, not by key count. Past the gate
-    # (vectors no longer broadcastable) the key-skew problem is real
-    # and the fix is the one the docstring already names: K grows
-    # with n, so the cluster key stops being low-cardinality long
-    # before the build side outgrows memory.
+    # sort-merge join on the cluster key — at fixed K=8 that meant at
+    # most K tasks did all the pair work (measured at the 10×
+    # rehearsal: 86 s → 435 s when the implicit broadcast was lost).
+    # Broadcast-hash keeps the probe side partitioned by DATA, not by
+    # key count. Past the gate (vectors no longer broadcastable) the
+    # K∝n rule above is what keeps the sort-merge fallback healthy:
+    # the cluster key's cardinality grows with n, so the shuffle
+    # spreads across ~K ≫ cores tasks instead of 8.
     from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
 
-    n_vecs = table_row_count(sf_dir, "embeddings")
     return (
         a.join(broadcast_if_fits(b, n_vecs, _EMBED_ROW_BYTES), "cluster")
         .filter(F.col("doc_a") < F.col("doc_b"))

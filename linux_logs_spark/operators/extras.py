@@ -291,10 +291,10 @@ def write_manifest_atomic(path: str, manifest: dict) -> None:
     os.replace is atomic on POSIX, so a reader opening `path` sees
     either the previous complete manifest or the new complete one —
     never a truncated mix — and a crash mid-write leaves only a stray
-    .tmp sibling, not a corrupt manifest. Single-writer: two racing
-    writers last-write-wins on the whole manifest (documented
-    constraint; a multi-writer table needs a real commit log à la
-    Delta/Iceberg, which this container cannot host)."""
+    .tmp sibling, not a corrupt manifest. This is the READER-safety
+    half of the protocol only: two racing writers last-write-win on
+    the whole manifest. Multi-writer commits go through
+    commit_manifest (the optimistic check-and-swap fence below)."""
     import json as _json
     import os
 
@@ -304,6 +304,58 @@ def write_manifest_atomic(path: str, manifest: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+
+
+def commit_manifest(path: str, update_fn, max_retries: int = 50) -> dict:
+    """Optimistic-concurrency manifest commit: the multi-writer half
+    of the table-commit protocol (the honest no-Delta slice of what
+    Delta/Iceberg's commit service provides — on one host; an object
+    store would swap the flock for its conditional-PUT primitive).
+
+    ``update_fn(current: dict | None) -> dict`` computes the next
+    manifest FROM the committed state it was handed — the heavy work
+    (writing immutable snapshot roots) happens before the commit, so
+    update_fn itself is metadata-only and cheap to retry. Protocol
+    per attempt:
+
+    1. read the current manifest and its ``commit_seq`` (missing or
+       legacy/unfenced manifests count as seq 0) — OUTSIDE the lock;
+    2. compute ``new = update_fn(current)``;
+    3. under an exclusive flock on ``path + '.lock'``: RE-READ; if
+       the seq moved since step 1, another writer committed — drop
+       the attempt and retry on the fresh base (update_fn re-applies
+       this writer's delta on top of the other writer's commit, which
+       is exactly what makes a lost update impossible); otherwise
+       publish ``new`` with ``commit_seq = seq + 1`` via
+       write_manifest_atomic (readers stay torn-read-safe).
+
+    flock is released on process death, so a crashed writer never
+    wedges the table; a crash between root-write and commit leaves an
+    orphaned (immutable, unreferenced) root, never a broken manifest.
+    Pinned by tests/test_time_travel_manifest.py's concurrent-writer
+    counter test: N writers × M increments each must land all N·M."""
+    import fcntl
+    import os
+
+    lock_path = path + ".lock"
+    for _ in range(max_retries):
+        base = read_manifest(path)
+        base_seq = int((base or {}).get("commit_seq", 0))
+        new = dict(update_fn(base))
+        new["commit_seq"] = base_seq + 1
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = read_manifest(path)
+                if int((cur or {}).get("commit_seq", 0)) != base_seq:
+                    continue  # conflicting commit landed first — retry
+                write_manifest_atomic(path, new)
+                return new
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+    raise RuntimeError(
+        f"manifest commit conflict persisted after {max_retries} retries: {path}"
+    )
 
 
 # CDC derivation constants for the v2→v3 snapshot delta (Spark build
@@ -329,8 +381,8 @@ def _customer_snapshot_reader(spark: SparkSession, sf_dir: str):
     applied (BUILDING acctbal × 1.1); v3 = v2 with deletes (custkey %
     11 == 3 dropped) and inserts (key-shifted zero-balance copies of
     custkey % 13 == 5) — so the family exhibits every change class a
-    CDC reader must classify. Commit protocol (single-writer,
-    pinned by tests/test_time_travel_manifest.py): snapshot dirs are
+    CDC reader must classify. Commit protocol (multi-writer safe via
+    the commit_manifest version fence, pinned by tests/test_time_travel_manifest.py): snapshot dirs are
     IMMUTABLE under a fingerprint-keyed root — a rebuild writes a NEW
     root, never in place — and the manifest publishes via write-temp +
     fsync + os.replace, so a concurrent reader always resolves a
@@ -389,9 +441,22 @@ def _customer_snapshot_reader(spark: SparkSession, sf_dir: str):
             frame.write.mode("overwrite").parquet(
                 os.path.join(base, root, f"v={ver}")
             )
-        write_manifest_atomic(
+        # Version-fenced commit: if a concurrent rebuild committed
+        # between our read and now, update_fn re-runs on ITS manifest
+        # — both rebuilds staged equivalent immutable roots (same
+        # fingerprint ⇒ same derived data), so pointing at ours is
+        # correct either way, and a FUTURE multi-field manifest can
+        # never lose the other writer's keys (the commit_seq fence is
+        # what rules out silent last-write-wins).
+        _root = root
+        commit_manifest(
             manifest_path,
-            {"fingerprint": fingerprint, "root": root, "versions": [1, 2, 3]},
+            lambda cur: {
+                **(cur or {}),
+                "fingerprint": fingerprint,
+                "root": _root,
+                "versions": [1, 2, 3],
+            },
         )
         # One-generation retention: readers holding the just-replaced
         # manifest can still finish their scan of prev_root; anything
@@ -451,9 +516,9 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic as-of diff: join v1 to v2 on the key and report changed
     rows. At 100 TB each snapshot is just parquet behind a manifest
     pointer, so time travel costs one manifest read, never a table
-    copy — identical to how Delta/Iceberg resolve versions, minus
-    multi-writer transactionality (single-writer documented
-    constraint)."""
+    copy — identical to how Delta/Iceberg resolve versions; writer
+    races are fenced by commit_manifest's optimistic check-and-swap
+    (the container-honest slice of their commit service)."""
     n_cust = table_row_count(sf_dir, "customer")
     read_as_of = _customer_snapshot_reader(spark, sf_dir)
 

@@ -128,3 +128,71 @@ def test_time_travel_recovers_from_corrupt_manifest(spark, sf_dir):
     n2 = fn(spark, sf_dir).count()
     assert n2 == n1
     assert read_manifest(manifest) is not None  # rebuilt clean
+
+
+def test_concurrent_writers_no_lost_update(tmp_path):
+    """The multi-writer fence (round-8 verdict item: unfenced
+    os.replace last-write-wins): N writer threads each bump their OWN
+    counter field M times via commit_manifest. Unfenced writers lose
+    updates whenever two interleave (write_manifest_atomic of a stale
+    base); the check-and-swap fence must land every increment —
+    final manifest shows all counters at M and commit_seq == N*M."""
+    import threading
+
+    from linux_logs_spark.operators.extras import commit_manifest
+
+    path = str(tmp_path / "_MANIFEST.json")
+    n_writers, n_commits = 4, 25
+    errs: list = []
+
+    def writer(wid: int):
+        me = f"w{wid}"
+        try:
+            for _ in range(n_commits):
+                commit_manifest(
+                    path,
+                    lambda cur, me=me: {
+                        **(cur or {}),
+                        me: int((cur or {}).get(me, 0)) + 1,
+                    },
+                    max_retries=10_000,
+                )
+        except Exception as exc:  # surfaced by the main thread
+            errs.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs[:1]
+    final = read_manifest(path)
+    assert final is not None
+    for w in range(n_writers):
+        assert final[f"w{w}"] == n_commits, final
+    assert final["commit_seq"] == n_writers * n_commits
+
+
+def test_commit_manifest_retries_on_stale_base(tmp_path):
+    """A commit computed against a base that another writer replaced
+    must be retried on the fresh base, not published: simulate by
+    committing through the fence while a competing unfenced bump has
+    landed between read and lock (forced via an update_fn that
+    side-effects the file on its first call)."""
+    from linux_logs_spark.operators.extras import commit_manifest
+
+    path = str(tmp_path / "_MANIFEST.json")
+    write_manifest_atomic(path, {"commit_seq": 3, "other": "keep"})
+    calls = {"n": 0}
+
+    def update(cur):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # competing commit lands after our base read
+            write_manifest_atomic(path, {"commit_seq": 4, "other": "moved"})
+        return {**(cur or {}), "mine": True}
+
+    final = commit_manifest(path, update)
+    assert calls["n"] == 2  # first attempt conflicted, second won
+    assert final["mine"] is True and final["other"] == "moved"
+    assert final["commit_seq"] == 5

@@ -132,3 +132,74 @@ def test_scan_csv_malformed_quarantine_counts_exact(spark, sf_dir):
     # fields (complete=1); the bad-long and garbage rows do not
     assert got["quarantined"]["n"] == 3
     assert got["quarantined"]["n_complete"] < 3
+
+
+def test_freq_items_sketch_bounds_and_heavy_hitter_recall(spark, sf_dir):
+    """agg_freq_items_sketch (mergeable Space-Saving): (a) for every
+    reported item the EXACT count lies inside the sketch's own
+    [est - max_over, est + max_under] interval — the per-item bound
+    the summary merge advertises; (b) every item whose true count
+    exceeds the Σ N_summary / M detection threshold is reported —
+    the Space-Saving heavy-hitter guarantee, surviving the merge;
+    (c) the report is deterministic across runs (sorted stream +
+    keyed tie-breaks)."""
+    from linux_logs_spark.operators.log_analytics import SS_CAPACITY
+
+    got = _Q["agg_freq_items_sketch"].fn(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    exact = {
+        r["item"]: r["n"]
+        for r in e.selectExpr("cast(user_id as string) AS item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in got:
+        true = exact.get(r["item"], 0)
+        lo, hi = r["est"] - r["max_over"], r["est"] + r["max_under"]
+        assert lo <= true <= hi, (r["item"], true, lo, hi)
+
+    # detection threshold: any item with true count > Σ_d N_d / M is
+    # guaranteed tracked in every summary its mass lands in; sum the
+    # per-(day)-stream sizes (shards=1 at fixture scale)
+    per_day_n = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    threshold = sum(r["n"] for r in per_day_n) / SS_CAPACITY
+    reported = {r["item"] for r in got}
+    missed = {
+        it for it, n in exact.items() if n > threshold and it not in reported
+    }
+    assert not missed, (threshold, missed)
+
+    again = _Q["agg_freq_items_sketch"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_freq_items_sketch_bounds_hold_under_eviction(spark, sf_dir, monkeypatch):
+    """At fixture scale the corpus has fewer users than SS_CAPACITY,
+    so the summaries never evict; shrink M below |users| to force
+    real evictions and re-pin the per-item interval — the case where
+    Space-Saving actually approximates."""
+    from linux_logs_spark.operators import log_analytics as la
+
+    monkeypatch.setattr(la, "SS_CAPACITY", 8)
+    got = _Q["agg_freq_items_sketch"].fn(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    exact = {
+        r["item"]: r["n"]
+        for r in e.selectExpr("cast(user_id as string) AS item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(exact) > 8  # evictions actually occurred
+    nontrivial = 0
+    for r in got:
+        true = exact.get(r["item"], 0)
+        lo, hi = r["est"] - r["max_over"], r["est"] + r["max_under"]
+        assert lo <= true <= hi, (r["item"], true, lo, hi)
+        nontrivial += int(r["max_over"] > 0 or r["max_under"] > 0)
+    assert nontrivial > 0  # the bounds were genuinely approximate

@@ -22,6 +22,11 @@ from linux_logs_spark.functions.compat import dsum, oracle_dsum
 from linux_logs_spark.registry import register
 from linux_logs_spark.session import broadcast_if_fits
 
+# join_bloom_runtime_filter's isolated demo-conf sessions, memoized
+# per SparkContext so repeated invocations don't accumulate sessions
+# (bounded: one entry per context ever created in this process).
+_BLOOM_SESSIONS: dict = {}
+
 
 @register(
     "join_inner_equi",
@@ -618,14 +623,26 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude. Results are conf-independent (bloom is a pure
     subset-pass filter; false positives only ever let rows through to
     the exact join). tests/test_plans.py pins bloom_filter_agg +
-    might_contain in the physical plan."""
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s2.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    might_contain in the physical plan.
+
+    The isolated session is MEMOIZED per SparkContext (round-8
+    advice): repeated invocations — 2-pass benches, hostile sweeps —
+    reuse one session (and its per-session DataFrame/footer caches)
+    instead of accumulating fresh sessions that each re-pay parquet
+    analysis."""
+    sc = spark.sparkContext
+    s2 = _BLOOM_SESSIONS.get(sc)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _BLOOM_SESSIONS[sc] = s2
     li = load(s2, sf_dir, "lineitem")
     o = load(s2, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")

@@ -706,40 +706,52 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     the case pairwise Jaccard and minhash both miss); the downstream
     policy cuts or trims docs above a dup_frac threshold.
 
-    Scale shape: shingles ride as (xxhash64 key, doc_id, start) — the
-    8-byte posting discipline of dedup_shingle_jaccard, never the
-    strings; duplicated-span detection is one hash aggregate on the
-    key (count(distinct doc) ≥ 2, map-side partial), and the
-    instances come back via a semi-join on the same key (shuffle
-    bounded by posting count, not doc bytes; no broadcast hint — the
-    dup-key set is corpus-proportional, AQE promotes it if it turns
-    out tiny). Interval-union coverage is computed exactly by
-    exploding each surviving span into its SPAN_K positions and
-    DISTINCT-counting per doc — positions are bounded by
-    |dup postings|×SPAN_K, and overlap dedup happens in the same
-    shuffle as the final count. All-integer except the final single
-    IEEE division; xxhash64 keying is semantics-preserving modulo
-    collisions (the documented decontam caveat — the oracle joins raw
-    strings)."""
+    Scale shape: CANDIDATE detection is one hash aggregate over
+    (xxhash64 key, doc_id) — the 8-byte posting discipline of
+    dedup_shingle_jaccard, no strings in the corpus-wide shuffle;
+    then only the candidate postings (truly duplicated spans plus
+    the rare hash collisions) carry their raw shingle string through
+    a residual re-group on (key, string), so a 64-bit collision
+    between two different spans can never inflate coverage — the
+    string, not the hash, is the final duplicate identity (round-8
+    advice; this is what lets the DuckDB oracle, which groups raw
+    strings, match exactly rather than modulo collisions).
+    Interval-union coverage is computed exactly by exploding each
+    surviving span into its SPAN_K positions and DISTINCT-counting
+    per doc — positions are bounded by |dup postings|×SPAN_K, and
+    overlap dedup happens in the same shuffle as the final count.
+    All-integer except the final single IEEE division."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
     n = d.select("doc_id", F.size("ws").cast("long").alias("n_words"))
-    sh = d.select(
+    post = d.select(
         "doc_id", F.posexplode(word_shingles(F.col("ws"), SPAN_K)).alias("pos", "sh")
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("start"),
+        F.col("sh"),
         F.xxhash64("sh").alias("shk"),
     )
-    dup = (
-        sh.groupBy("shk")
+    # pass 1: hash-only candidates (8-byte shuffle discipline)
+    cand = (
+        post.select("shk", "doc_id")
+        .groupBy("shk")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("shk")
     )
+    pc = post.join(cand, "shk")
+    # pass 2 (residual, candidate subset only): re-verify on the RAW
+    # string so hash collisions cannot mark a unique span duplicated
+    dup = (
+        pc.groupBy("shk", "sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shk", "sh")
+    )
     cov = (
-        sh.join(dup, "shk")
+        pc.join(dup, ["shk", "sh"])
         .select(
             "doc_id",
             F.explode(

@@ -937,21 +937,36 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same runtime conf as scan_python_datasource (and for the same
     # reason): a plain driver session has Python-source pushdown off,
     # and a reader that implements pushFilters refuses to plan at all
-    # without it.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    src = (
-        spark.read.format("synthlog")
-        .option("n", str(_SYNTH_N))
-        .option("parts", "8")
-        .load()
-    )
-    path = _scratch(sf_dir, "synthlog_sink")
-    (
-        src.write.format("synthlog")
-        .mode("overwrite")
-        .option("path", path)
-        .save()
-    )
+    # without it. Unlike the scan query, the synthlog read here is
+    # fully materialized inside .save(), so the conf can be restored
+    # before returning — no leak into sibling queries on the shared
+    # session (round-8 advice; the returned frame is a plain JSON
+    # read that doesn't need it).
+    _PD_CONF = "spark.sql.python.filterPushdown.enabled"
+    try:
+        prev = spark.conf.get(_PD_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_PD_CONF, "true")
+    try:
+        src = (
+            spark.read.format("synthlog")
+            .option("n", str(_SYNTH_N))
+            .option("parts", "8")
+            .load()
+        )
+        path = _scratch(sf_dir, "synthlog_sink")
+        (
+            src.write.format("synthlog")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(_PD_CONF)
+        else:
+            spark.conf.set(_PD_CONF, prev)
     schema = T.StructType(
         [
             T.StructField("row_id", T.LongType()),

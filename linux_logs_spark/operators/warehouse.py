@@ -2072,6 +2072,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling — reproducible, join-free to express in both engines).
 MRL_PREFIX_DIMS = (8, 16, 32)
 MRL_SAMPLE_MOD = 17
+MRL_PAIR_BLOCKS = 8  # NB: pair join runs over NB² equi-join cells
 
 
 def _mrl_cos6(a: str, b: str, dim: int) -> str:
@@ -2130,24 +2131,50 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-residue pair sample.
 
     Scale shape: the sample filter is map-side (vec_id % mod — no
-    rand(), reproducible); the pair join is sample×sample (mod² below
-    the corpus pair count — at 100 TB you'd widen the modulus, same
-    plan); every cosine is the shared unrolled codegen fold. Parity:
-    each prefix/full cosine is round6'd FIRST (identical doubles both
+    rand(), reproducible); the all-pairs join runs BLOCKED — each
+    side is replicated across NB = MRL_PAIR_BLOCKS cells of a
+    broadcast NB² cell table and the pair join is EQUI on the cell
+    id with ``ia < ib`` as the residual (the sim_cosine_blocked
+    discipline) — never a BroadcastNestedLoopJoin that ships an
+    ungated sample side (round-8 advice): shuffle volume is 2·NB·n
+    replicated rows, parallelism NB² cells, and per-task memory is
+    (n/NB)²-pair bounded no matter how wide the sample gets. At
+    100 TB you'd widen the modulus and NB together, same plan. Every
+    cosine is the shared unrolled codegen fold. Parity: each
+    prefix/full cosine is round6'd FIRST (identical doubles both
     engines — the sim-family class), so the error terms are exact
     differences of identical doubles; means accumulate via
     DECIMAL(25,6) (order-free), max is order-free by nature."""
+    NB = MRL_PAIR_BLOCKS
     v = load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % MRL_SAMPLE_MOD == 0
     )
-    a = v.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = v.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cells = spark.range(NB * NB).select(
+        F.col("id").alias("cell"),
+        (F.col("id") / NB).cast("long").alias("bi"),
+        (F.col("id") % NB).alias("bj"),
+    )
+    a = v.select(
+        F.pmod(F.col("vec_id"), F.lit(NB)).alias("ba"),
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+    ).join(F.broadcast(cells), F.col("ba") == F.col("bi"))
+    b = v.select(
+        F.pmod(F.col("vec_id"), F.lit(NB)).alias("bb"),
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+    ).join(F.broadcast(cells), F.col("bb") == F.col("bj"))
     cos64 = _mrl_cos6("va", "vb", 64)
     errs = [
         f"abs({_mrl_cos6('va', 'vb', d)} - ({cos64})) as err{d}"
         for d in MRL_PREFIX_DIMS
     ]
-    p = a.join(b, F.col("ia") < F.col("ib")).selectExpr(*errs)
+    p = (
+        a.select("cell", "ia", "va")
+        .join(b.select("cell", "ib", "vb"), "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .selectExpr(*errs)
+    )
     s = p.agg(
         F.count("*").alias("n_pairs"),
         *[

@@ -237,6 +237,17 @@ class JsonDirWriter(DataSourceWriter):
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, f"part-{self.job_id}-{i:05d}.jsonl"),
             )
+        # Failed/speculative task attempts leave _tmp_* files that no
+        # commit message names; abort() never sees them either (it
+        # only gets the successful attempts' messages). Sweep them at
+        # publish time so append-mode dirs don't accumulate garbage
+        # across runs (round-8 advice).
+        for f in os.listdir(self.path):
+            if f.startswith("_tmp_"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
@@ -302,6 +313,16 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
             )
+        # Same stale-attempt sweep as the batch writer: temp files
+        # from failed attempts of THIS batch are dead once the batch
+        # publishes (a replay re-creates its own temps), so clear
+        # them here rather than letting them pile up.
+        for f in os.listdir(self.path):
+            if f.startswith("_tmp_"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         import os

@@ -126,6 +126,53 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return n
 
 
+# (normpath(sf_dir), name, col) → (size, mtime_ns, (min, max)).
+_col_minmax_cache: dict = {}
+
+
+def table_column_minmax(sf_dir: str, name: str, col: str):
+    """Column (min, max) from parquet FOOTER row-group statistics —
+    zero Spark jobs, the stats read every lakehouse planner does for
+    pruning. Returns None when any row group lacks min/max for the
+    column (the caller must then fall back to an aggregate — footer
+    stats are an optimization, never a correctness dependency).
+    Same fingerprint-cache discipline as table_row_count: keyed on
+    (bytes, mtime_ns) so a regenerated dataset is never answered
+    stale. At 100 TB this is exactly how z-order normalization
+    bounds should be sourced: the manifest/footer already knows the
+    domain — recomputing it is one whole extra pass over the table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    key = (os.path.normpath(sf_dir), name, col)
+    size, mtime = dataset_fingerprint(path)
+    hit = _col_minmax_cache.get(key)
+    if hit is not None and hit[0] == size and hit[1] == mtime:
+        return hit[2]
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in _dataset_parts(path)]
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    out = None if lo is None else (lo, hi)
+    _col_minmax_cache[key] = (size, mtime, out)
+    return out
+
+
 def _dataset_parts(path: str) -> list[str]:
     return sorted(
         f

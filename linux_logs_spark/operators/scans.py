@@ -510,29 +510,55 @@ _Z_CODE = _z_interleave_sql("xn", "yn")
 def orders_zframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders + (day_no, _z) — the Morton-coded frame both the
     registered query and tests/test_zorder.py cluster by. The min/max
-    normalization bounds come from one tiny aggregate broadcast as a
-    1-row cross join (at 100 TB: a footer-stats read, zero jobs)."""
+    normalization bounds come from the parquet FOOTER row-group
+    statistics (catalog.table_column_minmax — zero Spark jobs, one
+    fewer full pass over orders; datediff is monotone in the date so
+    the day bounds derive from the o_orderdate stats), falling back
+    to the old 1-row aggregate broadcast for datasets whose footers
+    lack stats — footer stats are an optimization, never a
+    correctness dependency. Footer min/max are exact for
+    numeric/timestamp parquet columns, so the literal bounds equal
+    what the aggregate (and the oracle) computes."""
+    from datetime import date as _date, datetime as _dt
+
+    from linux_logs_spark.catalog import table_column_minmax
+
     o = load(spark, sf_dir, "orders").selectExpr(
         "*", f"{_Z_DAY_SPARK} as day_no"
     )
-    b = o.selectExpr(
-        "min(o_custkey) as mn_ck",
-        "max(o_custkey) as mx_ck",
-        "min(day_no) as mn_d",
-        "max(day_no) as mx_d",
-    )
-    return (
-        o.join(F.broadcast(b))
-        .selectExpr(
+    ck = table_column_minmax(sf_dir, "orders", "o_custkey")
+    od = table_column_minmax(sf_dir, "orders", "o_orderdate")
+    if ck is not None and od is not None:
+        anchor = _date.fromisoformat(Z_DAY_ANCHOR)
+
+        def _day_no(v) -> int:
+            d = v.date() if isinstance(v, _dt) else v
+            if isinstance(d, str):
+                d = _date.fromisoformat(d[:10])
+            return (d - anchor).days
+
+        zn = o.selectExpr(
+            "*",
+            f"{_z_norm_sql('o_custkey', str(ck[0]), str(ck[1]))} as xn",
+            f"{_z_norm_sql('day_no', str(_day_no(od[0])), str(_day_no(od[1])))}"
+            " as yn",
+        )
+    else:
+        b = o.selectExpr(
+            "min(o_custkey) as mn_ck",
+            "max(o_custkey) as mx_ck",
+            "min(day_no) as mn_d",
+            "max(day_no) as mx_d",
+        )
+        zn = o.join(F.broadcast(b)).selectExpr(
             "*",
             f"{_z_norm_sql('o_custkey', 'mn_ck', 'mx_ck')} as xn",
             f"{_z_norm_sql('day_no', 'mn_d', 'mx_d')} as yn",
         )
-        .selectExpr(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority", "day_no",
-            f"({_Z_CODE}) as _z",
-        )
+    return zn.selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "day_no",
+        f"({_Z_CODE}) as _z",
     )
 
 

@@ -95,3 +95,45 @@ def test_zorder_rewrite_preserves_rows(spark, sf_dir):
     total = out.groupBy().sum("n_orders").collect()[0][0]
     src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     assert total == src
+
+
+def test_footer_minmax_matches_aggregate_and_zframe_is_scan_only(spark, sf_dir):
+    """table_column_minmax (the footer-stats bounds source) returns
+    EXACTLY the engine-aggregated min/max for the two z-order
+    dimensions — so the literal-bounds fast path produces the same
+    Morton codes as the fallback aggregate — and the resulting zframe
+    plan is pure scan+project: zero joins, zero aggregates (the
+    'one fewer pass over orders' claim, pinned physically)."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from linux_logs_spark.catalog import load, table_column_minmax
+    from linux_logs_spark.operators.scans import Z_DAY_ANCHOR
+
+    ck = table_column_minmax(sf_dir, "orders", "o_custkey")
+    od = table_column_minmax(sf_dir, "orders", "o_orderdate")
+    assert ck is not None and od is not None
+
+    o = load(spark, sf_dir, "orders")
+    row = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min(F.col("o_orderdate").cast("date")),
+        F.max(F.col("o_orderdate").cast("date")),
+    ).collect()[0]
+    assert (ck[0], ck[1]) == (row[0], row[1])
+    anchor = date.fromisoformat(Z_DAY_ANCHOR)
+    assert (od[0].date() - anchor).days == (row[2] - anchor).days
+    assert (od[1].date() - anchor).days == (row[3] - anchor).days
+
+    zf = orders_zframe(spark, sf_dir)
+    plan = zf._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_footer_minmax_unknown_column_falls_back(sf_dir):
+    """A column absent from the footer returns None (→ callers take
+    the aggregate fallback), never raises."""
+    from linux_logs_spark.catalog import table_column_minmax
+
+    assert table_column_minmax(sf_dir, "orders", "no_such_col") is None

@@ -82,18 +82,44 @@ HEADLINE = (
 GUARD_RATIO = 1.10
 
 
-def _prior_full_median(repo_dir: str) -> float | None:
-    """Median per-query time of the bench_full.json already on disk
-    (the last good quiet-window artifact), or None if absent/unusable.
-    'Unusable' includes structurally wrong JSON (non-dict queries,
-    non-numeric values) — the guard must degrade, never crash a
-    finished run (round-8 review)."""
+def _median_of_artifact(text: str) -> float | None:
     try:
-        with open(os.path.join(repo_dir, "bench_full.json")) as fh:
-            blob = json.load(fh)
+        blob = json.loads(text)
         vals = sorted(float(v) for v in blob["queries"].values())
         return vals[len(vals) // 2] if vals else None
-    except (OSError, ValueError, KeyError, AttributeError, TypeError):
+    except (ValueError, KeyError, AttributeError, TypeError):
+        return None
+
+
+def _prior_full_median(repo_dir: str) -> float | None:
+    """Median per-query time of the HEAD-COMMITTED bench_full.json
+    (``git show HEAD:bench_full.json``), falling back to the
+    working-tree file when git is unavailable; None if neither is
+    usable. HEAD-first closes the round-8 drift loop: an external
+    runner may write a loaded-window run straight into the
+    working-tree file, and a disk-based guard would then measure the
+    NEXT run against the loaded numbers — the committed artifact is
+    the one that passed a human/guarded publish, so it is the
+    baseline. 'Unusable' includes structurally wrong JSON (non-dict
+    queries, non-numeric values) — the guard must degrade, never
+    crash a finished run (round-8 review)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:bench_full.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if r.returncode == 0:
+            m = _median_of_artifact(r.stdout)
+            if m is not None:
+                return m
+    except (OSError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(os.path.join(repo_dir, "bench_full.json")) as fh:
+            return _median_of_artifact(fh.read())
+    except OSError:
         return None
 
 

@@ -54,3 +54,41 @@ def test_bench_full_artifact_guard():
     assert guard_full_artifact(0.45, 0.40, force=True)         # forced
     assert guard_full_artifact(0.45, None, force=False)        # no prior
     assert guard_full_artifact(None, 0.40, force=False)        # no median
+
+
+def test_prior_full_median_prefers_head_commit(tmp_path):
+    """_prior_full_median reads the HEAD-committed bench_full.json,
+    not the working-tree file — a loaded run written straight to disk
+    (the round-8 driver drift) must not become the next run's
+    baseline. Fallback order pinned: HEAD → working tree → None."""
+    import json
+    import subprocess
+
+    from bench import _prior_full_median
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "-C", repo, "config", "user.email", "t@t"], check=True)
+    subprocess.run(["git", "-C", repo, "config", "user.name", "t"], check=True)
+
+    committed = {"total_sec": 1.0, "queries": {"a": 0.40, "b": 0.40, "c": 0.40}, "sf": 0.1}
+    (repo / "bench_full.json").write_text(json.dumps(committed))
+    subprocess.run(["git", "-C", repo, "add", "-A"], check=True)
+    subprocess.run(["git", "-C", repo, "commit", "-qm", "quiet"], check=True)
+
+    # a loaded run lands in the working tree only
+    loaded = {"total_sec": 9.0, "queries": {"a": 0.9, "b": 0.9, "c": 0.9}, "sf": 0.1}
+    (repo / "bench_full.json").write_text(json.dumps(loaded))
+    assert _prior_full_median(str(repo)) == 0.40
+
+    # no git history (fresh dir): working-tree fallback
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "bench_full.json").write_text(json.dumps(loaded))
+    assert _prior_full_median(str(plain)) == 0.9
+
+    # neither: None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _prior_full_median(str(empty)) is None

@@ -676,6 +676,40 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_avro_roundtrip",
+    "scan",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + source — the one mainstream interchange format the
+    container has NO library for (no spark-avro jar, no Python avro
+    package), so the engine carries its own implementation of the
+    public Apache Avro object-container spec as a Python DataSource
+    (sources/avro_py.py): zigzag-varint longs, IEEE-754 doubles,
+    UTF-8 strings, sync-marked blocks, null codec. Round trip is
+    BIT-exact (binary encoding, unlike the CSV/XML text paths), so
+    the oracle is the full untouched row set.
+
+    Scale shape: the writer is the same two-phase commit protocol as
+    the synthlog sink (per-task temps, driver publish); the reader
+    plans ONE PARTITION PER CONTAINER BLOCK by walking block headers
+    with seek (no row decoding on the driver) — a single big Avro
+    file fans out across tasks exactly as Hadoop-style Avro splits
+    do, which is the property the container framing exists for.
+    tests/test_avro.py pins the codec against spec-derived golden
+    bytes and the block-splittability of the plan."""
+    from linux_logs_spark.sources.avro_py import register_pyavro
+
+    register_pyavro(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_avro")
+    e.write.format("pyavro").mode("overwrite").option("path", path).save()
+    return spark.read.format("pyavro").option("path", path).load()
+
+
 _SYNTH_N = 20000
 # DuckDB replay of sources/synthetic.py's row formula: identical
 # 64-bit integer ops + one int/int double division, filter included

@@ -1,0 +1,381 @@
+"""Pure-Python Avro object-container source/sink (Spark 4
+``pyspark.sql.datasource`` API).
+
+The container carries no spark-avro jar and no Python avro package,
+so this module implements the PUBLIC Apache Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/) from scratch for
+the flat-record subset the engine's tables need: records of ``long``
+(zigzag varint), ``double`` (8-byte little-endian IEEE 754) and
+``string`` (length-prefixed UTF-8) fields, ``null`` codec, standard
+object-container framing (magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, 16-byte sync marker, sync-delimited
+blocks of ``count, byte_size, records``).
+
+Scale shape — the part that matters at 100 TB:
+
+- The READER is BLOCK-SPLITTABLE, exactly the property the Avro
+  framing exists to provide: partition planning walks each file's
+  block headers (two varints per block, then ``seek`` over the data —
+  O(#blocks) metadata reads, zero row decoding on the driver) and
+  emits one InputPartition per block span, so a single large file
+  fans out across tasks the way Hadoop-style Avro splits do. Each
+  task seeks straight to its block offset and decodes only its own
+  blocks.
+- The WRITER runs the same two-phase commit protocol as the
+  synthlog JSON sink (hidden per-task temp files → commit message →
+  driver-side rename publish + _SUCCESS, abort cleanup): one real
+  Avro container file per task, rows framed into bounded blocks so
+  the files the sink produces are themselves splittable on re-read.
+- long/double/string survive the round trip BIT-EXACTLY (binary
+  encoding, not text), which is what lets scan_avro_roundtrip carry
+  a full hash oracle with no 2-decimal restriction.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+MAGIC = b"Obj\x01"
+BLOCK_ROWS = 4096  # rows per container block (bounds task memory)
+
+# ---------------------------------------------------------------- codec
+
+_AVRO_OF_SPARK = {"bigint": "long", "long": "long", "double": "double",
+                  "string": "string"}
+_SPARK_OF_AVRO = {"long": "bigint", "double": "double", "string": "string"}
+
+
+def _zigzag(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    u = _zigzag(n)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def _read_long(buf) -> int:
+    u = shift = 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u)
+        shift += 7
+
+
+def _write_value(buf: io.BytesIO, avro_type: str, v) -> None:
+    if avro_type == "long":
+        _write_long(buf, int(v))
+    elif avro_type == "double":
+        buf.write(struct.pack("<d", float(v)))
+    else:  # string
+        raw = str(v).encode("utf-8")
+        _write_long(buf, len(raw))
+        buf.write(raw)
+
+
+def _read_value(buf, avro_type: str):
+    if avro_type == "long":
+        return _read_long(buf)
+    if avro_type == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    n = _read_long(buf)
+    return buf.read(n).decode("utf-8")
+
+
+def _avro_schema_json(fields: list[tuple[str, str]]) -> str:
+    """Record schema JSON from [(name, avro_type), ...]."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": n, "type": t} for n, t in fields],
+        }
+    )
+
+
+def _parse_schema_json(text: str) -> list[tuple[str, str]]:
+    s = json.loads(text)
+    if s.get("type") != "record":
+        raise ValueError(f"unsupported avro schema (not a record): {text[:80]}")
+    out = []
+    for f in s["fields"]:
+        t = f["type"]
+        if t not in _SPARK_OF_AVRO:
+            raise ValueError(f"unsupported avro field type {t!r} in {f['name']}")
+        out.append((f["name"], t))
+    return out
+
+
+def _sync_marker(seed: str) -> bytes:
+    import hashlib
+
+    return hashlib.md5(seed.encode()).digest()  # 16 bytes, deterministic
+
+
+def write_avro_file(path: str, fields: list[tuple[str, str]], rows,
+                    block_rows: int = BLOCK_ROWS) -> int:
+    """Write one Avro object-container file; returns rows written."""
+    sync = _sync_marker(os.path.basename(path))
+    meta = {
+        "avro.schema": _avro_schema_json(fields).encode(),
+        "avro.codec": b"null",
+    }
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, len(meta))
+        for k, v in sorted(meta.items()):
+            _write_value(head, "string", k)
+            _write_long(head, len(v))
+            head.write(v)
+        _write_long(head, 0)  # end of metadata map
+        fh.write(head.getvalue())
+        fh.write(sync)
+
+        block = io.BytesIO()
+        n_block = 0
+
+        def flush():
+            nonlocal n_block
+            if not n_block:
+                return
+            hdr = io.BytesIO()
+            _write_long(hdr, n_block)
+            _write_long(hdr, block.tell())
+            fh.write(hdr.getvalue())
+            fh.write(block.getvalue())
+            fh.write(sync)
+            block.seek(0)
+            block.truncate()
+            n_block = 0
+
+        for r in rows:
+            for name, t in fields:
+                _write_value(block, t, r[name])
+            n_block += 1
+            n_total += 1
+            if n_block >= block_rows:
+                flush()
+        flush()
+    return n_total
+
+
+def read_avro_header(fh) -> tuple[list[tuple[str, str]], bytes]:
+    """Parse magic + metadata map; returns (fields, sync_marker) with
+    the stream positioned at the first block."""
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an avro object container file")
+    fields = None
+    while True:
+        n = _read_long(fh)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            _read_long(fh)
+        for _ in range(n):
+            k = _read_value(fh, "string")
+            vlen = _read_long(fh)
+            v = fh.read(vlen)
+            if k == "avro.schema":
+                fields = _parse_schema_json(v.decode())
+            elif k == "avro.codec" and v not in (b"null", b""):
+                raise ValueError(f"unsupported avro codec {v!r}")
+    if fields is None:
+        raise ValueError("avro file has no avro.schema metadata")
+    return fields, fh.read(16)
+
+
+def scan_block_index(path: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
+    """(fields, [(block_offset, row_count), ...]) — walks block
+    headers with seek, never decoding rows (the driver-side planning
+    pass; O(#blocks) tiny reads)."""
+    with open(path, "rb") as fh:
+        fields, sync = read_avro_header(fh)
+        size = os.fstat(fh.fileno()).st_size
+        blocks = []
+        while fh.tell() < size:
+            off = fh.tell()
+            n_rows = _read_long(fh)
+            n_bytes = _read_long(fh)
+            fh.seek(n_bytes, 1)
+            if fh.read(16) != sync:
+                raise ValueError(f"sync marker mismatch at block {len(blocks)} of {path}")
+            blocks.append((off, n_rows))
+    return fields, blocks
+
+
+def read_avro_blocks(path: str, offsets: list[int]) -> Iterator[tuple]:
+    """Decode only the blocks at the given offsets (one task's split)."""
+    with open(path, "rb") as fh:
+        fields, _sync = read_avro_header(fh)
+        for off in offsets:
+            fh.seek(off)
+            n_rows = _read_long(fh)
+            _read_long(fh)  # byte size
+            for _ in range(n_rows):
+                yield tuple(_read_value(fh, t) for _, t in fields)
+
+
+# ------------------------------------------------------------ datasource
+
+
+def _part_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".avro") and not f.startswith(("_", "."))
+    )
+
+
+class BlockSplit(InputPartition):
+    """One task's split: a set of block offsets within one file."""
+
+    def __init__(self, path: str, offsets: list[int]):
+        self.path = path
+        self.offsets = offsets
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro requires option('path', ...) or load(path)")
+
+    def partitions(self):
+        files = _part_files(self.path)
+        if not files:
+            raise ValueError(f"pyavro: no .avro files at {self.path}")
+        parts = []
+        for f in files:
+            _fields, blocks = scan_block_index(f)
+            # one partition per block — the maximal split; Spark's
+            # scheduler packs them onto tasks. An empty file yields
+            # no partitions for itself.
+            parts.extend(BlockSplit(f, [off]) for off, _n in blocks)
+        # Spark requires >= 1 partition even for an all-empty dataset
+        return parts or [BlockSplit(files[0], [])]
+
+    def read(self, partition: BlockSplit):
+        yield from read_avro_blocks(partition.path, partition.offsets)
+
+
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str):
+        self.tmp_name = tmp_name
+
+
+class AvroWriter(DataSourceWriter):
+    """Same two-phase protocol as synthetic.JsonDirWriter (hidden
+    per-task temps → driver rename publish + _SUCCESS + stale-temp
+    sweep), emitting real Avro container files."""
+
+    def __init__(self, options, spark_schema, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro sink requires option('path', ...)")
+        self.fields = [
+            (f.name, _AVRO_OF_SPARK[f.dataType.simpleString()])
+            for f in spark_schema.fields
+        ]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:8]
+
+    def write(self, rows) -> _AvroCommit:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.avro"
+        os.makedirs(self.path, exist_ok=True)
+        write_avro_file(
+            os.path.join(self.path, tmp),
+            self.fields,
+            ({n: r[i] for i, (n, _t) in enumerate(self.fields)} for r in rows),
+        )
+        return _AvroCommit(tmp)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if (f.endswith(".avro") and not f.startswith("_")) or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro"),
+            )
+        for f in os.listdir(self.path):
+            if f.startswith("_tmp_"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class AvroDataSource(DataSource):
+    """``format("pyavro")``: pure-Python Avro object-container files.
+    Read: option('path') or load(path); schema comes from the file
+    header. Write: long/double/string columns."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        files = _part_files(path) if path else []
+        if not files:
+            raise ValueError("pyavro: no .avro files at option('path')")
+        with open(files[0], "rb") as fh:
+            fields, _sync = read_avro_header(fh)
+        return ", ".join(f"{n} {_SPARK_OF_AVRO[t]}" for n, t in fields)
+
+    def reader(self, schema) -> AvroReader:
+        return AvroReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> AvroWriter:
+        return AvroWriter(self.options, schema, overwrite)
+
+
+def register_pyavro(spark) -> None:
+    """Idempotent per-session registration (re-register replaces)."""
+    spark.dataSource.register(AvroDataSource)

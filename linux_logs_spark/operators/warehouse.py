@@ -1704,52 +1704,6 @@ def _km_q_exprs(col: str, one_based: bool) -> list[str]:
     ]
 
 
-def _km_train(q, iters: int):
-    """Collect-train Lloyd centroids on the checkpointed quantized
-    frame (shared by emb_kmeans_lloyd's full training and
-    dedup_semantic_cluster's coarse clustering). Per iteration:
-    assignment bakes the current centroids as literals into one
-    least()-packed codegen projection (no join, no shuffle), the
-    update is a K-key hash aggregate collected to the driver (K×dim
-    ints — bounded-collect class). Returns the key_expr builder, a
-    closure over the trained centroids: key = dist²·K + k, so
-    key % K is the cluster and key DIV K the squared distance."""
-    import math
-
-    init = q.filter(F.col("vec_id") < KM_K).collect()
-    cents = {
-        int(r["vec_id"]): [int(r[f"q{i}"]) for i in range(_KM_DIM)] for r in init
-    }
-
-    def key_expr() -> str:
-        packed = []
-        for k in range(KM_K):
-            c = cents[k]
-            d = " + ".join(
-                f"(q{i} - ({c[i]})) * (q{i} - ({c[i]}))" for i in range(_KM_DIM)
-            )
-            packed.append(f"({d}) * {KM_K} + {k}")
-        return "least(" + ", ".join(packed) + ")"
-
-    for _ in range(iters):
-        assigned = q.selectExpr("*", f"{key_expr()} AS key")
-        upd = (
-            assigned.groupBy((F.col("key") % KM_K).alias("k"))
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(_KM_DIM)],
-            )
-            .collect()
-        )
-        for r in upd:  # empty clusters keep their previous centroid
-            # s/n in double is exact (|s| < 2^53), so Python's floor
-            # is bit-identical to both engines' SQL floor
-            cents[int(r["k"])] = [
-                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
-            ]
-    return key_expr
-
-
 def _km_chain_sql(
     iters: int, k_sql: str = str(KM_K), extra_cte: str = ""
 ) -> list[str]:
@@ -1838,14 +1792,29 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: ITERS scans of the quantized corpus, each one
     projection + one tiny aggregate — the textbook distributed
     k-means plan. Empty clusters carry the previous centroid (both
-    engines, same rule)."""
+    engines, same rule).
+
+    Assignment runs on the ARRAY-quantized frame via _km_train_array
+    (centroids as a literal array-of-arrays under one
+    array_min(transform(...)) — data, not code): identical integer
+    math to the unrolled least() form, but the expression is O(1) in
+    codegen terms, which dropped the measured cost from 8.7 s to the
+    compile-free level (round-9; the unrolled form spent most of its
+    wall in janino compiling 4 × K×dim-term projections) and is the
+    same form that lets dedup_semantic_cluster grow K with n."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
-    q = q.localCheckpoint()  # static frame, reused every iteration
+    qa = (
+        emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
+        .selectExpr(
+            "vec_id",
+            "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
+        )
+        .localCheckpoint()  # static frame, reused every iteration
+    )
 
-    key_expr = _km_train(q, KM_ITERS)
+    key_expr = _km_train_array(qa, KM_ITERS, KM_K)
 
-    final = q.selectExpr("vec_id", f"{key_expr()} AS key")
+    final = qa.selectExpr("vec_id", f"{key_expr()} AS key")
     return final.groupBy((F.col("key") % KM_K).alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum(F.expr(f"key DIV {KM_K}")).alias("ssd"),
@@ -1877,16 +1846,21 @@ def _semdedup_k(n_vecs: int) -> int:
 
 
 def _km_train_array(qa, iters: int, k: int):
-    """Dynamic-K Lloyd trainer over an array-quantized frame
-    (vec_id, qa: array<bigint>[64]) — the _km_train contract with the
-    assignment expressed as data, not code: centroids ship as a
-    LITERAL array-of-arrays and the packed argmin key is one
-    array_min(transform(...)) over it, so the expression size is
-    O(1) in codegen terms no matter how large K grows (the unrolled
-    least() form blows janino's 64 KB method limit past K≈16; arrays
-    are looped at runtime, not expanded into code). Same exact
-    integer math as _km_train: key = dist²·K + k, empty clusters
-    carry their previous centroid, component means floor-divide."""
+    """Collect-train Lloyd centroids over an array-quantized frame
+    (vec_id, qa: array<bigint>[64]) — shared by emb_kmeans_lloyd's
+    full training and dedup_semantic_cluster's coarse clustering.
+    Per iteration: assignment ships the current centroids as a
+    LITERAL array-of-arrays and takes the packed argmin key in one
+    array_min(transform(...)) — data, not code, so the expression is
+    O(1) in codegen terms no matter how large K grows (an unrolled
+    least() form blows janino's 64 KB method limit past K≈16 and
+    spent most of its wall in compile even at K=8 — retired round 9);
+    the update is a K-key hash aggregate collected to the driver
+    (K×dim ints, the bounded-collect class). key = dist²·K + k, so
+    key % K is the cluster and key DIV K the squared distance; empty
+    clusters carry their previous centroid; component means
+    floor-divide (s/n in double is exact, |s| < 2^53, so Python's
+    floor is bit-identical to both engines' SQL floor)."""
     import math
 
     init = qa.filter(F.col("vec_id") < k).collect()

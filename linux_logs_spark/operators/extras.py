@@ -644,6 +644,91 @@ def table_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Snapshots kept by table_vacuum (the newest VACUUM_RETAIN versions
+# survive; everything older is expired and its data dirs removed).
+VACUUM_RETAIN = 2
+
+
+@register(
+    "table_vacuum",
+    "join",
+    oracle=f"""
+WITH n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+n3 AS (
+  SELECT CAST(
+      (SELECT count(*) FROM customer
+       WHERE c_custkey % {CDC_DELETE_MOD} != {CDC_DELETE_RESIDUE})
+    + (SELECT count(*) FROM customer
+       WHERE c_custkey % {CDC_INSERT_MOD} = {CDC_INSERT_RESIDUE})
+    AS BIGINT) AS n
+)
+SELECT CAST(1 AS BIGINT) AS version, 'expired' AS action, n AS n_rows FROM n1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'retained', n FROM n1
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'retained', n FROM n3
+""",
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire-snapshots — the garbage-collection half of the
+    lakehouse protocol the snapshot family writes (time travel reads
+    it, incremental_changes diffs it, commit_manifest fences it;
+    without expiry the table's storage grows monotonically with every
+    MERGE — at 100 TB the GC is not optional hygiene, it's the
+    storage bill). Keeps the newest VACUUM_RETAIN versions, expires
+    the rest: the MANIFEST commits first (version-fenced
+    commit_manifest, so racing writers/vacuums can't lose updates or
+    resurrect an expired version), and only then are the expired
+    versions' data dirs removed — the same manifest-first ordering
+    every snapshot store uses, so a reader resolving the new manifest
+    can never plan a scan over files about to vanish. A reader still
+    HOLDING the old manifest mid-scan is protected in real object
+    stores by a retention delay before physical delete; the local-FS
+    slice documents that boundary rather than faking it. Stray
+    manifest .tmp files from pre-atomic-write crashes are swept in
+    the same pass. Returns the audit report (version, action,
+    n_rows) — row counts are taken BEFORE expiry, so the oracle can
+    replay them from the CDC formulas. tests/test_time_travel_manifest.py
+    pins the physical behavior: expired dirs gone, retained versions
+    byte-identical and readable, read_as_of(expired) raising, vacuum
+    idempotent under re-run."""
+    import os as _os
+    import shutil as _shutil
+
+    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+    from linux_logs_spark.operators.scans import _scratch
+
+    base = _scratch(sf_dir, "snapshots_customer")
+    manifest_path = _os.path.join(base, "_MANIFEST.json")
+    m = read_manifest(manifest_path)
+    versions = list(m["versions"])
+    retained = versions[-VACUUM_RETAIN:]
+    expired = [v for v in versions if v not in retained]
+    # audit counts BEFORE expiry (bounded: |versions| tiny aggregates)
+    counts = {v: read_as_of(v).count() for v in versions}
+    root = m["root"]
+    # manifest first: expired versions disappear from the catalog
+    # before any file is touched
+    commit_manifest(
+        manifest_path,
+        lambda cur: {**(cur or {}), "versions": retained},
+    )
+    for v in expired:
+        _shutil.rmtree(_os.path.join(base, root, f"v={v}"), ignore_errors=True)
+    for entry in _os.listdir(base):
+        if entry.endswith(".tmp"):
+            try:
+                _os.remove(_os.path.join(base, entry))
+            except FileNotFoundError:
+                pass
+    report = sorted(
+        [(v, "expired" if v in expired else "retained", counts[v]) for v in versions]
+    )
+    return spark.createDataFrame(
+        report, "version bigint, action string, n_rows bigint"
+    )
+
+
 @register(
     "q_recursive_cte",
     "relational",

@@ -196,3 +196,53 @@ def test_commit_manifest_retries_on_stale_base(tmp_path):
     assert calls["n"] == 2  # first attempt conflicted, second won
     assert final["mine"] is True and final["other"] == "moved"
     assert final["commit_seq"] == 5
+
+
+def test_vacuum_expires_old_versions_physically(spark, sf_dir):
+    """table_vacuum's physical contract: after the run the expired
+    version's data dir is GONE, read_as_of(expired) raises, the
+    retained versions read back with their exact pre-vacuum counts,
+    the manifest lists only the retained versions (commit_seq moved —
+    the expiry went through the fence), and a second run (which
+    rebuilds the family, versions != [1,2,3]) produces the identical
+    report — idempotent under re-run."""
+    import pytest
+
+    from linux_logs_spark.operators.extras import (
+        VACUUM_RETAIN,
+        _customer_snapshot_reader,
+    )
+    from linux_logs_spark.operators.scans import _scratch
+
+    q = all_queries()["table_vacuum"].fn
+    report = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert [r[1] for r in report] == ["expired", "retained", "retained"]
+
+    base = _scratch(sf_dir, "snapshots_customer")
+    m = read_manifest(os.path.join(base, "_MANIFEST.json"))
+    assert m["versions"] == [2, 3] and len(m["versions"]) == VACUUM_RETAIN
+    assert m.get("commit_seq", 0) >= 1
+    assert not os.path.exists(os.path.join(base, m["root"], "v=1"))
+
+    # retained versions still read, with the audited counts
+    reader_counts = {
+        v: spark.read.parquet(os.path.join(base, m["root"], f"v={v}")).count()
+        for v in (2, 3)
+    }
+    by_version = {r[0]: r[2] for r in report}
+    assert reader_counts == {2: by_version[2], 3: by_version[3]}
+
+    # the catalog refuses the expired version
+    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+    # (_customer_snapshot_reader rebuilds [1,2,3] when versions moved;
+    # so probe the refusal on a manifest it did NOT rebuild: run the
+    # vacuum again and use its reader against the narrowed manifest)
+    report2 = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert report2 == report  # idempotent
+    from linux_logs_spark.operators.extras import read_manifest as _rm
+
+    m2 = _rm(os.path.join(base, "_MANIFEST.json"))
+    assert m2["versions"] == [2, 3]
+    with pytest.raises(ValueError, match="unknown snapshot version"):
+        # reader closure reads the manifest fresh per call
+        read_as_of(1)

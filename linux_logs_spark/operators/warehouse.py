@@ -1000,6 +1000,66 @@ def _exact_ntile(df: DataFrame, order_cols: list, out_name: str, tiles: int = 4)
     )
 
 
+# (applicationId, normpath(sf_dir), lineitem fingerprint) → the
+# checkpointed co-purchase pair-count frame. One entry at a time (the
+# _topk_cache rule); localCheckpoint RDDs are reclaimed by
+# ContextCleaner once the frame is dropped.
+_COPURCHASE_CACHE: dict = {}
+
+
+def _copurchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a < part_b, n_orders) basket co-occurrence counts —
+    THE shared edge-build prefix of the whole graph family
+    (part_copurchase, graph_pagerank, graph_triangle_count,
+    graph_shortest_path): one lineitem distinct + one self-equi-join
+    on the order key + one pair-count aggregate, localCheckpoint'd
+    and memoized per (applicationId, sf_dir, lineitem fingerprint).
+    Before round 9 each graph query rebuilt this identically —
+    SCALING.md's 10× legs measured the edge build as the dominant
+    cost of both pagerank and BFS, so sharing it once per session is
+    the single biggest graph-family win. Keyed on applicationId (not
+    the session object) so the driver's per-query newSession() clones
+    share it — checkpointed RDDs belong to the SparkContext, which
+    all sessions of one app share (the _topk_cache precedent);
+    fingerprint-keyed so a regenerated dataset is never served
+    stale. Pair space is Σ(basket choose 2), bounded by basket size,
+    never |parts|²."""
+    from linux_logs_spark.catalog import dataset_fingerprint, table_path
+    import os as _os
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.normpath(sf_dir),
+        dataset_fingerprint(table_path(sf_dir, "lineitem")),
+    )
+    df = _COPURCHASE_CACHE.get(key)
+    if df is not None:
+        try:
+            _ = df.schema  # owning context still alive?
+            return df
+        except Exception:
+            _COPURCHASE_CACHE.pop(key, None)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=True)
+    )
+    for old in [k for k in _COPURCHASE_CACHE if k != key]:
+        _COPURCHASE_CACHE.pop(old, None)
+    _COPURCHASE_CACHE[key] = counts
+    return counts
+
+
 @register(
     "part_copurchase",
     "warehouse",
@@ -1025,23 +1085,9 @@ def part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked-pair-generation principle as the dedup banding joins.
     distinct first so duplicate part lines in one order don't inflate
     pair counts; the count aggregate runs map-side partial on the
-    (part_a, part_b) key."""
-    li = load(spark, sf_dir, "lineitem")
-    base = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    (part_a, part_b) key. The pair-count frame itself comes from the
+    session-shared _copurchase_counts build (round 9)."""
+    return _copurchase_counts(spark, sf_dir).filter(F.col("n_orders") >= 2)
 
 
 @register(
@@ -1360,21 +1406,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/deg are round6'd THEN summed in DECIMAL(25,6) — exact,
     order-independent — and the damped update re-rounds, so every
     iteration is bit-identical cross-engine; the teleport constant is
-    computed by the same IEEE ops (0.15/n, round6) in both."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .distinct()
-    )
+    computed by the same IEEE ops (0.15/n, round6) in both.
+    The pair set comes from the session-shared, checkpointed
+    _copurchase_counts build (round 9 — the edge build dominated the
+    measured wall of every graph query; now it runs once per
+    session)."""
+    pairs = _copurchase_counts(spark, sf_dir).select("part_a", "part_b")
     # symmetrize in ONE pass over pairs (a union of two selects would
     # embed — and execute — the pair self-join twice in ed's plan)
     edges = pairs.select(
@@ -1485,26 +1522,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes — the naive id-orientation instead explodes on any hub
     (one degree-d node yields d²/2 wedges). Every step is an
     equi-join + integer comparison: edges from the bounded
-    basket-pair join (part_copurchase's shape), degrees one hash
-    aggregate, wedges a self-equi-join on the oriented source, the
-    close a semi-shaped equi-join on (v, w). All-integer arithmetic →
-    exact cross-engine; output triangles canonicalized p1<p2<p3."""
-    li = load(spark, sf_dir, "lineitem")
-    base = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = base.alias("a"), base.alias("b")
+    basket-pair join (the session-shared _copurchase_counts build),
+    degrees one hash aggregate, wedges a self-equi-join on the
+    oriented source, the close a semi-shaped equi-join on (v, w).
+    All-integer arithmetic → exact cross-engine; output triangles
+    canonicalized p1<p2<p3."""
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
+        _copurchase_counts(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
     )
     deg = (
         edges.select(F.col("pa").alias("p"))
@@ -1626,21 +1652,10 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontiers are small (≤ |V|) so the per-round cut is cheap.
     The oracle replays the same distances as unrolled min-relaxation
     CTEs (frontier BFS and relaxation compute the identical hop
-    function). All-integer distances: no float convention anywhere."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .distinct()
-    )
+    function). All-integer distances: no float convention anywhere.
+    The pair set comes from the session-shared _copurchase_counts
+    build (round 9)."""
+    pairs = _copurchase_counts(spark, sf_dir).select("part_a", "part_b")
     # symmetrize in one pass (graph_pagerank's explode form — a union
     # of two selects would execute the pair self-join twice)
     edges = pairs.select(

@@ -859,3 +859,21 @@ def test_partition_evolution_prunes_both_specs(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("event_type" in ln and "error" in ln for ln in pf), pf
     assert any("dt" in ln and "2024-01-11" in ln for ln in pf), pf
+
+
+def test_copurchase_counts_cached_across_sessions(spark, sf_dir):
+    """The graph family's shared edge build is memoized per
+    (applicationId, sf_dir, lineitem fingerprint): repeated calls —
+    including from newSession() clones, the driver's per-query
+    pattern — return the SAME checkpointed frame, and the cache holds
+    one corpus at a time."""
+    from linux_logs_spark.operators import warehouse as wh
+
+    a = wh._copurchase_counts(spark, sf_dir)
+    b = wh._copurchase_counts(spark, sf_dir)
+    assert a is b
+    c = wh._copurchase_counts(spark.newSession(), sf_dir)
+    assert a is c
+    assert len(wh._COPURCHASE_CACHE) == 1
+    # sanity: the cached frame is the basket pair-count shape
+    assert set(a.columns) == {"part_a", "part_b", "n_orders"}

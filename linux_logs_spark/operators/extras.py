@@ -371,11 +371,18 @@ CDC_INSERT_MOD, CDC_INSERT_RESIDUE = 13, 5
 CDC_INSERT_KEY_SHIFT = 10_000_000
 
 
-def _customer_snapshot_reader(spark: SparkSession, sf_dir: str):
+def _customer_snapshot_reader(
+    spark: SparkSession, sf_dir: str, family: str = "snapshots_customer"
+):
     """Stage the versioned customer snapshot family ONCE and return
     ``read_as_of(version) -> DataFrame`` — the shared storage layer
     behind table_time_travel (v1 vs v2 as-of diff) and
-    table_incremental_changes (v1 → v3 CDC read).
+    table_incremental_changes (v1 → v3 CDC read). ``family`` names
+    the scratch dir: table_vacuum passes its OWN family so expiring
+    versions there never invalidates the shared one (a shared-family
+    vacuum forced every later time-travel/CDC run into a full
+    rebuild — measured as a 2.3× cost regression in the round-9
+    close sweep before the split).
 
     Versions: v1 = customer as loaded; v2 = v1 with the scd2 update
     applied (BUILDING acctbal × 1.1); v3 = v2 with deletes (custkey %
@@ -397,7 +404,7 @@ def _customer_snapshot_reader(spark: SparkSession, sf_dir: str):
     from linux_logs_spark.operators.scans import _scratch
 
     c = load(spark, sf_dir, "customer")
-    base = _scratch(sf_dir, "snapshots_customer")
+    base = _scratch(sf_dir, family)
     # dir-aware shared fingerprint (round-7 review: a bare os.stat is
     # blind to in-place part rewrites on directory-form datasets)
     size, mtime_ns = dataset_fingerprint(table_path(sf_dir, "customer"))
@@ -646,7 +653,10 @@ def table_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Snapshots kept by table_vacuum (the newest VACUUM_RETAIN versions
 # survive; everything older is expired and its data dirs removed).
+# The vacuum runs against its OWN family dir so the shared
+# time-travel/CDC family is never invalidated by the expiry.
 VACUUM_RETAIN = 2
+VACUUM_FAMILY = "snapshots_customer_vacuum"
 
 
 @register(
@@ -695,10 +705,13 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
 
-    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+    # vacuum's OWN snapshot family ("snapshots_customer_vacuum"):
+    # expiring versions here never invalidates the family
+    # table_time_travel / table_incremental_changes share.
+    read_as_of = _customer_snapshot_reader(spark, sf_dir, family=VACUUM_FAMILY)
     from linux_logs_spark.operators.scans import _scratch
 
-    base = _scratch(sf_dir, "snapshots_customer")
+    base = _scratch(sf_dir, VACUUM_FAMILY)
     manifest_path = _os.path.join(base, "_MANIFEST.json")
     m = read_manifest(manifest_path)
     versions = list(m["versions"])

@@ -209,16 +209,25 @@ def test_vacuum_expires_old_versions_physically(spark, sf_dir):
     import pytest
 
     from linux_logs_spark.operators.extras import (
+        VACUUM_FAMILY,
         VACUUM_RETAIN,
         _customer_snapshot_reader,
     )
     from linux_logs_spark.operators.scans import _scratch
 
     q = all_queries()["table_vacuum"].fn
+    # snapshot the SHARED family's manifest before the vacuum — the
+    # isolation contract is that vacuum never touches it
+    shared_base = _scratch(sf_dir, "snapshots_customer")
+    shared_before = read_manifest(os.path.join(shared_base, "_MANIFEST.json"))
+
     report = sorted(tuple(r) for r in q(spark, sf_dir).collect())
     assert [r[1] for r in report] == ["expired", "retained", "retained"]
 
-    base = _scratch(sf_dir, "snapshots_customer")
+    shared_after = read_manifest(os.path.join(shared_base, "_MANIFEST.json"))
+    assert shared_after == shared_before  # shared family untouched
+
+    base = _scratch(sf_dir, VACUUM_FAMILY)
     m = read_manifest(os.path.join(base, "_MANIFEST.json"))
     assert m["versions"] == [2, 3] and len(m["versions"]) == VACUUM_RETAIN
     assert m.get("commit_seq", 0) >= 1
@@ -233,7 +242,7 @@ def test_vacuum_expires_old_versions_physically(spark, sf_dir):
     assert reader_counts == {2: by_version[2], 3: by_version[3]}
 
     # the catalog refuses the expired version
-    read_as_of = _customer_snapshot_reader(spark, sf_dir)
+    read_as_of = _customer_snapshot_reader(spark, sf_dir, family=VACUUM_FAMILY)
     # (_customer_snapshot_reader rebuilds [1,2,3] when versions moved;
     # so probe the refusal on a manifest it did NOT rebuild: run the
     # vacuum again and use its reader against the narrowed manifest)

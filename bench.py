@@ -82,17 +82,18 @@ HEADLINE = (
 GUARD_RATIO = 1.10
 
 
-def _median_of_artifact(text: str) -> float | None:
+def _stats_of_artifact(text: str) -> tuple[float, float] | None:
+    """(median, total) of an artifact's per-query timings, or None."""
     try:
         blob = json.loads(text)
         vals = sorted(float(v) for v in blob["queries"].values())
-        return vals[len(vals) // 2] if vals else None
+        return (vals[len(vals) // 2], sum(vals)) if vals else None
     except (ValueError, KeyError, AttributeError, TypeError):
         return None
 
 
-def _prior_full_median(repo_dir: str) -> float | None:
-    """Median per-query time of the HEAD-COMMITTED bench_full.json
+def _prior_full_stats(repo_dir: str) -> tuple[float, float] | None:
+    """(median, total) per-query time of the HEAD-COMMITTED bench_full.json
     (``git show HEAD:bench_full.json``), falling back to the
     working-tree file when git is unavailable; None if neither is
     usable. HEAD-first closes the round-8 drift loop: an external
@@ -111,20 +112,21 @@ def _prior_full_median(repo_dir: str) -> float | None:
             capture_output=True, text=True, timeout=30,
         )
         if r.returncode == 0:
-            m = _median_of_artifact(r.stdout)
+            m = _stats_of_artifact(r.stdout)
             if m is not None:
                 return m
     except (OSError, subprocess.SubprocessError):
         pass
     try:
         with open(os.path.join(repo_dir, "bench_full.json")) as fh:
-            return _median_of_artifact(fh.read())
+            return _stats_of_artifact(fh.read())
     except OSError:
         return None
 
 
-def guard_full_artifact(new_median: float | None, prior_median: float | None,
-                        force: bool) -> bool:
+def guard_full_artifact(new_median: float | None,
+                        prior: tuple[float, float] | None,
+                        force: bool, new_total: float | None = None) -> bool:
     """True = the run may overwrite bench_full.json. The artifact's
     contract is 'best quiet-window run of the current code', so any
     run with a median >10% above the committed one is presumed a
@@ -133,10 +135,25 @@ def guard_full_artifact(new_median: float | None, prior_median: float | None,
     only 12.5% inflated, so the gate must sit BELOW that (a 25%
     threshold would have passed the exact incident it exists to
     block — round-8 review). A real regression will show up under
-    --force after a quiet-window confirmation rerun."""
-    if force or prior_median is None or new_median is None:
+    --force after a quiet-window confirmation rerun.
+
+    KEEP-BEST (round 9): a run inside the 10% window that improves
+    NEITHER the median NOR the total is also rejected — round 9
+    measured three consecutive "passing" runs ratchet the committed
+    baseline 219.1 s → 235.8 s → 255.7 s because each compared
+    against the previous overwrite; under keep-best the artifact only
+    moves when some number actually got better, so compounding
+    sub-10% degradations can never walk the baseline upward. A real
+    across-the-board regression lands via --force after a
+    quiet-window confirmation rerun."""
+    if force or prior is None or new_median is None:
         return True
-    return new_median <= GUARD_RATIO * prior_median
+    prior_median, prior_total = prior
+    if new_median > GUARD_RATIO * prior_median:
+        return False  # loaded window
+    return new_median <= prior_median or (
+        new_total is not None and new_total < prior_total
+    )
 
 
 def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,
@@ -178,7 +195,8 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
     elif sf != 0.1:
         artifact = f"bench_full_sf{sf}.json"
     elif not guard_full_artifact(
-        payload["median_sec"], _prior_full_median(repo_dir), force
+        payload["median_sec"], _prior_full_stats(repo_dir), force,
+        new_total=total,
     ):
         artifact = "bench_full_rejected.json"
         payload["rejected_loaded_run"] = True

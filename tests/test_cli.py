@@ -47,13 +47,20 @@ def test_bench_full_artifact_guard():
     gate must catch a 12.5% bump)."""
     from bench import guard_full_artifact
 
-    assert guard_full_artifact(0.40, 0.40, force=False)        # flat
-    assert guard_full_artifact(0.44, 0.40, force=False)        # ==1.10x
-    assert not guard_full_artifact(0.46, 0.409, force=False)   # the incident
-    assert not guard_full_artifact(0.45, 0.40, force=False)    # loaded
-    assert guard_full_artifact(0.45, 0.40, force=True)         # forced
-    assert guard_full_artifact(0.45, None, force=False)        # no prior
-    assert guard_full_artifact(None, 0.40, force=False)        # no median
+    P = (0.40, 100.0)  # committed (median, total)
+    assert guard_full_artifact(0.40, P, force=False, new_total=99.0)   # flat median, better total
+    assert guard_full_artifact(0.39, P, force=False, new_total=120.0)  # better median
+    assert not guard_full_artifact(0.46, (0.409, 100.0), force=False,
+                                   new_total=90.0)                     # the incident (loaded)
+    assert not guard_full_artifact(0.45, P, force=False, new_total=90.0)  # loaded
+    assert guard_full_artifact(0.45, P, force=True, new_total=90.0)       # forced
+    assert guard_full_artifact(0.45, None, force=False, new_total=90.0)   # no prior
+    assert guard_full_artifact(None, P, force=False, new_total=90.0)      # no median
+    # KEEP-BEST (round 9): inside the 10% window but better at NOTHING
+    # → rejected; the 219.1→235.8→255.7 ratchet class
+    assert not guard_full_artifact(0.42, P, force=False, new_total=110.0)
+    assert guard_full_artifact(0.42, P, force=False, new_total=99.9)   # total improved
+    assert guard_full_artifact(0.40, P, force=False, new_total=110.0)  # median no worse
 
 
 def test_prior_full_median_prefers_head_commit(tmp_path):
@@ -64,7 +71,7 @@ def test_prior_full_median_prefers_head_commit(tmp_path):
     import json
     import subprocess
 
-    from bench import _prior_full_median
+    from bench import _prior_full_stats as _prior_full_median
 
     repo = tmp_path / "repo"
     repo.mkdir()
@@ -80,13 +87,13 @@ def test_prior_full_median_prefers_head_commit(tmp_path):
     # a loaded run lands in the working tree only
     loaded = {"total_sec": 9.0, "queries": {"a": 0.9, "b": 0.9, "c": 0.9}, "sf": 0.1}
     (repo / "bench_full.json").write_text(json.dumps(loaded))
-    assert _prior_full_median(str(repo)) == 0.40
+    assert _prior_full_median(str(repo)) == (0.40, 1.2000000000000002)
 
     # no git history (fresh dir): working-tree fallback
     plain = tmp_path / "plain"
     plain.mkdir()
     (plain / "bench_full.json").write_text(json.dumps(loaded))
-    assert _prior_full_median(str(plain)) == 0.9
+    assert _prior_full_median(str(plain)) == (0.9, 2.7)
 
     # neither: None
     empty = tmp_path / "empty"

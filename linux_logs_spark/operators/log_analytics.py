@@ -980,97 +980,84 @@ def log_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Heavy-hitters sketch knobs: Space-Saving capacity M (per-summary
-# error ≤ N_summary / M), final report size K, and the shard sizing
-# rule (events per sketch shard — footer-derived like the FFD/SemDeDup
-# grains, so summary granularity grows with the stream).
+# Heavy-hitters summary knobs: per-summary capacity M (detection
+# threshold Σ N_summary / M), final report size K, and the shard
+# sizing rule (events per summary shard — footer-derived like the
+# FFD/SemDeDup grains, so summary granularity grows with the stream).
 SS_CAPACITY = 64
 SS_TOPK = 20
 SS_SHARD_ROWS = 1_000_000
 
 
-@register("agg_freq_items_sketch", "log", oracle=None)  # approx sketch → rows-only; error bound + recall pinned in tests/test_approx_quality.py
+@register("agg_freq_items_sketch", "log", oracle=None)  # approx summary → rows-only; bounds + recall pinned in tests/test_approx_quality.py
 def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-K event sources via MERGEABLE Space-Saving
-    summaries — the heavy-hitters sibling of agg_hll_sketch_rollup
-    (distinct counts) and the approx answer to the question
-    log_top_services answers exactly. At 100 TB the exact form
-    shuffles one row per distinct user per partial; the sketch form
-    shuffles at most M=SS_CAPACITY counter rows per (day, shard)
-    summary REGARDLESS of cardinality, and summaries merge
-    associatively (Agarwal et al., "Mergeable Summaries") so the
-    rollup tree can be arbitrarily deep — per-day sketches roll into
-    weekly/monthly ones without touching raw events again.
+    """Approximate top-K event sources via MERGEABLE capacity-M
+    heavy-hitter summaries (Agarwal et al., "Mergeable Summaries" —
+    the deterministic batch form of Space-Saving) — the heavy-hitters
+    sibling of agg_hll_sketch_rollup (distinct counts) and the approx
+    answer to the question log_top_services answers exactly. Each
+    (day, shard) summary keeps its top-M items BY EXACT LOCAL COUNT
+    plus one scalar bound (the largest dropped count); summaries
+    merge associatively, so per-day summaries roll into weekly or
+    monthly ones without touching raw events again, shipping at most
+    M+1 rows each REGARDLESS of item cardinality.
 
-    Plan shape: one applyInPandas over (day, shard) builds the
-    capacity-M summaries (shard = md5(event_id) bucket, count from
-    the parquet footer — each pandas group is bounded by
-    SS_SHARD_ROWS at any scale); the merge is pure DataFrame ops over
-    ≤ M × |summaries| rows: per-item Σest plus the absent-summary
-    bound (an item missing from summary d contributes at most that
-    summary's min counter), carried as Σ_all min − Σ_present min via
-    one 1-row broadcast of the global Σmin (the bounded-scalar
-    crossJoin class). Deterministic: the group stream is sorted by
-    (ts, event_id) and eviction ties break on the item key, so the
-    summaries — and the report — are a pure function of the data.
-    Guarantees pinned in tests/test_approx_quality.py: the exact
-    count of every reported item lies in [est − max_over,
-    est + max_under], and every true heavy hitter above the Σ N_d/M
-    threshold is reported."""
-    import pandas as pd
+    Plan shape — the part the first cut got wrong (it grouped RAW
+    events into applyInPandas summaries, a full-stream shuffle the
+    10× rehearsal measured at 21 MB): counts come from one
+    map-side-combined hash aggregate on (day, shard, item) — the
+    shuffle carries only DISTINCT combos with partial counts, never
+    events — then the summary cut is a bounded per-(day, shard)
+    row_number window over those counts, all JVM-side, zero Python.
+    Shard = md5(event_id) bucket with the count from the parquet
+    footer (zero jobs), so group width is bounded at any scale.
 
+    Merge semantics (all DataFrame ops over ≤ (M+1)×|summaries|
+    rows): per item, est = Σ exact counts over summaries that kept it
+    — a LOWER bound, so max_over = 0 (tighter than streaming
+    Space-Saving's eviction inflation); a summary that DROPPED the
+    item contributes at most its max-dropped-count scalar, carried as
+    Σ_all bound − Σ_present bound via one 1-row broadcast (the
+    bounded-scalar crossJoin class). Deterministic and order-free by
+    construction (exact counts; ties cut on the item key).
+    Guarantees pinned in tests/test_approx_quality.py: every exact
+    count lies in [est, est + max_under], and any item with true
+    count above Σ N_g / M is reported — each summary's drop bound is
+    ≤ N_g/(M+1), so a never-kept item's total is strictly below the
+    threshold."""
     n_ev = table_row_count(sf_dir, "events")
     n_shards = max(1, n_ev // SS_SHARD_ROWS)
     d = load(spark, sf_dir, "events").selectExpr(
         "cast(ts as date) AS day",
         "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10)"
         f" as bigint) % {n_shards} AS shard",
-        "ts",
-        "event_id",
         "cast(user_id as string) AS item",
     )
-
-    def spacesaving(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        day, shard = pdf["day"].iloc[0], int(pdf["shard"].iloc[0])
-        counters: dict[str, list[int]] = {}  # item -> [est, err]
-        for it in pdf["item"]:
-            c = counters.get(it)
-            if c is not None:
-                c[0] += 1
-            elif len(counters) < SS_CAPACITY:
-                counters[it] = [1, 0]
-            else:
-                # evict the min-est counter; ties break on the item
-                # key so eviction is deterministic
-                victim = min(counters, key=lambda x: (counters[x][0], x))
-                v_est, _ = counters.pop(victim)
-                counters[it] = [v_est + 1, v_est]
-        # bound for items ABSENT from this summary: any unseen item's
-        # true count here is ≤ the summary's min counter (0 while the
-        # summary never filled — then every seen item is tracked and
-        # absent means count 0)
-        s_min = (
-            min(v[0] for v in counters.values())
-            if len(counters) >= SS_CAPACITY
-            else 0
-        )
-        return pd.DataFrame(
-            {
-                "day": day,
-                "shard": shard,
-                "item": list(counters),
-                "est": [v[0] for v in counters.values()],
-                "err": [v[1] for v in counters.values()],
-                "summary_min": s_min,
-            }
-        )
-
-    summaries = d.groupBy("day", "shard").applyInPandas(
-        spacesaving,
-        "day date, shard long, item string, est long, err long, summary_min long",
+    counts = d.groupBy("day", "shard", "item").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("day", "shard").orderBy(
+        F.col("n").desc(), F.col("item")
     )
-    # Σ min over ALL summaries — one scalar, broadcast-crossJoined
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") <= SS_CAPACITY)
+    # the one scalar a summary carries for everything it dropped:
+    # any absent item's true count here is ≤ the largest dropped
+    # count (0 when nothing was dropped)
+    bound = (
+        ranked.filter(F.col("rk") > SS_CAPACITY)
+        .groupBy("day", "shard")
+        .agg(F.max("n").alias("summary_min"))
+    )
+    summaries = (
+        kept.join(bound, ["day", "shard"], "left")
+        .select(
+            "day",
+            "shard",
+            "item",
+            F.col("n").alias("est"),
+            F.coalesce("summary_min", F.lit(0)).alias("summary_min"),
+        )
+    )
+    # Σ bound over ALL summaries — one scalar, broadcast-crossJoined
     # (the bounded-collect class used by the CC/BPE scalars).
     tot_min = (
         summaries.select("day", "shard", "summary_min")
@@ -1081,14 +1068,13 @@ def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         summaries.groupBy("item")
         .agg(
             F.sum("est").alias("est"),
-            F.sum("err").alias("max_over"),
             F.sum("summary_min").alias("present_min"),
         )
         .crossJoin(F.broadcast(tot_min))
         .select(
             "item",
             "est",
-            "max_over",
+            F.lit(0).cast("long").alias("max_over"),
             (F.col("tot_min") - F.col("present_min")).alias("max_under"),
         )
     )
@@ -1096,7 +1082,7 @@ def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = merged.orderBy(
         F.col("est").desc(), F.col("item")
     ).limit(SS_TOPK)
-    w = Window.orderBy(F.col("est").desc(), F.col("item"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+    w2 = Window.orderBy(F.col("est").desc(), F.col("item"))
+    return top.withColumn("rank", F.row_number().over(w2).cast("long")).select(
         "rank", "item", "est", "max_over", "max_under"
     )

@@ -116,6 +116,17 @@ HEAVY = [
     "sink_python_datasource",
     "stream_python_sink",
     "stream_python_source",
+    # round-9 adds with a scale claim worth a datapoint:
+    # - heavy-hitters sketch: shuffle is ≤ M=64 counter rows per
+    #   (day, shard) summary REGARDLESS of cardinality — 10x events
+    #   through the same 30-day span should grow wall with the
+    #   applyInPandas scan, never with distinct-user count.
+    "agg_freq_items_sketch",
+    # - avro roundtrip: writer cost ∝ rows through the pure-Python
+    #   codec, reader fans out one task per container block — 10x
+    #   events is 10x blocks, so wall should track row volume with
+    #   no super-linear term (and the block split count scales).
+    "scan_avro_roundtrip",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -144,6 +155,11 @@ WARM_FIRST = {
     "sink_python_datasource",
     "stream_python_sink",
     "stream_python_source",
+    # applyInPandas / DataSource worker spawn on the first pass; both
+    # redo the full row volume when warm (fresh scratch write per
+    # call for avro; stateless scan for the sketch).
+    "agg_freq_items_sketch",
+    "scan_avro_roundtrip",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

@@ -877,3 +877,38 @@ def test_copurchase_counts_cached_across_sessions(spark, sf_dir):
     assert len(wh._COPURCHASE_CACHE) == 1
     # sanity: the cached frame is the basket pair-count shape
     assert set(a.columns) == {"part_a", "part_b", "n_orders"}
+
+
+def test_freq_items_sketch_stays_jvm_side_with_partial_agg(spark, sf_dir):
+    """agg_freq_items_sketch's scale claim, pinned physically: the
+    whole plan is JVM-side (no Python evaluation operator of any
+    kind — the first cut's applyInPandas shuffled raw events, caught
+    by the 10× rehearsal at 21 MB) and the count aggregate is
+    map-side combined (partial_count before the exchange), so the
+    shuffle carries distinct (day, shard, item) combos, never
+    events."""
+    plan = plan_string(_Q["agg_freq_items_sketch"].fn(spark, sf_dir))
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                  "MapInPandas", "PythonMapInArrow"):
+        assert py_op not in plan, py_op
+    assert "partial_count" in plan, plan
+
+
+def test_matryoshka_pair_join_is_blocked_equi(spark, sf_dir):
+    """emb_matryoshka_truncate's pair join must plan as an EQUI join
+    on the block-cell id with ia < ib as residual — never a
+    BroadcastNestedLoopJoin shipping an ungated sample side and never
+    a cartesian (round-8 advice, fixed round 9)."""
+    plan = plan_string(_Q["emb_matryoshka_truncate"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_assignment_is_data_not_code(spark, sf_dir):
+    """emb_kmeans_lloyd's assignment ships centroids as a literal
+    ARRAY under array_min(transform(...)) — O(1) codegen size in K
+    (the unrolled least() form spent most of its wall in janino
+    compile and blows the 64 KB method limit past K≈16)."""
+    plan = plan_string(_Q["emb_kmeans_lloyd"].fn(spark, sf_dir))
+    assert "array_min(transform(" in plan, plan[:2000]
+    assert "least(" not in plan, plan[:2000]

@@ -427,7 +427,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(marker):
             with open(marker) as fh:
                 stale = fh.read().strip() != fingerprint
-        if stale or tbl not in [t.name for t in spark.catalog.listTables()]:
+        registered = tbl in [t.name for t in spark.catalog.listTables()]
+        if stale:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (
                 load(spark, sf_dir, src_name)
@@ -438,8 +439,28 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("path", os.path.join(wh, tbl))
                 .saveAsTable(tbl)
             )
+            # marker AFTER the write completes: its presence implies
+            # a complete bucketed copy, so the metadata-only path
+            # below can never register a torn build
             with open(marker, "w") as fh:
                 fh.write(fingerprint)
+        elif not registered:
+            # Fresh process, fresh (in-memory) catalog, but the
+            # bucketed files on disk are still fingerprint-current:
+            # re-REGISTER the external table over the existing data
+            # instead of rewriting it — before round 9 this path
+            # re-ran the full bucketed write every new session, which
+            # is exactly the amortize-across-sessions cost the
+            # operator exists to demonstrate saving.
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in load(spark, sf_dir, src_name).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET"
+                f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
+                f" LOCATION '{os.path.join(wh, tbl)}'"
+            )
     o = spark.table(f"bq_orders_{tag}")
     li = spark.table(f"bq_lineitem_{tag}")
     # merge hint: at test scale orders fits the broadcast threshold

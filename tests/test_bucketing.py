@@ -60,3 +60,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_tables_reregister_without_rewrite(spark, sf_dir):
+    """A fresh catalog (new process) with fingerprint-current bucketed
+    files on disk must re-REGISTER the external tables — metadata
+    only, no data rewrite (round 9: every new bench/driver session
+    was re-running the full bucketed write, the exact cost the
+    operator demonstrates amortizing)."""
+    import glob
+    import os
+
+    from linux_logs_spark.operators.scans import _scratch, _scratch_tag
+    from linux_logs_spark.registry import all_queries
+
+    q = all_queries()["join_bucketed_colocated"].fn
+    q(spark, sf_dir).count()  # ensure built
+    wh, tag = _scratch(sf_dir, "bucketed"), _scratch_tag(sf_dir)
+    files = sorted(glob.glob(os.path.join(wh, f"bq_orders_{tag}", "*.parquet")))
+    assert files
+    before = [os.stat(f).st_mtime_ns for f in files]
+    spark.sql(f"DROP TABLE IF EXISTS bq_orders_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bq_lineitem_{tag}")
+    out = q(spark, sf_dir)
+    assert out.count() > 0
+    after = [os.stat(f).st_mtime_ns for f in sorted(
+        glob.glob(os.path.join(wh, f"bq_orders_{tag}", "*.parquet")))]
+    assert before == after  # metadata-only: no file rewritten
+    # and the re-registered tables still join exchange-free
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+    assert "SortMergeJoin" in plan

@@ -106,22 +106,32 @@ def _prior_full_stats(repo_dir: str) -> tuple[float, float] | None:
     crash a finished run (round-8 review)."""
     import subprocess
 
+    head = disk = None
     try:
         r = subprocess.run(
             ["git", "-C", repo_dir, "show", "HEAD:bench_full.json"],
             capture_output=True, text=True, timeout=30,
         )
         if r.returncode == 0:
-            m = _stats_of_artifact(r.stdout)
-            if m is not None:
-                return m
+            head = _stats_of_artifact(r.stdout)
     except (OSError, subprocess.SubprocessError):
         pass
     try:
         with open(os.path.join(repo_dir, "bench_full.json")) as fh:
-            return _stats_of_artifact(fh.read())
+            disk = _stats_of_artifact(fh.read())
     except OSError:
-        return None
+        pass
+    if head is None or disk is None:
+        return head or disk
+    # Baseline = elementwise best of the two (round-9 review):
+    # HEAD-first alone let a later worse run overwrite a better
+    # UNCOMMITTED run from the same session (keep-best held across
+    # commits only). Taking min(median) and min(total) separately
+    # means a new run must beat the best median or the best total
+    # seen in EITHER artifact; a loaded run written straight to disk
+    # still can't raise the baseline because the committed numbers
+    # stay in the min.
+    return (min(head[0], disk[0]), min(head[1], disk[1]))
 
 
 def guard_full_artifact(new_median: float | None,
@@ -200,12 +210,22 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
     ):
         artifact = "bench_full_rejected.json"
         payload["rejected_loaded_run"] = True
-        print(
-            f"bench: median >{round((GUARD_RATIO - 1) * 100)}% above "
-            "committed bench_full.json — writing bench_full_rejected.json "
-            "(rerun in a quiet window or pass --force)",
-            file=sys.stderr,
+        prior = _prior_full_stats(repo_dir)
+        loaded = (
+            prior is not None
+            and payload["median_sec"] is not None
+            and payload["median_sec"] > GUARD_RATIO * prior[0]
         )
+        reason = (
+            f"median >{round((GUARD_RATIO - 1) * 100)}% above the baseline "
+            "artifact — presumed loaded window; rerun quietly or pass --force"
+            if loaded
+            else "run improves neither median nor total vs the baseline "
+            "artifact — keep-best retains the existing one (--force to "
+            "override after a quiet-window confirmation)"
+        )
+        print(f"bench: {reason}; writing bench_full_rejected.json",
+              file=sys.stderr)
     else:
         artifact = "bench_full.json"
     blob = {"total_sec": total, "queries": timings, "sf": sf}

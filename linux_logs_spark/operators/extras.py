@@ -728,12 +728,23 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for v in expired:
         _shutil.rmtree(_os.path.join(base, root, f"v={v}"), ignore_errors=True)
-    for entry in _os.listdir(base):
-        if entry.endswith(".tmp"):
-            try:
-                _os.remove(_os.path.join(base, entry))
-            except FileNotFoundError:
-                pass
+    # Stray-.tmp sweep UNDER the commit flock: commit_manifest writes
+    # its temp while holding path+'.lock', so any .tmp visible while
+    # WE hold the lock is an orphan from a crashed writer, never a
+    # concurrent commit's in-flight temp (round-9 review: the
+    # unlocked sweep could delete a racing writer's temp between its
+    # write and os.replace, crashing the very fence this module
+    # advertises).
+    import fcntl as _fcntl
+
+    with open(manifest_path + ".lock", "w") as lk:
+        _fcntl.flock(lk, _fcntl.LOCK_EX)
+        for entry in _os.listdir(base):
+            if entry.endswith(".tmp"):
+                try:
+                    _os.remove(_os.path.join(base, entry))
+                except FileNotFoundError:
+                    pass
     report = sorted(
         [(v, "expired" if v in expired else "retained", counts[v]) for v in versions]
     )

@@ -981,17 +981,16 @@ def log_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Heavy-hitters summary knobs: per-summary capacity M (detection
-# threshold Σ N_summary / M), final report size K, and the shard
-# sizing rule (events per summary shard — footer-derived like the
-# FFD/SemDeDup grains, so summary granularity grows with the stream).
+# threshold Σ N_summary / M) and the shard sizing rule (events per
+# summary shard — footer-derived like the FFD/SemDeDup grains, so
+# summary granularity grows with the stream).
 SS_CAPACITY = 64
-SS_TOPK = 20
 SS_SHARD_ROWS = 1_000_000
 
 
 @register("agg_freq_items_sketch", "log", oracle=None)  # approx summary → rows-only; bounds + recall pinned in tests/test_approx_quality.py
 def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-K event sources via MERGEABLE capacity-M
+    """Approximate heavy-hitter event sources via MERGEABLE capacity-M
     heavy-hitter summaries (Agarwal et al., "Mergeable Summaries" —
     the deterministic batch form of Space-Saving) — the heavy-hitters
     sibling of agg_hll_sketch_rollup (distinct counts) and the approx
@@ -1078,11 +1077,18 @@ def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tot_min") - F.col("present_min")).alias("max_under"),
         )
     )
-    # top-K by the estimate (TakeOrderedAndProject — no global window)
-    top = merged.orderBy(
-        F.col("est").desc(), F.col("item")
-    ).limit(SS_TOPK)
+    # Report EVERY merged candidate, ranked — NOT a top-K cut: the
+    # recall guarantee ("any item above Σ N_g / M is reported") is a
+    # membership property of the merged candidate SET, and est is a
+    # lower bound, so an above-threshold item can rank below K by est
+    # while its mass hides in max_under (round-9 review: limit(20)
+    # silently broke the guarantee the tests pin whenever >20 items
+    # cleared the threshold). Output stays bounded by CONSTRUCTION,
+    # not by data: ≤ M × |summaries| rows regardless of cardinality —
+    # that bound IS the sketch; a consumer wanting a top-K applies
+    # its own limit to the ranked frame. The ranking window runs over
+    # that bounded candidate set only.
     w2 = Window.orderBy(F.col("est").desc(), F.col("item"))
-    return top.withColumn("rank", F.row_number().over(w2).cast("long")).select(
-        "rank", "item", "est", "max_over", "max_under"
-    )
+    return merged.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).select("rank", "item", "est", "max_over", "max_under")

@@ -342,7 +342,7 @@ class AvroWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.avro"
+        tmp = f"_tmp_{self.job_id}_{tc.partitionId()}_{tc.taskAttemptId()}.avro"
         os.makedirs(self.path, exist_ok=True)
 
         def rows():
@@ -364,8 +364,10 @@ class AvroWriter(DataSourceArrowWriter):
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro"),
             )
+        # own-job stray sweep only (round-9 review: an unscoped sweep
+        # could delete a concurrent append job's unpublished temps)
         for f in os.listdir(self.path):
-            if f.startswith("_tmp_"):
+            if f.startswith(f"_tmp_{self.job_id}_"):
                 try:
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:

@@ -217,7 +217,7 @@ class JsonDirWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
+        tmp = f"_tmp_{self.job_id}_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, tmp), "w") as fh:
             for r in rows:
@@ -239,11 +239,14 @@ class JsonDirWriter(DataSourceWriter):
             )
         # Failed/speculative task attempts leave _tmp_* files that no
         # commit message names; abort() never sees them either (it
-        # only gets the successful attempts' messages). Sweep them at
-        # publish time so append-mode dirs don't accumulate garbage
-        # across runs (round-8 advice).
+        # only gets the successful attempts' messages). Sweep THIS
+        # JOB'S strays at publish time so append-mode dirs don't
+        # accumulate garbage across runs (round-8 advice) — scoped by
+        # the job id baked into the temp names, so a concurrent
+        # append job's not-yet-published task files are never touched
+        # (round-9 review).
         for f in os.listdir(self.path):
-            if f.startswith("_tmp_"):
+            if f.startswith(f"_tmp_{self.job_id}_"):
                 try:
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:
@@ -275,9 +278,14 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
     behind the DataSource API."""
 
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("synthlog stream sink requires option('path', ...)")
+        # per-writer-instance id scoping temp names: the stray sweep
+        # in commit() may then only ever touch this writer's temps
+        self.job_id = uuid.uuid4().hex[:8]
 
     # executor-side
     def write(self, rows) -> _SinkCommit:
@@ -287,7 +295,7 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        tmp = f"_tmp_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
+        tmp = f"_tmp_{self.job_id}_{tc.partitionId()}_{tc.taskAttemptId()}.jsonl"
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, tmp), "w") as fh:
             for r in rows:
@@ -313,12 +321,13 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
             )
-        # Same stale-attempt sweep as the batch writer: temp files
-        # from failed attempts of THIS batch are dead once the batch
-        # publishes (a replay re-creates its own temps), so clear
-        # them here rather than letting them pile up.
+        # Same stale-attempt sweep as the batch writer, scoped to
+        # this writer's own temps: temp files from failed attempts of
+        # THIS batch are dead once the batch publishes (a replay
+        # re-creates its own temps), so clear them here rather than
+        # letting them pile up.
         for f in os.listdir(self.path):
-            if f.startswith("_tmp_"):
+            if f.startswith(f"_tmp_{self.job_id}_"):
                 try:
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:

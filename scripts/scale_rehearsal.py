@@ -117,10 +117,11 @@ HEAVY = [
     "stream_python_sink",
     "stream_python_source",
     # round-9 adds with a scale claim worth a datapoint:
-    # - heavy-hitters sketch: shuffle is ≤ M=64 counter rows per
-    #   (day, shard) summary REGARDLESS of cardinality — 10x events
-    #   through the same 30-day span should grow wall with the
-    #   applyInPandas scan, never with distinct-user count.
+    # - heavy-hitters summary: one map-side-combined count aggregate
+    #   (shuffle = distinct (day, shard, item) combos, never events —
+    #   the first cut's applyInPandas grouping shuffled the raw
+    #   stream, 21 MB at 10x, and was rewritten JVM-side after this
+    #   leg caught it) + a bounded per-summary row_number cut.
     "agg_freq_items_sketch",
     # - avro roundtrip: writer cost ∝ rows through the pure-Python
     #   codec, reader fans out one task per container block — 10x
@@ -155,9 +156,9 @@ WARM_FIRST = {
     "sink_python_datasource",
     "stream_python_sink",
     "stream_python_source",
-    # applyInPandas / DataSource worker spawn on the first pass; both
-    # redo the full row volume when warm (fresh scratch write per
-    # call for avro; stateless scan for the sketch).
+    # DataSource worker spawn / first-pass codegen; both redo the
+    # full row volume when warm (fresh scratch write per call for
+    # avro; stateless JVM aggregate for the sketch).
     "agg_freq_items_sketch",
     "scan_avro_roundtrip",
 }

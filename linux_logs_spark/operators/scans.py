@@ -292,15 +292,23 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(os.path.join(path, "part-0.csv"))
+        # localCheckpoint (53 rows — free) for two reasons: (a) the
+        # parse reads the FULL schema, so wrong-arity rows are always
+        # flagged regardless of downstream column pruning; (b) Spark
+        # rejects any plan whose file-source projection is ONLY the
+        # corrupt column, and a pruning consumer — df.count() prunes
+        # the agg outputs down to the corrupt-derived groupBy key —
+        # trips that check on the raw relation (found by the round-9
+        # rows-only hostile sweep; the driver's collect() never
+        # prunes, so five full sweeps missed it). Unlike the round-3
+        # cache() form, checkpointed blocks are reclaimed by
+        # ContextCleaner when the frame drops — nothing pins across a
+        # long driver session.
+        .localCheckpoint(eager=True)
     )
-    # Spark rejects plans whose file-source projection is ONLY the
-    # corrupt column, and CSV column pruning weakens malformed
-    # detection (a wrong-arity row is only flagged when the parser
-    # reads the FULL schema). Aggregating a flag over all three data
-    # columns (n_complete — quarantine triage signal) keeps the whole
-    # schema in the scan, so detection matches the cached round-3 form
-    # while no cache() stays pinned across a long driver session
-    # (round-3 advice).
+    # Aggregating a flag over all three data columns (n_complete —
+    # quarantine triage signal) keeps the completeness semantics
+    # observable per category.
     complete = (
         F.col("event_id").isNotNull()
         & F.col("user_id").isNotNull()

@@ -203,3 +203,18 @@ def test_freq_items_sketch_bounds_hold_under_eviction(spark, sf_dir, monkeypatch
         assert lo <= true <= hi, (r["item"], true, lo, hi)
         nontrivial += int(r["max_over"] > 0 or r["max_under"] > 0)
     assert nontrivial > 0  # the bounds were genuinely approximate
+
+
+def test_scan_csv_malformed_survives_pruning_consumers(spark, sf_dir):
+    """df.count() on the returned frame prunes the agg outputs down to
+    the corrupt-derived groupBy key — which used to trip Spark's
+    corrupt-record-only-projection check on the raw CSV relation
+    (AnalysisException UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN;
+    found by the round-9 rows-only hostile sweep — the driver's
+    collect() never prunes, so full sweeps missed it). The checkpoint
+    barrier must keep every consumer shape working."""
+    df = _Q["scan_csv_malformed"].fn(spark, sf_dir)
+    assert df.count() == 2                       # the pruning consumer
+    assert df.select("category").distinct().count() == 2  # key-only projection
+    got = {r["category"]: (r["n"], r["n_complete"]) for r in df.collect()}
+    assert got == {"clean": (50, 50), "quarantined": (3, 1)}

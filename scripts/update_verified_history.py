@@ -21,9 +21,16 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def compute(repo: str = REPO) -> dict[str, list[str]]:
+    """name → list of round tags with a clean driver signature.
+
+    Importable so tests/test_contract.py can assert the committed
+    VERIFIED_HISTORY.json matches a fresh recompute — the round-9 miss
+    was this script simply not being run after new CORRECTNESS files
+    landed, which silently diverted the driver's 50-query window.
+    """
     hist: dict[str, list[str]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_(r\d+)\.json$", path)
         tag = m.group(1).replace("r0", "r") if m else path
         data = json.load(open(path))
@@ -43,6 +50,11 @@ def main() -> None:
             )
             if green or rows_only:
                 hist.setdefault(name, []).append(tag + ("" if green else ":rows-only"))
+    return hist
+
+
+def main() -> None:
+    hist = compute()
     out = {
         "_comment": (
             "Queries with a driver CORRECTNESS row (oracle-green, or "

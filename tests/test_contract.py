@@ -103,6 +103,31 @@ def test_stalest_signature_queries_come_first():
     )
 
 
+def test_verified_history_is_fresh():
+    """VERIFIED_HISTORY.json must match a recompute from the on-disk
+    CORRECTNESS_r*.json files. Round 9's process miss was exactly this
+    file going stale (stuck at r7/204 entries), which re-aimed the
+    driver's 50-query window at already-fresh signatures instead of the
+    44-query r3/r4 cohort. A stale file now fails the suite until
+    scripts/update_verified_history.py is re-run."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "update_verified_history", repo / "scripts" / "update_verified_history.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = {k: mod.compute()[k] for k in sorted(mod.compute())}
+    committed = json.loads((repo / "VERIFIED_HISTORY.json").read_text())["verified"]
+    assert committed == fresh, (
+        "VERIFIED_HISTORY.json is stale vs CORRECTNESS_r*.json — run "
+        "python scripts/update_verified_history.py and commit the result"
+    )
+
+
 def test_topk_cache_is_bounded(spark):
     """The shared ranked-neighbor cache must hold at most ONE persisted
     frame: sweeping sf_dirs in a long driver session evicts and

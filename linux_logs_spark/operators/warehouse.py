@@ -1817,18 +1817,26 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall in janino compiling 4 × K×dim-term projections) and is the
     same form that lets dedup_semantic_cluster grow K with n."""
     emb = load(spark, sf_dir, "embeddings")
+    # Repartition BEFORE the checkpoint: the checkpointed frame
+    # inherits the source parquet's few partitions, and every
+    # trainer/assignment scan (80 centroids × 64 dims of higher-order
+    # fold per row) would run on that handful of cores — measured at
+    # the 10× rehearsal: train 26 s + assign 10 s on 2 partitions vs
+    # ~2 s spread (the same fix dedup_semantic_cluster's pair probe
+    # documents).
     qa = (
         emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
         .selectExpr(
             "vec_id",
             "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
         )
+        .repartition(default_parallelism())
         .localCheckpoint()  # static frame, reused every iteration
     )
 
-    key_expr = _km_train_array(qa, KM_ITERS, KM_K)
+    cents, key_sql = _km_train_array(qa, KM_ITERS, KM_K)
 
-    final = qa.selectExpr("vec_id", f"{key_expr()} AS key")
+    final = qa.join(F.broadcast(cents)).selectExpr("vec_id", f"{key_sql} AS key")
     return final.groupBy((F.col("key") % KM_K).alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum(F.expr(f"key DIV {KM_K}")).alias("ssd"),
@@ -1860,52 +1868,87 @@ def _semdedup_k(n_vecs: int) -> int:
 
 
 def _km_train_array(qa, iters: int, k: int):
-    """Collect-train Lloyd centroids over an array-quantized frame
+    """DataFrame-train Lloyd centroids over an array-quantized frame
     (vec_id, qa: array<bigint>[64]) — shared by emb_kmeans_lloyd's
     full training and dedup_semantic_cluster's coarse clustering.
-    Per iteration: assignment ships the current centroids as a
-    LITERAL array-of-arrays and takes the packed argmin key in one
-    array_min(transform(...)) — data, not code, so the expression is
-    O(1) in codegen terms no matter how large K grows (an unrolled
-    least() form blows janino's 64 KB method limit past K≈16 and
-    spent most of its wall in compile even at K=8 — retired round 9);
-    the update is a K-key hash aggregate collected to the driver
-    (K×dim ints, the bounded-collect class). key = dist²·K + k, so
-    key % K is the cluster and key DIV K the squared distance; empty
-    clusters carry their previous centroid; component means
-    floor-divide (s/n in double is exact, |s| < 2^53, so Python's
-    floor is bit-identical to both engines' SQL floor)."""
-    import math
 
-    init = qa.filter(F.col("vec_id") < k).collect()
-    cents = {int(r["vec_id"]): [int(v) for v in r["qa"]] for r in init}
+    Centroids live in a K-row DataFrame for the whole loop — the
+    driver never sees them (round-9 verdict: the per-iteration K×dim
+    collect + K-literal plan text grew linearly with corpus size
+    under the K∝n SemDeDup rule). Per iteration: assignment
+    broadcast-joins a ONE-ROW pack of the centroid frame
+    (collect_list ordered by j) and takes the packed argmin key in
+    one array_min(transform(cents, ...)) — the centroid payload is
+    COLUMN DATA carried by the broadcast exchange, so the plan text
+    and codegen size are O(1) in K (an unrolled least() form blows
+    janino's 64 KB method limit past K≈16 — retired round 9; the
+    K-literal array form made the plan text itself O(K·dim) —
+    retired round 10); the update is a K-key hash aggregate
+    (map-side partial sums) folded straight into the next centroid
+    frame via a K-row left join — empty clusters coalesce to their
+    previous centroid. Each iteration's centroid frame is
+    localCheckpoint'ed (K rows, executor-resident) so lineage stays
+    flat across iterations.
 
-    def key_expr() -> str:
-        arr = ", ".join(
-            "array(" + ", ".join(f"{v}L" for v in cents[j]) + ")" for j in range(k)
+    key = dist²·K + j, so key % K is the cluster and key DIV K the
+    squared distance. Component means floor-divide: Spark's `/` on
+    bigints is double division and |s| < 2^53, so floor(s/n) is
+    bit-identical to the oracle's SQL floor (and to the retired
+    Python math.floor path).
+
+    Returns (cents_one_row_df, key_sql): callers broadcast-join the
+    one-row frame onto any (vec_id, qa) frame and select key_sql."""
+    key_sql = (
+        "array_min(transform(cents, (c, j) -> "
+        "aggregate(zip_with(qa, c, (x, y) -> (x - y) * (x - y)),"
+        f" 0L, (acc, v) -> acc + v)"
+        f" * CAST({k} AS BIGINT) + j))"
+    )
+
+    def pack(cdf):
+        # ONE row: cents = array of the K centroid arrays ordered by
+        # cluster id (struct sort on the leading int field), so the
+        # transform index j IS the cluster id.
+        return cdf.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, ca))), s -> s.ca)"
+            ).alias("cents")
         )
-        return (
-            f"array_min(transform(array({arr}), (c, j) -> "
-            f"aggregate(zip_with(qa, c, (x, y) -> (x - y) * (x - y)),"
-            f" 0L, (acc, v) -> acc + v)"
-            f" * CAST({k} AS BIGINT) + j))"
-        )
+
+    # init: centroid j = quantized vector with vec_id j (j < K) —
+    # same seeding rule the oracle replays in SQL.
+    c = (
+        qa.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("j"), F.col("qa").alias("ca"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(iters):
-        assigned = qa.selectExpr("vec_id", "qa", f"{key_expr()} AS key")
+        assigned = qa.join(F.broadcast(pack(c))).selectExpr(
+            "vec_id", "qa", f"{key_sql} AS key"
+        )
         upd = (
-            assigned.groupBy((F.col("key") % k).alias("kk"))
+            assigned.groupBy((F.col("key") % k).cast("int").alias("j"))
             .agg(
                 F.count("*").alias("n"),
                 *[F.sum(F.col("qa")[i]).alias(f"s{i}") for i in range(_KM_DIM)],
             )
-            .collect()
+            .select(
+                "j",
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("n"))
+                        for i in range(_KM_DIM)
+                    ]
+                ).alias("ca_new"),
+            )
         )
-        for r in upd:  # empty clusters keep their previous centroid
-            cents[int(r["kk"])] = [
-                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(_KM_DIM)
-            ]
-    return key_expr
+        c = (
+            c.join(upd, "j", "left")
+            .select("j", F.coalesce("ca_new", "ca").alias("ca"))
+            .localCheckpoint(eager=True)
+        )
+    return pack(c).localCheckpoint(eager=True), key_sql
 
 
 def _semdedup_oracle() -> str:
@@ -1989,18 +2032,25 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
         )
+        # spread BEFORE the checkpoint: trainer + assignment scans
+        # (K×dim higher-order fold per row) otherwise run on the
+        # source parquet's 2 partitions — 26 s + 10 s of the round-9
+        # 10× wall was exactly this (see emb_kmeans_lloyd).
+        .repartition(default_parallelism())
         .localCheckpoint()
     )
-    key_expr = _km_train_array(qn, SEMDEDUP_ITERS, k)
+    cents, key_sql = _km_train_array(qn, SEMDEDUP_ITERS, k)
     # The (vec_id, cluster) assignment gets its OWN stage cut: left
     # lazy, the centroid-array expression fuses into the join stage
     # below and re-evaluates per joined row (bisected in round 8: the
     # m-materialization stage was the failing one for the unrolled
     # form; the cut also keeps the array loop off the pair hot path).
     # The checkpointed frame is 2 longs per vector — trivial.
-    assign = qn.selectExpr(
-        "vec_id", f"({key_expr()}) % {k} AS cluster"
-    ).localCheckpoint(eager=True)
+    assign = (
+        qn.join(F.broadcast(cents))
+        .selectExpr("vec_id", f"({key_sql}) % {k} AS cluster")
+        .localCheckpoint(eager=True)
+    )
     # Checkpoint the assigned+normed frame: computes the norm ONCE
     # (not once per join side) and keeps the surviving pair join
     # exactly dedup_embedding_cosine's codegen-proven shape.

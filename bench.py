@@ -205,12 +205,11 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
     elif sf != 0.1:
         artifact = f"bench_full_sf{sf}.json"
     elif not guard_full_artifact(
-        payload["median_sec"], _prior_full_stats(repo_dir), force,
+        payload["median_sec"], prior := _prior_full_stats(repo_dir), force,
         new_total=total,
     ):
         artifact = "bench_full_rejected.json"
         payload["rejected_loaded_run"] = True
-        prior = _prior_full_stats(repo_dir)
         loaded = (
             prior is not None
             and payload["median_sec"] is not None

@@ -161,10 +161,15 @@ def table_column_minmax(sf_dir: str, name: str, col: str):
         md = pq.ParquetFile(fp).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if col not in idx:
+            # cache the negative outcome too: a dataset KNOWN to lack
+            # the column/stats would otherwise re-walk every footer on
+            # each call (round-9 advice)
+            _col_minmax_cache[key] = (size, mtime, None)
             return None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[col]).statistics
             if st is None or not st.has_min_max:
+                _col_minmax_cache[key] = (size, mtime, None)
                 return None
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi

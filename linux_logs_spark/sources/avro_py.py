@@ -80,7 +80,13 @@ def _write_long(buf: io.BytesIO, n: int) -> None:
 def _read_long(buf) -> int:
     u = shift = 0
     while True:
-        (b,) = buf.read(1)
+        raw = buf.read(1)
+        if not raw:  # loud, like the magic/sync-marker checks
+            raise ValueError(
+                f"truncated avro varint at offset {buf.tell()} — "
+                "file cut mid-value or corrupt"
+            )
+        b = raw[0]
         u |= (b & 0x7F) << shift
         if not b & 0x80:
             return _unzigzag(u)
@@ -355,15 +361,27 @@ class AvroWriter(DataSourceArrowWriter):
         return _AvroCommit(tmp)
 
     def commit(self, messages) -> None:
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if (f.endswith(".avro") and not f.startswith("_")) or f == "_SUCCESS":
-                    os.remove(os.path.join(self.path, f))
-        for i, m in enumerate(messages):
+        # Publish order keeps visible state MONOTONIC in overwrite
+        # mode: rename the new generation in first (job-id names
+        # can't collide with the old one's), delete the old
+        # generation after — a driver crash mid-commit leaves both
+        # generations on disk rather than neither (round-9 advice;
+        # the reverse order had a window with the old files gone and
+        # the new ones unpublished). None slots = failed-task commit
+        # messages, skipped as in abort().
+        new = set()
+        for i, m in enumerate(m for m in messages if m is not None):
+            name = f"part-{self.job_id}-{i:05d}.avro"
             os.replace(
                 os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{self.job_id}-{i:05d}.avro"),
+                os.path.join(self.path, name),
             )
+            new.add(name)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                old_part = f.endswith(".avro") and not f.startswith("_")
+                if (old_part and f not in new) or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
         # own-job stray sweep only (round-9 review: an unscoped sweep
         # could delete a concurrent append job's unpublished temps)
         for f in os.listdir(self.path):

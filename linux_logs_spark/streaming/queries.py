@@ -885,7 +885,7 @@ GROUP BY event_type
 """,
 )
 def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom Python STREAMING sink (DataSourceStreamWriter — with
+    """Custom Python STREAMING sink (DataSourceStreamArrowWriter — with
     scan_python_datasource, stream_python_source and
     sink_python_datasource this closes the last quadrant of the
     pyspark.sql.datasource surface): the event stream lands through

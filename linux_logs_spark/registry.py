@@ -147,6 +147,8 @@ _MEASURED_COST: dict[str, float] = {
     "log_top_services": 0.23, "log_type_hour_matrix": 0.26, "log_user_funnel": 0.26, "multimodal_features": 0.41,
     "multimodal_frame_sample": 0.32, "multimodal_join": 0.14, "multimodal_resize": 0.3, "obs_metrics": 0.57,
     "pack_sequences": 0.25, "pack_sequences_ffd": 0.41, "part_copurchase": 0.16, "pipeline_corpus_prep": 0.61,
+    # round-10 addition: warm 2-run timing at sf0.01 (1.12/0.97 s)
+    "pipeline_perplexity_gate": 1.0,
     "q_case_when": 0.28, "q_exists_correlated": 0.16, "q_filter_basic": 0.22, "q_filter_basic_sql": 0.28,
     "q_filter_in_between": 0.15, "q_filter_like": 0.13, "q_group_by_all": 0.29, "q_lateral_topk": 0.29,
     "q_parameterized_sql": 0.18, "q_pipe_syntax": 0.22, "q_project": 1.2, "q_recursive_cte": 1.09,

@@ -128,6 +128,18 @@ HEAVY = [
     #   events is 10x blocks, so wall should track row volume with
     #   no super-linear term (and the block split count scales).
     "scan_avro_roundtrip",
+    # round-10 adds with a scale claim worth a datapoint:
+    # - perplexity gate: four map-side-partial hash aggregates whose
+    #   shuffles carry vocab / distinct eval terms / eval docs /
+    #   (lang, source) blocks — never documents; the LM join is
+    #   size-gated (broadcast under the 24 MB gate, shuffle equi-join
+    #   on word past it). 10x docs should grow wall ≲ linearly with
+    #   token volume (vocab is Heaps-sublinear on the synthetic text).
+    "pipeline_perplexity_gate",
+    # - tf-idf: same shape (two term-key aggregates + a size-gated
+    #   df-frame join); the claim is shuffle ∝ distinct (doc, term),
+    #   not corpus bytes.
+    "text_tfidf",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -161,6 +173,10 @@ WARM_FIRST = {
     # avro; stateless JVM aggregate for the sketch).
     "agg_freq_items_sketch",
     "scan_avro_roundtrip",
+    # four chained hash aggs + decimal round6 folds: cold first pass
+    # is codegen-bound (4.11s cold vs 2.2s warm at 1x inverted the
+    # 1x/10x curve — same class as bpe_train_merges).
+    "pipeline_perplexity_gate",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

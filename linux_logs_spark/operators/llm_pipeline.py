@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import dsum
-from linux_logs_spark.session import broadcast_if_fits, default_parallelism
+from linux_logs_spark.session import (
+    broadcast_if_fits,
+    default_parallelism,
+    spread_ingest,
+)
 from linux_logs_spark.functions.text import (
     LANG_MARKERS,
     ROLLING_MOD,
@@ -297,7 +301,16 @@ N_MINHASH = 16
 # 1-(1-0.5²)⁸ ≈ 0.90 (threshold ≈ (1/b)^(1/r) ≈ 0.35). The original
 # 4×4 banding detected only 1-(1-0.5⁴)⁴ ≈ 0.23 of true J=0.5 pairs —
 # measured 27 survivors vs 1023 exact pairs at sf0.001 before the fix.
-N_BANDS = 8  # 2 rows per band
+# n-SCALING (round-10 second-decade finding): at fixed (b, r) the
+# random-collision candidate volume is n²·E[s^r]·b — quadratic. The
+# knob is ROWS PER BAND: grow the signature (N_MINHASH) at fixed
+# N_BANDS so r = N_MINHASH/N_BANDS rises ~log n; each extra row
+# multiplies a random pair's band-collision odds by E[s] (≲0.3)
+# while a true near-dup (s ≳ 0.8) keeps ≳0.8× detection per band.
+# The 100× rehearsal runs 32 hashes / 8 bands (r=4): J=0.8 detection
+# 1-(1-0.8⁴)⁸ ≈ 0.98, J=0.3 background collisions cut 0.09 → 0.008
+# per band (~11×) — measured 458 s → see SCALING.md.
+N_BANDS = 8  # 2 rows per band at defaults
 
 
 @register("dedup_near_minhash", "llm", oracle=None)  # xxhash64 minhash → rows-only
@@ -332,7 +345,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard with ZERO false positives. DuckDB has no xxhash64 →
     rows-only.
     """
-    d = load(spark, sf_dir, "documents")
+    # spread_ingest: the 32-hash × ~52-shingle/doc signature build is
+    # the dominant map stage (396 s of 410 s single-readered at the
+    # 100× rehearsal) — exchange corpus bytes to unlock every core
+    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
     # explode drops empty-shingle (sub-width) docs — no similarity is
     # defined for them, mirroring the short-doc guard in word_shingles
     ex = d.select(
@@ -398,6 +414,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 48
+# Fixed band COUNT keeps the pigeonhole guarantee (hamming ≤ bands-1
+# pairs always share a band); the n-scaling knob is SIMHASH_BITS:
+# random-pair collisions per band are 2^-(bits/bands), so widening
+# the signature one bit per band per ~doubling of n holds expected
+# bucket-collision volume level — the same log(n) rule as the LSH
+# plane count. The 100× rehearsal runs 64 bits / 4×16-bit bands
+# (2^-16 per band vs 2^-12 at default: 16× fewer random candidates
+# for 100× the pairs); the d ≤ 3 exactness is band-count-only and
+# survives any width.
+SIMHASH_BANDS = 4
 
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
@@ -416,7 +442,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     once (localCheckpoint) and join the materialized table to itself:
     at 100 TB this is the standard "signature table" shape (persist
     signatures, then band-join)."""
-    per_word = d.select(
+    per_word = spread_ingest(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
     # expressions built as SQL strings: the Column form made ~300 py4j
@@ -439,19 +465,25 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(*[F.expr(f"sum(v{j}) AS s{j}") for j in range(SIMHASH_BITS)])
     )
-    # MSB-first acc*2 fold as one parsed expression
+    # MSB-first fold as one parsed expression — bitwise shift/or, not
+    # `*2 + bit`: at SIMHASH_BITS=64 the top bit lands in the sign
+    # position and checked (ANSI) multiplication raises
+    # ARITHMETIC_OVERFLOW, while shiftleft is defined to wrap (the
+    # signature is a bit pattern, not a number).
     fold = "cast(0 as bigint)"
     for j in range(SIMHASH_BITS):
         fold = (
-            f"({fold}) * 2 + (CASE WHEN s{SIMHASH_BITS - 1 - j} >= 0 THEN 1 ELSE 0 END)"
+            f"shiftleft({fold}, 1) | "
+            f"(CASE WHEN s{SIMHASH_BITS - 1 - j} >= 0 THEN 1 ELSE 0 END)"
         )
     return sums.selectExpr("doc_id", f"({fold}) AS simhash").localCheckpoint()
 
 
 @register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 48-bit signature from word-hash bit votes,
-    banded into 4×12-bit keys for candidate generation, verified by
+    """SimHash near-dup: SIMHASH_BITS-bit signature from word-hash
+    bit votes, banded into SIMHASH_BANDS equal-width keys for
+    candidate generation (48 → 4×12 at defaults), verified by
     Hamming distance. All JVM expressions.
 
     Threshold/banding alignment (Manku et al., WWW'07, round-5
@@ -471,6 +503,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the xxhash64 bit votes, not the candidate logic."""
     d = load(spark, sf_dir, "documents")
     summed = simhash_signatures(d)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_mask = (1 << band_bits) - 1
     banded = summed.select(
         "doc_id",
         "simhash",
@@ -479,11 +513,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright("simhash", b * 12).bitwiseAND(F.lit(0xFFF)).alias(
-                            "band_key"
-                        ),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_key"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("band"),
@@ -503,8 +537,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        # 3 = the radius the 4-band pigeonhole makes exact (docstring)
-        .filter(F.col("hamming") <= 3)
+        # bands-1 = the radius the pigeonhole makes exact (docstring)
+        .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
     )
 
 
@@ -650,7 +684,7 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings collapsed), and on pathological corpora (identical
     boilerplate everywhere) an exact pairwise answer is Ω(n²) rows
     anyway — no plan escapes its own output size."""
-    d = load(spark, sf_dir, "documents")
+    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return posting_jaccard_pairs(
         d,
         word_shingles(words("text"), 3),
@@ -1444,7 +1478,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory. The localCheckpoint also keeps the df agg from being
     recomputed for the count."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tok = spread_ingest(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # df derives from tf (rows are already unique per (doc, word)):
     # one fewer pass over the exploded tokens and no countDistinct
@@ -1877,7 +1913,9 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized cnt frame is size-gated on its exact checkpointed
     count; the 1-row total crossJoins as a broadcast scalar."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tok = spread_ingest(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     cnt = (
         tf.groupBy("word").agg(F.sum("tf").alias("cnt")).localCheckpoint(eager=True)
@@ -1982,7 +2020,9 @@ def pipeline_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     term rounds half-away at 6 digits, per-doc sums run in
     DECIMAL(25,6), the ce division is one IEEE op on identical
     inputs, and the rollup mean re-applies round6 + DECIMAL."""
-    d = load(spark, sf_dir, "documents")
+    d = spread_ingest(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    )
     is_train = F.md5(F.col("doc_id").cast("string")) < "cccc"
     s = d.select("doc_id", "lang", "source", "text", is_train.alias("is_train"))
     tok_t = s.filter("is_train").select(F.explode(words("text")).alias("word"))

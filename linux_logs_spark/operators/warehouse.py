@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from linux_logs_spark.catalog import load, table_row_count
 from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, oracle_dsum
-from linux_logs_spark.session import broadcast_if_fits, default_parallelism
+from linux_logs_spark.session import (
+    broadcast_if_fits,
+    default_parallelism,
+    spread_ingest,
+)
 from linux_logs_spark.functions.text import word_shingles, words
 from linux_logs_spark.functions.vector import (
     dot_unrolled_sql,
@@ -724,7 +728,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     become likely (birthday bound); the string-keyed DuckDB oracle
     stays exact, so the driver's hash-match doubles as the collision
     check at test scale."""
-    d = load(spark, sf_dir, "documents")
+    # spread_ingest: the shingle explode + hash + map-side distinct is
+    # the whole map cost and single-readers on one-row-group inputs
+    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = (
         d.select(
             "doc_id",

@@ -119,3 +119,25 @@ def broadcast_if_fits(df, est_rows: int, est_bytes_per_row: int):
     if est_rows * est_bytes_per_row <= BROADCAST_CAP_BYTES:
         return F.broadcast(df)
     return df
+
+
+def spread_ingest(df):
+    """Round-robin repartition of a NARROW scan feeding a compute-
+    heavy map stage (shingle/word explode + multi-hash signatures).
+
+    Spark cannot split a parquet ROW GROUP across tasks, and every
+    table in this environment (driver testdata and rehearsal sets
+    alike) is a single-file, single-row-group write — so without this
+    exchange the expensive map work (e.g. 32 xxhash64 calls × 26M
+    shingles in the minhash signature build) runs on ONE core while
+    31 idle: the round-10 100× rehearsal measured that stage at
+    396 s of a 410 s query. The exchange moves only the pruned
+    projection (corpus bytes — strictly less than the exploded volume
+    the next shuffle moves anyway), and buys full parallelism.
+
+    On a well-laid-out 100 TB table (thousands of splittable files)
+    the scan is already wide and this exchange is pure overhead ∝
+    corpus bytes — cheap relative to the signature compute it feeds,
+    but droppable: callers apply it only in pipelines whose map stage
+    does real per-token work, never on scan-dominated queries."""
+    return df.repartition(default_parallelism())

@@ -18,6 +18,13 @@ claim MEASURED instead of asserted (r5 verdict item 3):
    scale-up move), recording wall seconds, result rows, and total
    shuffle-write bytes (Spark UI REST API) per query.
 
+3. ``--gen100`` / ``--run100`` (round 10): the SECOND decade —
+   500k documents / 200k embeddings into ``.scale100/`` and the
+   sub-quadratic family (HEAVY_100X) run at 100× with the knob
+   rules continued one more decade. Two measured decades turn the
+   "survives 100×" docstring claim into a fitted scaling exponent
+   per family instead of an extrapolation from one.
+
 Results land in ``scale_rehearsal.json``; SCALING.md quotes them.
 Serialize with any other Spark work on this box (single-JVM rule).
 """
@@ -38,6 +45,22 @@ SEED = 20260814
 N_DOCS = 50_000
 N_VECS = 20_000
 NEAR_DUP_FRAC = 0.03
+
+# --- second decade (round 10): the docstrings' scale claim is
+# "survives 100× by raising the knobs"; one decade measured makes
+# that an extrapolation, two make it a CURVE — the per-family
+# scaling exponent alpha = log(w_100x / w_1x) / 2 falls out of the
+# pair of legs. Only documents/embeddings are regenerated at 100×
+# (the sub-quadratic dedup/similarity family reads nothing else);
+# events/facts come from the 10× set so `load()` keeps working.
+SCALE100_DIR = os.path.join(REPO, ".scale100")
+N_DOCS_100X = 500_000
+N_VECS_100X = 200_000
+# rare-tail multiplier tracks the corpus (Heaps): 30× base vocab at
+# 10× docs keeps tail-word df single-digit per block; 10× more docs
+# needs a ~10× longer tail for the same df regime.
+TAIL_MULT_10X = 30
+TAIL_MULT_100X = 300
 
 STREAMING = [
     "stream_tumbling",
@@ -203,15 +226,67 @@ KNOBS_10X = {
     ("linux_logs_spark.streaming.queries", "_PYSRC_BATCH"): 40_000,
 }
 
+# --- second decade: the SUB-QUADRATIC document/embedding family only
+# (the exact blocked-pair baselines — sim_cosine_blocked,
+# dedup_shingle_jaccard, dedup_embedding_cosine — are quadratic BY
+# DESIGN as ground-truth anchors; their scale path IS this family).
+# Every query here reads only documents/embeddings, which
+# --gen100 regenerates at 500k/200k rows.
+HEAVY_100X = [
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "decontam_ngram_overlap",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_semantic_cluster",
+    "dedup_substring_span",
+    "corpus_budget_trim",
+    "pipeline_perplexity_gate",
+    "text_tfidf",
+]
 
-def gen() -> None:
+# Each knob continues its documented per-decade rule from KNOBS_10X:
+# LSH planes keep mean bucket occupancy level (+~3.3 planes/decade:
+# 200k vecs / 2^11 buckets ≈ 98/bucket vs 78 at 10×); IVF cells
+# continue the 16 → 128 (×8/decade) sequence to hold candidates-per-
+# probe near-constant (200k/1024 ≈ 195/cell vs 156 at 10×). The
+# dedup/sim BLOCK knobs belong to the quadratic exact baselines,
+# which are not in this family — they stay at import defaults so the
+# baked oracles remain valid for any interleaved verify.
+KNOBS_100X = {
+    ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 11,
+    ("linux_logs_spark.operators.warehouse", "N_IVF_CELLS"): 1024,
+    # Sketch-width knobs (added after the first 100× pass measured
+    # the fixed-width banding going quadratic in random collisions —
+    # minhash 458 s / simhash 148 s): signature bits grow ~log n,
+    # band count fixed. 32 hashes / 8 bands = 4 rows per band;
+    # 64-bit simhash / 4 bands = 16-bit keys (2^-16 per-band random
+    # collision vs 2^-12 at default).
+    ("linux_logs_spark.operators.llm_pipeline", "N_MINHASH"): 32,
+    ("linux_logs_spark.operators.llm_pipeline", "SIMHASH_BITS"): 64,
+}
+
+
+def gen(
+    scale_dir: str = SCALE_DIR,
+    n_docs: int = N_DOCS,
+    n_vecs: int = N_VECS,
+    tail_mult: int = TAIL_MULT_10X,
+    docs_only: bool = False,
+) -> None:
+    """Default arguments reproduce the canonical 10× set bit-for-bit
+    (same SEED, same rng call order). ``docs_only`` is the 100× mode:
+    regenerate documents + embeddings at the requested size and copy
+    every other table from the existing 10× set — the second-decade
+    family reads nothing else, and 100× facts/events would cost
+    gigabytes for queries that never scan them."""
     import duckdb
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(SEED)
-    os.makedirs(SCALE_DIR, exist_ok=True)
+    os.makedirs(scale_dir, exist_ok=True)
 
     # --- documents: per-lang vocab + length/source distributions from
     # the real sf0.1 corpus, Zipf-ish sampling per doc.
@@ -262,12 +337,12 @@ def gen() -> None:
     # — the regime real text occupies.
     for lang in langs:
         base = vocab[lang]
-        extra = [f"{base[i % len(base)]}x{i}" for i in range(30 * len(base))]
+        extra = [f"{base[i % len(base)]}x{i}" for i in range(tail_mult * len(base))]
         vocab[lang] = base + extra
 
     doc_ids, texts, doc_langs, doc_sources = [], [], [], []
-    lang_choices = rng.choice(langs, size=N_DOCS)
-    for i in range(N_DOCS):
+    lang_choices = rng.choice(langs, size=n_docs)
+    for i in range(n_docs):
         lang = str(lang_choices[i])
         v = vocab[lang]
         # Zipf-ish: rank r weight 1/(r+10) — matches a natural-corpus
@@ -282,9 +357,9 @@ def gen() -> None:
         doc_sources.append(str(rng.choice(lang_sources[lang])))
     # planted near-dups: overwrite the tail with mutated copies of
     # random earlier docs (same lang/source → same block, detectable)
-    n_dup = int(N_DOCS * NEAR_DUP_FRAC)
-    for j in range(N_DOCS - n_dup, N_DOCS):
-        src_idx = int(rng.integers(0, N_DOCS - n_dup))
+    n_dup = int(n_docs * NEAR_DUP_FRAC)
+    for j in range(n_docs - n_dup, n_docs):
+        src_idx = int(rng.integers(0, n_docs - n_dup))
         toks = texts[src_idx].split(" ")
         for _ in range(max(1, len(toks) // 20)):  # ~5% token edits
             toks[int(rng.integers(0, len(toks)))] = str(
@@ -302,7 +377,7 @@ def gen() -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(docs, os.path.join(SCALE_DIR, "documents.parquet"))
+    pq.write_table(docs, os.path.join(scale_dir, "documents.parquet"))
 
     # --- embeddings: the real table is UNIT-NORM and essentially
     # isotropic (measured: per-label center norms ≈ 0.07, same-label
@@ -312,17 +387,17 @@ def gen() -> None:
     # candidate volume quadratically; keep the geometry honest.
     orig = pq.read_table(os.path.join(SF1_DIR, "embeddings.parquet"))
     emb_schema = orig.schema
-    labels = rng.integers(0, 10, size=N_VECS)
-    vecs = rng.normal(0, 1.0, size=(N_VECS, 64))
-    n_vdup = int(N_VECS * NEAR_DUP_FRAC)
-    for j in range(N_VECS - n_vdup, N_VECS):
-        src_idx = int(rng.integers(0, N_VECS - n_vdup))
+    labels = rng.integers(0, 10, size=n_vecs)
+    vecs = rng.normal(0, 1.0, size=(n_vecs, 64))
+    n_vdup = int(n_vecs * NEAR_DUP_FRAC)
+    for j in range(n_vecs - n_vdup, n_vecs):
+        src_idx = int(rng.integers(0, n_vecs - n_vdup))
         vecs[j] = vecs[src_idx] + rng.normal(0, 0.05, size=64)
         labels[j] = labels[src_idx]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     emb = pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
             "embedding": pa.array(
                 [v.astype("float32") for v in vecs], pa.list_(pa.float32())
             ),
@@ -330,7 +405,22 @@ def gen() -> None:
         }
     )
     emb = emb.cast(emb_schema)
-    pq.write_table(emb, os.path.join(SCALE_DIR, "embeddings.parquet"))
+    pq.write_table(emb, os.path.join(scale_dir, "embeddings.parquet"))
+
+    if docs_only:
+        # 100× mode: the second-decade family reads only documents/
+        # embeddings; every other table comes from the canonical 10×
+        # set (generate it first) so `load()` resolves all ten names.
+        for t in (
+            "region nation customer supplier part "
+            "orders lineitem events".split()
+        ):
+            shutil.copy(
+                os.path.join(SCALE_DIR, f"{t}.parquet"),
+                os.path.join(scale_dir, f"{t}.parquet"),
+            )
+        print(f"generated {n_docs} docs / {n_vecs} vecs (docs_only) in {scale_dir}")
+        return
 
     # --- events: ~10× (1M rows) with the sf0.1 distributions —
     # uniform over the same 30-day span, 10× the user population,
@@ -365,12 +455,12 @@ def gen() -> None:
             ),
         }
     )
-    pq.write_table(ev, os.path.join(SCALE_DIR, "events.parquet"))
+    pq.write_table(ev, os.path.join(scale_dir, "events.parquet"))
 
     for t in "region nation customer supplier part".split():
         shutil.copy(
             os.path.join(SF1_DIR, f"{t}.parquet"),
-            os.path.join(SCALE_DIR, f"{t}.parquet"),
+            os.path.join(scale_dir, f"{t}.parquet"),
         )
     # orders/lineitem at REAL 10×: replicate with the order key shifted
     # by replica index — per-key join fan-out (lines per order) is
@@ -388,11 +478,11 @@ def gen() -> None:
               SELECT t.* REPLACE ({key} + i * {key_span} AS {key})
               FROM read_parquet('{SF1_DIR}/{t}.parquet') t
               CROSS JOIN (SELECT unnest(range(10)) AS i)
-            ) TO '{os.path.join(SCALE_DIR, f"{t}.parquet")}' (FORMAT PARQUET)
+            ) TO '{os.path.join(scale_dir, f"{t}.parquet")}' (FORMAT PARQUET)
             """
         )
     con2.close()
-    print(f"generated {N_DOCS} docs / {N_VECS} vecs / {n_events} events in {SCALE_DIR}")
+    print(f"generated {n_docs} docs / {n_vecs} vecs / {n_events} events in {scale_dir}")
 
 
 def _shuffle_write_bytes(spark) -> int:
@@ -445,7 +535,11 @@ def _set_knobs(values: dict) -> dict:
     return old
 
 
-def run(only: list[str] | None = None) -> None:
+def run(
+    only: list[str] | None = None,
+    tiers: list[tuple[str, str, dict]] | None = None,
+    family: list[str] | None = None,
+) -> None:
     import sys
 
     sys.path.insert(0, REPO)
@@ -462,7 +556,8 @@ def run(only: list[str] | None = None) -> None:
     specs = all_queries()
     # local filter — rebinding the module global would make a second
     # run() in the same process silently incomplete (round-7 review)
-    heavy = [n for n in HEAVY if n in only] if only else list(HEAVY)
+    base = family if family is not None else HEAVY
+    heavy = [n for n in base if n in only] if only else list(base)
     # merge into an existing results file so a subset re-run (after a
     # data regen) updates only its own rows
     dest = os.path.join(REPO, "scale_rehearsal.json")
@@ -470,7 +565,7 @@ def run(only: list[str] | None = None) -> None:
     if os.path.exists(dest):
         with open(dest) as fh:
             out = json.load(fh).get("queries", {})
-    for tag, sf_dir, knobs in (
+    for tag, sf_dir, knobs in tiers or (
         ("1x", SF1_DIR, {}),
         ("10x", SCALE_DIR, KNOBS_10X),
     ):
@@ -506,6 +601,8 @@ def run(only: list[str] | None = None) -> None:
         json.dump(
             {"n_docs_10x": N_DOCS, "n_vecs_10x": N_VECS, "seed": SEED,
              "knobs_10x": {f"{m}.{a}": v for (m, a), v in KNOBS_10X.items()},
+             "n_docs_100x": N_DOCS_100X, "n_vecs_100x": N_VECS_100X,
+             "knobs_100x": {f"{m}.{a}": v for (m, a), v in KNOBS_100X.items()},
              "queries": out},
             fh, indent=1,
         )
@@ -523,13 +620,41 @@ if __name__ == "__main__":
         help="run the STREAMING family at 1x and 10x (stateful ops on a "
         "10x event stream; availableNow micro-batch end-to-end)",
     )
+    ap.add_argument(
+        "--gen100",
+        action="store_true",
+        help="synthesize the 100x documents/embeddings set into .scale100 "
+        "(requires the 10x set: non-doc tables are copied from it)",
+    )
+    ap.add_argument(
+        "--run100",
+        action="store_true",
+        help="run the sub-quadratic HEAVY_100X family at 100x only "
+        "(1x/10x rows come from --run; results merge by tag)",
+    )
     args = ap.parse_args()
     if args.gen:
         gen()
+    if args.gen100:
+        if not os.path.exists(os.path.join(SCALE_DIR, "events.parquet")):
+            ap.error("--gen100 requires the 10x set: run --gen first")
+        gen(
+            scale_dir=SCALE100_DIR,
+            n_docs=N_DOCS_100X,
+            n_vecs=N_VECS_100X,
+            tail_mult=TAIL_MULT_100X,
+            docs_only=True,
+        )
     if args.run:
         run(args.queries.split(",") if args.queries else None)
+    if args.run100:
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("100x", SCALE100_DIR, KNOBS_100X)],
+            family=HEAVY_100X,
+        )
     if args.stream_run:
         HEAVY = STREAMING  # module scope — run() reads the global
         run()
-    if not (args.gen or args.run or args.stream_run):
-        ap.error("pass --gen, --run and/or --stream-run")
+    if not (args.gen or args.run or args.stream_run or args.gen100 or args.run100):
+        ap.error("pass --gen/--gen100, --run/--run100 and/or --stream-run")

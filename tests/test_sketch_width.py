@@ -1,0 +1,106 @@
+"""Scale-knob regression gates for the sketch-width parameters
+(round 10, second-decade rehearsal).
+
+`N_MINHASH` and `SIMHASH_BITS` are the documented log(n) knobs that
+keep banding candidate volume sub-quadratic (SCALING.md, second
+decade: fixed widths measured 458 s / 148 s at 100×). They are
+patched at rehearsal time, never at defaults — so nothing else in the
+suite exercises the widened paths, and a silent breakage (e.g. the
+64-bit signature fold overflowing under ANSI arithmetic, which the
+first widened run hit) would only surface mid-rehearsal. These tests
+pin the widened paths at sf0.001:
+
+- the widened sketches still run and their pair sets keep the
+  semantics the knob rule promises (minhash r=4 keeps a SUBSET of the
+  r=2 candidates whose verified Jaccard still passes; simhash at 64
+  bits keeps hamming ≤ SIMHASH_BANDS-1 over the wider signature);
+- the 64-bit simhash signature genuinely uses the top bits (the
+  overflow regression would zero or throw on them);
+- restoring the defaults restores the default pair sets bit-for-bit
+  (the rehearsal's knob save/restore contract).
+"""
+
+from __future__ import annotations
+
+from linux_logs_spark.operators import llm_pipeline as lp
+from linux_logs_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def _with_knobs(spark, sf_dir, name, **knobs):
+    old = {k: getattr(lp, k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            setattr(lp, k, v)
+        return _pairs(_Q[name].fn(spark, sf_dir))
+    finally:
+        for k, v in old.items():
+            setattr(lp, k, v)
+
+
+def test_minhash_widened_rows_per_band_is_a_verified_subset(spark, sf_dir):
+    """r=4 banding can only REMOVE candidates relative to r=2 in
+    expectation — but both run the same exact-Jaccard verify, so any
+    pair the widened sketch reports must be a true J ≥ 0.5 pair the
+    default sketch also reports (the verify, not the banding, defines
+    truth). Detection of the planted near-dups must survive widening:
+    at J ≈ 0.8 the rule promises 1-(1-0.8⁴)⁸ ≈ 0.98 per pair."""
+    base = _pairs(_Q["dedup_near_minhash"].fn(spark, sf_dir))
+    wide = _with_knobs(spark, sf_dir, "dedup_near_minhash", N_MINHASH=32)
+    assert wide <= base
+    # the sf0.001 fixture's verified pairs are high-J (planted dups);
+    # the widened sketch must keep nearly all of them
+    assert len(wide) >= int(0.9 * len(base))
+
+
+def test_simhash_64bit_signature_runs_and_verifies(spark, sf_dir):
+    """The widened signature must execute (the ANSI-overflow
+    regression raised ARITHMETIC_OVERFLOW here), use its top bits,
+    and report only hamming ≤ SIMHASH_BANDS-1 pairs over the SAME
+    64-bit signatures the query banded."""
+    from pyspark.sql import functions as F
+
+    from linux_logs_spark.catalog import load
+
+    old = lp.SIMHASH_BITS
+    lp.SIMHASH_BITS = 64
+    try:
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in lp.simhash_signatures(
+                load(spark, sf_dir, "documents")
+            ).collect()
+        }
+        # top 16 bits are real signal: at 64 bits some signature must
+        # differ from its low-48 truncation (i.e. high bits nonzero)
+        assert any((s >> 48) & 0xFFFF for s in sigs.values())
+        got = _with_knobs(spark, sf_dir, "dedup_simhash", SIMHASH_BITS=64)
+    finally:
+        lp.SIMHASH_BITS = old
+    radius = lp.SIMHASH_BANDS - 1
+    for a, b in got:
+        assert bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= radius
+    # completeness at the widened width: every brute-force pair within
+    # the radius must be reported (pigeonhole is width-independent)
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= radius
+    }
+    assert got == brute
+
+
+def test_knob_restore_restores_default_pairs(spark, sf_dir):
+    """After a widened run, defaults must reproduce the default pair
+    sets exactly — the rehearsal's save/restore contract."""
+    before = _pairs(_Q["dedup_simhash"].fn(spark, sf_dir))
+    _with_knobs(spark, sf_dir, "dedup_simhash", SIMHASH_BITS=64)
+    after = _pairs(_Q["dedup_simhash"].fn(spark, sf_dir))
+    assert before == after

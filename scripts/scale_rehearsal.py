@@ -243,6 +243,14 @@ HEAVY_100X = [
     "corpus_budget_trim",
     "pipeline_perplexity_gate",
     "text_tfidf",
+    # fixed-K trainer: per-iteration cost n·K·dim with K=8 constant —
+    # the 100× leg pins assignment linearity when K does NOT follow n
+    # (contrast with dedup_semantic_cluster's K∝n finding).
+    "emb_kmeans_lloyd",
+    # Pregel min-label propagation over the near-dup pair graph —
+    # rounds ∝ diameter, per-round shuffle ∝ |edges|; the 100× leg
+    # measures edge-volume growth under the widened-sketch banding.
+    "dedup_clusters_cc",
 ]
 
 # Each knob continues its documented per-decade rule from KNOBS_10X:

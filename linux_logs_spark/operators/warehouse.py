@@ -1842,7 +1842,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents, key_sql = _km_train_array(qa, KM_ITERS, KM_K)
 
-    final = qa.join(F.broadcast(cents)).selectExpr("vec_id", f"{key_sql} AS key")
+    final = _km_assign(qa, cents, key_sql, KM_K).select("vec_id", "key")
     return final.groupBy((F.col("key") % KM_K).alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum(F.expr(f"key DIV {KM_K}")).alias("ssd"),
@@ -1871,6 +1871,51 @@ def _semdedup_k(n_vecs: int) -> int:
     linearly with the corpus. Python // and DuckDB // agree (floor)
     on the non-negative ints involved."""
     return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
+
+
+# Above this K the Lloyd assignment runs as a numpy integer GEMM in a
+# pandas UDF instead of the interpreted array_min(transform(...)) fold:
+# the HOF evaluates K×dim interpreted ops PER ROW, which the 100×
+# rehearsal measured as the n·K quadratic term of dedup_semantic_cluster
+# under its K∝n rule (19.7× second decade). The GEMM computes the same
+# packed integer keys (|q|² - 2q·Cᵀ + |c|², all int64 — exact, same
+# wrap semantics, same dist·K+j tie-break) at C speed. The centroids
+# reach the workers via ONE bounded collect of the K-row frame per
+# assignment (K×dim longs — 410 KB at K=800, 512 MB at K=10⁶, the
+# documented ceiling) carried in the UDF closure: plan text stays O(1)
+# in K, preserving the round-10 de-driver invariant; only the
+# per-iteration zero-collect property is traded, explicitly, for the
+# n·K constant. Below the gate the verified HOF join path is unchanged
+# (every oracle-checked scale factor runs there: K=8 kmeans, K≤80
+# SemDeDup at sf≤0.1). tests/test_kmeans_gemm.py pins GEMM ≡ HOF keys.
+_KM_GEMM_MIN_K = 128
+
+
+def _km_assign(qa, cents, key_sql: str, k: int):
+    """(vec_id, qa, key) assignment against the 1-row packed centroid
+    frame — broadcast-join + HOF argmin below _KM_GEMM_MIN_K, numpy
+    int64 GEMM above it. Both produce identical packed keys."""
+    if k < _KM_GEMM_MIN_K:
+        return qa.join(F.broadcast(cents)).selectExpr(
+            "vec_id", "qa", f"({key_sql}) AS key"
+        )
+    import numpy as np
+    import pandas as pd
+
+    c_np = np.array(cents.collect()[0]["cents"], dtype=np.int64)  # K×dim
+    assert c_np.shape == (k, _KM_DIM), c_np.shape
+    c_sq = (c_np * c_np).sum(axis=1)  # |c_j|², K
+
+    def _gemm_key(qa_col):
+        if qa_col.empty:
+            return pd.Series([], dtype="int64")
+        m = np.array(qa_col.tolist(), dtype=np.int64)  # B×dim
+        d = (m * m).sum(axis=1)[:, None] - 2 * (m @ c_np.T) + c_sq[None, :]
+        keys = d * np.int64(k) + np.arange(k, dtype=np.int64)[None, :]
+        return pd.Series(keys.min(axis=1))
+
+    gemm_key = F.pandas_udf(_gemm_key, "long")
+    return qa.select("vec_id", "qa", gemm_key("qa").alias("key"))
 
 
 def _km_train_array(qa, iters: int, k: int):
@@ -1930,9 +1975,7 @@ def _km_train_array(qa, iters: int, k: int):
     )
 
     for _ in range(iters):
-        assigned = qa.join(F.broadcast(pack(c))).selectExpr(
-            "vec_id", "qa", f"{key_sql} AS key"
-        )
+        assigned = _km_assign(qa, pack(c), key_sql, k)
         upd = (
             assigned.groupBy((F.col("key") % k).cast("int").alias("j"))
             .agg(
@@ -2053,8 +2096,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form; the cut also keeps the array loop off the pair hot path).
     # The checkpointed frame is 2 longs per vector — trivial.
     assign = (
-        qn.join(F.broadcast(cents))
-        .selectExpr("vec_id", f"({key_sql}) % {k} AS cluster")
+        _km_assign(qn, cents, key_sql, k)
+        .selectExpr("vec_id", f"key % {k} AS cluster")
         .localCheckpoint(eager=True)
     )
     # Checkpoint the assigned+normed frame: computes the norm ONCE

@@ -1349,7 +1349,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stringifies hints, breaking pandas_udf signature inference
     lsh_bucket = F.pandas_udf(_lsh_bucket, "long")
 
-    e = load(spark, sf_dir, "embeddings")
+    # spread_ingest: the bucket-assignment GEMM runs inside the scan
+    # stage, which a single-row-group file pins to ONE task (the
+    # round-10 second-decade finding) — spread the narrow frame first
+    e = spread_ingest(load(spark, sf_dir, "embeddings"))
     raw = F.col("embedding")
     bucketed = e.select(
         "vec_id",

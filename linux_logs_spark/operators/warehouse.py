@@ -614,6 +614,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = F.pandas_udf(_probe_cells, "array<long>")
 
     raw = F.col("embedding")
+    # spread_ingest: both assignment GEMM UDFs below otherwise run in
+    # the single-row-group scan's ONE task (round-10 second-decade
+    # finding); the centroid collect above stays on the raw load so
+    # its vec_id filter pushes into the scan.
+    e = spread_ingest(e)
     indexed = e.select(
         "vec_id",
         raw.alias("v"),

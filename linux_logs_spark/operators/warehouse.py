@@ -1049,7 +1049,14 @@ def _copurchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _COPURCHASE_CACHE.get(key)
     if df is not None:
         return df
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # spread_ingest: the distinct's map-side partial dedup otherwise
+    # hashes every lineitem row in the single-row-group scan's ONE
+    # task (6M rows at the 10× rehearsal) — spread the 2-column
+    # projection first; the distinct's own exchange follows anyway.
+    li = (
+        spread_ingest(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     counts = (
         a.join(

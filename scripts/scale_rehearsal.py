@@ -200,6 +200,11 @@ WARM_FIRST = {
     # is codegen-bound (4.11s cold vs 2.2s warm at 1x inverted the
     # 1x/10x curve — same class as bpe_train_merges).
     "pipeline_perplexity_gate",
+    # pandas-UDF worker spawn + window codegen dominate the cold 1x
+    # leg on solo reruns (lsh measured 7.4s cold vs 3.0s inside the
+    # warmed full-family pass).
+    "sim_ann_lsh",
+    "sim_ann_ivf",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:

@@ -163,6 +163,13 @@ HEAVY = [
     #   df-frame join); the claim is shuffle ∝ distinct (doc, term),
     #   not corpus bytes.
     "text_tfidf",
+    # training-data pipeline ops (round 10, measured through the
+    # second decade): each claims wall ∝ tokens/docs, never pairs.
+    "pack_sequences_ffd",
+    "sample_weighted_priority",
+    "corpus_temperature_sample",
+    "shuffle_shard",
+    "doc_chunk",
 ]
 
 # Queries whose first run pays conditional one-time setup (bucketed
@@ -252,6 +259,14 @@ HEAVY_100X = [
     # the 100× leg pins assignment linearity when K does NOT follow n
     # (contrast with dedup_semantic_cluster's K∝n finding).
     "emb_kmeans_lloyd",
+    # training-data pipeline ops (round 10): every one is one or two
+    # corpus-key aggregates / shuffles — the claims are all "∝ tokens
+    # or docs, never pairs", which the second decade can falsify.
+    "pack_sequences_ffd",
+    "sample_weighted_priority",
+    "corpus_temperature_sample",
+    "shuffle_shard",
+    "doc_chunk",
     # Pregel min-label propagation over the near-dup pair graph —
     # rounds ∝ diameter, per-round shuffle ∝ |edges|; the 100× leg
     # measures edge-volume growth under the widened-sketch banding.

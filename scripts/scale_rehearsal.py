@@ -271,6 +271,12 @@ HEAVY_100X = [
     # rounds ∝ diameter, per-round shuffle ∝ |edges|; the 100× leg
     # measures edge-volume growth under the widened-sketch banding.
     "dedup_clusters_cc",
+    # Python DataSource / events family at a REAL 10M-row events
+    # table (--gen100-events): the pure-Python avro codec's cost ∝
+    # rows and the heavy-hitter sketch's shuffle ∝ distinct combos
+    # are both claims the second decade can falsify.
+    "scan_avro_roundtrip",
+    "agg_freq_items_sketch",
 ]
 
 # Each knob continues its documented per-decade rule from KNOBS_10X:
@@ -293,6 +299,45 @@ KNOBS_100X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_MINHASH"): 32,
     ("linux_logs_spark.operators.llm_pipeline", "SIMHASH_BITS"): 64,
 }
+
+
+def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
+    """The events writer, extracted so --gen100-events can synthesize
+    a 10M-row second-decade table with the same distributions. Called
+    with gen()'s own rng IN THE SAME ORDER as the former inline block,
+    so the canonical 10× set stays bit-identical."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # UTC-pinned: naive datetimes resolve in the HOST zone, which
+    # would shift the whole event span (and every per-hour window
+    # population) when regenerating under a non-UTC TZ (round-7
+    # review) — breaking the seeded-reproducibility claim.
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    t1 = dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp()
+    ts_us = rng.uniform(t0, t1, size=n_events) * 1e6
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(ts_us.astype("int64"), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["signup", "click", "error", "view", "purchase"], n_events),
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0.01, 490.02, n_events), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(ev, os.path.join(scale_dir, "events.parquet"))
 
 
 def gen(
@@ -455,35 +500,8 @@ def gen(
     # uniform 5-type mix, exact 2-decimal values — so the STREAMING
     # rehearsal (--stream-run) measures stateful operators against a
     # 10× event stream, not a copied 1× table.
-    import datetime as dt
-
     n_events = 1_000_000
-    # UTC-pinned: naive datetimes resolve in the HOST zone, which
-    # would shift the whole event span (and every per-hour window
-    # population) when regenerating under a non-UTC TZ (round-7
-    # review) — breaking the seeded-reproducibility claim.
-    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
-    t1 = dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp()
-    ts_us = rng.uniform(t0, t1, size=n_events) * 1e6
-    ev = pa.table(
-        {
-            "event_id": pa.array(range(n_events), pa.int64()),
-            "ts": pa.array(ts_us.astype("int64"), pa.timestamp("us")),
-            "user_id": pa.array(rng.integers(0, 15_000, n_events), pa.int64()),
-            "event_type": pa.array(
-                rng.choice(["signup", "click", "error", "view", "purchase"], n_events),
-                pa.string(),
-            ),
-            "value": pa.array(
-                np.round(rng.uniform(0.01, 490.02, n_events), 2), pa.float64()
-            ),
-            "props": pa.array(
-                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)],
-                pa.string(),
-            ),
-        }
-    )
-    pq.write_table(ev, os.path.join(scale_dir, "events.parquet"))
+    _gen_events(rng, scale_dir, n_events, n_users=15_000)
 
     for t in "region nation customer supplier part".split():
         shutil.copy(
@@ -655,6 +673,12 @@ if __name__ == "__main__":
         "(requires the 10x set: non-doc tables are copied from it)",
     )
     ap.add_argument(
+        "--gen100-events",
+        action="store_true",
+        help="synthesize a 10M-row events table into .scale100 (the "
+        "avro/freq-sketch second decade; overwrites the 10x copy)",
+    )
+    ap.add_argument(
         "--run100",
         action="store_true",
         help="run the sub-quadratic HEAVY_100X family at 100x only "
@@ -673,6 +697,19 @@ if __name__ == "__main__":
             tail_mult=TAIL_MULT_100X,
             docs_only=True,
         )
+    if args.gen100_events:
+        import numpy as _np
+
+        if not os.path.exists(os.path.join(SCALE100_DIR, "documents.parquet")):
+            ap.error("--gen100-events requires --gen100 first")
+        # independent rng stream: the canonical gen() sequences are untouched
+        _gen_events(
+            _np.random.default_rng(SEED + 1),
+            SCALE100_DIR,
+            n_events=10_000_000,
+            n_users=150_000,
+        )
+        print(f"generated 10000000 events in {SCALE100_DIR}")
     if args.run:
         run(args.queries.split(",") if args.queries else None)
     if args.run100:
@@ -684,5 +721,7 @@ if __name__ == "__main__":
     if args.stream_run:
         HEAVY = STREAMING  # module scope — run() reads the global
         run()
-    if not (args.gen or args.run or args.stream_run or args.gen100 or args.run100):
-        ap.error("pass --gen/--gen100, --run/--run100 and/or --stream-run")
+    if not (args.gen or args.run or args.stream_run or args.gen100
+            or args.gen100_events or args.run100):
+        ap.error("pass --gen/--gen100/--gen100-events, --run/--run100 "
+                 "and/or --stream-run")

@@ -165,6 +165,7 @@ HEAVY = [
     "text_tfidf",
     # training-data pipeline ops (round 10, measured through the
     # second decade): each claims wall ∝ tokens/docs, never pairs.
+    "pipeline_corpus_prep",
     "pack_sequences_ffd",
     "sample_weighted_priority",
     "corpus_temperature_sample",
@@ -261,7 +262,9 @@ HEAVY_100X = [
     "emb_kmeans_lloyd",
     # training-data pipeline ops (round 10): every one is one or two
     # corpus-key aggregates / shuffles — the claims are all "∝ tokens
-    # or docs, never pairs", which the second decade can falsify.
+    # or docs, never pairs", which the second decade can falsify —
+    # including the end-to-end dedup→quality→sample funnel composite.
+    "pipeline_corpus_prep",
     "pack_sequences_ffd",
     "sample_weighted_priority",
     "corpus_temperature_sample",

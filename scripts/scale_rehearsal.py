@@ -280,6 +280,12 @@ HEAVY_100X = [
     # are both claims the second decade can falsify.
     "scan_avro_roundtrip",
     "agg_freq_items_sketch",
+    # facts family at REAL 100x orders/lineitem (--gen100-facts,
+    # key-shifted replicas): the bucketed join's zero-exchange claim
+    # and the graph family's edges ∝ orders claim, second decade.
+    "join_bucketed_colocated",
+    "graph_pagerank",
+    "graph_shortest_path",
 ]
 
 # Each knob continues its documented per-decade rule from KNOBS_10X:
@@ -682,6 +688,12 @@ if __name__ == "__main__":
         "avro/freq-sketch second decade; overwrites the 10x copy)",
     )
     ap.add_argument(
+        "--gen100-facts",
+        action="store_true",
+        help="synthesize 100x orders/lineitem into .scale100 (key-shifted "
+        "replicas of sf0.1; the bucketed-join/graph second decade)",
+    )
+    ap.add_argument(
         "--run100",
         action="store_true",
         help="run the sub-quadratic HEAVY_100X family at 100x only "
@@ -713,6 +725,28 @@ if __name__ == "__main__":
             n_users=150_000,
         )
         print(f"generated 10000000 events in {SCALE100_DIR}")
+    if args.gen100_facts:
+        import duckdb as _duckdb
+
+        if not os.path.exists(os.path.join(SCALE100_DIR, "documents.parquet")):
+            ap.error("--gen100-facts requires --gen100 first")
+        con = _duckdb.connect()
+        key_span = con.execute(
+            f"SELECT max(o_orderkey) + 1 FROM read_parquet('{SF1_DIR}/orders.parquet')"
+        ).fetchone()[0]
+        for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            con.execute(
+                f"""
+                COPY (
+                  SELECT t.* REPLACE ({key} + i * {key_span} AS {key})
+                  FROM read_parquet('{SF1_DIR}/{t}.parquet') t
+                  CROSS JOIN (SELECT unnest(range(100)) AS i)
+                ) TO '{os.path.join(SCALE100_DIR, f"{t}.parquet")}'
+                (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+                """
+            )
+        con.close()
+        print(f"generated 100x orders/lineitem in {SCALE100_DIR}")
     if args.run:
         run(args.queries.split(",") if args.queries else None)
     if args.run100:
@@ -725,6 +759,6 @@ if __name__ == "__main__":
         HEAVY = STREAMING  # module scope — run() reads the global
         run()
     if not (args.gen or args.run or args.stream_run or args.gen100
-            or args.gen100_events or args.run100):
+            or args.gen100_events or args.gen100_facts or args.run100):
         ap.error("pass --gen/--gen100/--gen100-events, --run/--run100 "
                  "and/or --stream-run")

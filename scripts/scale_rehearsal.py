@@ -286,6 +286,10 @@ HEAVY_100X = [
     "join_bucketed_colocated",
     "graph_pagerank",
     "graph_shortest_path",
+    "graph_triangle_count",
+    # z-order rewrite ∝ table bytes: one range exchange + sorted
+    # write, measured at a 60M-row / ~1.1 GB lineitem.
+    "table_zorder_cluster",
 ]
 
 # Each knob continues its documented per-decade rule from KNOBS_10X:

@@ -312,6 +312,46 @@ N_MINHASH = 16
 # per band (~11×) — measured 458 s → see SCALING.md.
 N_BANDS = 8  # 2 rows per band at defaults
 
+# The widths above are BASE values, safe up to _SKETCH_BASE_DOCS rows
+# (the 10× rehearsal's 50k-doc corpus ran them sub-linear; the 100×
+# 500k-doc corpus did not). Past the base the effective width is
+# DERIVED from the parquet footer row count — the `_semdedup_k`
+# pattern (round-11 verdict item 3): a 100 TB run gets the right
+# width from the data alone, no operator hand-patch. The rules
+# continue the measured per-decade sequence exactly (50k→16/48,
+# 500k→32/64), in integer arithmetic so the decade boundaries are
+# exact; at or below the base both return the module constant, so
+# every committed scale factor — and any test that patches the
+# constant — is bit-identical to the pre-derivation behavior.
+_SKETCH_BASE_DOCS = 50_000
+
+
+def minhash_width(n_docs: int) -> int:
+    """Effective minhash signature width for an n_docs corpus:
+    +2 rows per band per decade past the base (E[s] ≲ 0.3 →
+    E[s]^r must shrink ×10/decade to hold n²·E[s^r]·b ∝ n;
+    0.3² ≈ 1/11). Returns N_MINHASH at n ≤ _SKETCH_BASE_DOCS."""
+    r = N_MINHASH // N_BANDS
+    scale = _SKETCH_BASE_DOCS
+    while n_docs > scale:
+        r += 2
+        scale *= 10
+    return N_BANDS * r
+
+
+def simhash_width(n_docs: int) -> int:
+    """Effective simhash signature bits: +4 bits per band per decade
+    past the base (2^-4 ≈ 1/16 per-band random-collision cut per
+    ×10 of n², i.e. one bit per band per ~doubling of n), capped at
+    64 — the bigint signature column's width. Returns SIMHASH_BITS
+    at n ≤ _SKETCH_BASE_DOCS."""
+    bits = SIMHASH_BITS
+    scale = _SKETCH_BASE_DOCS
+    while n_docs > scale and bits < 64:
+        bits = min(64, bits + 4 * SIMHASH_BANDS)
+        scale *= 10
+    return bits
+
 
 @register("dedup_near_minhash", "llm", oracle=None)  # xxhash64 minhash → rows-only
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +385,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard with ZERO false positives. DuckDB has no xxhash64 →
     rows-only.
     """
+    # signature width derives from the footer row count (zero jobs):
+    # 16 hashes through the 50k-doc decade, +2 rows/band per decade
+    # past it — the 100× rehearsal's hand-patched 32 now falls out of
+    # the data (minhash_width docstring has the collision algebra)
+    n_minhash = minhash_width(table_row_count(sf_dir, "documents"))
     # spread_ingest: the 32-hash × ~52-shingle/doc signature build is
     # the dominant map stage (396 s of 410 s single-readered at the
     # 100× rehearsal) — exchange corpus bytes to unlock every core
@@ -359,13 +404,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             *[
                 F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"m{k}")
-                for k in range(N_MINHASH)
+                for k in range(n_minhash)
             ],
             F.collect_set("h").alias("shset"),
         )
         .localCheckpoint()
     )
-    rows_per_band = N_MINHASH // N_BANDS
+    rows_per_band = n_minhash // N_BANDS
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -426,10 +471,13 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
 
-def simhash_signatures(d: DataFrame) -> DataFrame:
+def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
     """(doc_id, simhash) — the 48-bit signature table dedup_simhash
     band-joins, extracted so tests can brute-force Hamming distance
-    over the SAME signatures the query uses (round 6).
+    over the SAME signatures the query uses (round 6). `bits`
+    defaults to the module SIMHASH_BITS (read at call time, so the
+    test knob-patch contract holds); dedup_simhash passes the
+    footer-derived simhash_width(n_docs) instead.
 
     Bit votes are a property of the WORD — computed once on the
     distinct vocabulary (tiny dim) as 48 plain int columns, broadcast
@@ -442,6 +490,8 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     once (localCheckpoint) and join the materialized table to itself:
     at 100 TB this is the standard "signature table" shape (persist
     signatures, then band-join)."""
+    if bits is None:
+        bits = SIMHASH_BITS
     per_word = spread_ingest(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
@@ -456,14 +506,14 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
             "word",
             *[
                 f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END AS v{j}"
-                for j in range(SIMHASH_BITS)
+                for j in range(bits)
             ],
         )
     )
     sums = (
         per_word.join(F.broadcast(vocab), "word")
         .groupBy("doc_id")
-        .agg(*[F.expr(f"sum(v{j}) AS s{j}") for j in range(SIMHASH_BITS)])
+        .agg(*[F.expr(f"sum(v{j}) AS s{j}") for j in range(bits)])
     )
     # MSB-first fold as one parsed expression — bitwise shift/or, not
     # `*2 + bit`: at SIMHASH_BITS=64 the top bit lands in the sign
@@ -471,10 +521,10 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     # ARITHMETIC_OVERFLOW, while shiftleft is defined to wrap (the
     # signature is a bit pattern, not a number).
     fold = "cast(0 as bigint)"
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         fold = (
             f"shiftleft({fold}, 1) | "
-            f"(CASE WHEN s{SIMHASH_BITS - 1 - j} >= 0 THEN 1 ELSE 0 END)"
+            f"(CASE WHEN s{bits - 1 - j} >= 0 THEN 1 ELSE 0 END)"
         )
     return sums.selectExpr("doc_id", f"({fold}) AS simhash").localCheckpoint()
 
@@ -502,8 +552,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the SAME engine-computed signatures — so rows-only covers
     only the xxhash64 bit votes, not the candidate logic."""
     d = load(spark, sf_dir, "documents")
-    summed = simhash_signatures(d)
-    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    # signature bits derive from the footer row count: 48 through the
+    # 50k-doc decade, +4 bits/band per decade past it, capped at the
+    # bigint's 64 — the 100× rehearsal's hand-patched width now falls
+    # out of the data (simhash_width docstring has the algebra)
+    bits = simhash_width(table_row_count(sf_dir, "documents"))
+    summed = simhash_signatures(d, bits=bits)
+    band_bits = bits // SIMHASH_BANDS
     band_mask = (1 << band_bits) - 1
     banded = summed.select(
         "doc_id",

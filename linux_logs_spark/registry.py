@@ -34,7 +34,7 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # True while scripts/scale_rehearsal.py has family knobs (N_PLANES,
-# N_IVF_CELLS, block counts) patched away from their import-time
+# block counts) patched away from their import-time
 # defaults. Registered oracle SQL is baked from those defaults at
 # import, so verifying against an oracle under patched knobs would
 # compare mismatched configurations — verify.run_oracle refuses while

@@ -222,13 +222,14 @@ WARM_FIRST = {
 #   occupancy — and thus Σ bucket² candidate volume per vector —
 #   level as n grows (K = log2(n/occupancy) — the sim_ann_lsh
 #   docstring's sizing rule);
-# - IVF cells follow the ~√n rule (16 → 128 at 10×) for the same
-#   candidates-per-probe parity.
+# - IVF cells need no patch since round 11: _ivf_cells derives
+#   cells ∝ n from the footer row count (occupancy flat — the
+#   hand-patched ×8/decade sequence's occupancy creep was the one
+#   measured super-linear family at 100×).
 KNOBS_10X = {
     ("linux_logs_spark.operators.llm_pipeline", "DEDUP_QUERY_BLOCKS"): 25,
     ("linux_logs_spark.operators.llm_pipeline", "DEDUP_CAND_BLOCKS"): 25,
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 8,
-    ("linux_logs_spark.operators.warehouse", "N_IVF_CELLS"): 128,
     ("linux_logs_spark.operators.llm_pipeline", "SIM_QUERY_BLOCKS"): 13,
     ("linux_logs_spark.operators.llm_pipeline", "SIM_CAND_BLOCKS"): 13,
     # Python DataSource family: 10x rows through the SAME task/batch
@@ -294,23 +295,18 @@ HEAVY_100X = [
 
 # Each knob continues its documented per-decade rule from KNOBS_10X:
 # LSH planes keep mean bucket occupancy level (+~3.3 planes/decade:
-# 200k vecs / 2^11 buckets ≈ 98/bucket vs 78 at 10×); IVF cells
-# continue the 16 → 128 (×8/decade) sequence to hold candidates-per-
-# probe near-constant (200k/1024 ≈ 195/cell vs 156 at 10×). The
+# 200k vecs / 2^11 buckets ≈ 98/bucket vs 78 at 10×). The
 # dedup/sim BLOCK knobs belong to the quadratic exact baselines,
 # which are not in this family — they stay at import defaults so the
 # baked oracles remain valid for any interleaved verify.
+# Gone since round 11 (auto-derived from footer row counts, verdict
+# items 2-3): N_IVF_CELLS (cells ∝ n via _ivf_cells — the hand-
+# patched ×8/decade sequence's occupancy creep was the one measured
+# super-linear family), N_MINHASH and SIMHASH_BITS (log-n width via
+# minhash_width/simhash_width — 500k docs get 32 hashes / 64 bits
+# with no patch, exactly the values this dict used to carry).
 KNOBS_100X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 11,
-    ("linux_logs_spark.operators.warehouse", "N_IVF_CELLS"): 1024,
-    # Sketch-width knobs (added after the first 100× pass measured
-    # the fixed-width banding going quadratic in random collisions —
-    # minhash 458 s / simhash 148 s): signature bits grow ~log n,
-    # band count fixed. 32 hashes / 8 bands = 4 rows per band;
-    # 64-bit simhash / 4 bands = 16-bit keys (2^-16 per-band random
-    # collision vs 2^-12 at default).
-    ("linux_logs_spark.operators.llm_pipeline", "N_MINHASH"): 32,
-    ("linux_logs_spark.operators.llm_pipeline", "SIMHASH_BITS"): 64,
 }
 
 
@@ -754,10 +750,40 @@ if __name__ == "__main__":
     if args.run:
         run(args.queries.split(",") if args.queries else None)
     if args.run100:
+        # Guard (round-10 advice): HEAVY_100X includes events/facts
+        # legs, but --gen100 alone leaves .scale100 with only the
+        # doc/embedding tables — those legs would silently time the
+        # 10x-copied tables under the '100x' tag. Verify footer row
+        # counts against the second-decade sizes and drop (loudly)
+        # any leg whose table was not regenerated.
+        import pyarrow.parquet as _pq
+
+        def _rows(name: str) -> int:
+            p = os.path.join(SCALE100_DIR, f"{name}.parquet")
+            return _pq.ParquetFile(p).metadata.num_rows if os.path.exists(p) else 0
+
+        family = list(HEAVY_100X)
+        _EVENTS_LEGS = {"scan_avro_roundtrip", "agg_freq_items_sketch"}
+        _FACTS_LEGS = {
+            "join_bucketed_colocated", "graph_pagerank", "graph_shortest_path",
+            "graph_triangle_count", "table_zorder_cluster",
+        }
+        if _rows("events") != 10_000_000:
+            print("run100: .scale100 events is not the 10M-row second-decade "
+                  "table (run --gen100-events); skipping: "
+                  + ", ".join(sorted(_EVENTS_LEGS)))
+            family = [q for q in family if q not in _EVENTS_LEGS]
+        want_li = 100 * _pq.ParquetFile(
+            os.path.join(SF1_DIR, "lineitem.parquet")).metadata.num_rows
+        if _rows("lineitem") != want_li:
+            print(f"run100: .scale100 lineitem != {want_li} rows "
+                  "(run --gen100-facts); skipping: "
+                  + ", ".join(sorted(_FACTS_LEGS)))
+            family = [q for q in family if q not in _FACTS_LEGS]
         run(
             args.queries.split(",") if args.queries else None,
             tiers=[("100x", SCALE100_DIR, KNOBS_100X)],
-            family=HEAVY_100X,
+            family=family,
         )
     if args.stream_run:
         HEAVY = STREAMING  # module scope — run() reads the global

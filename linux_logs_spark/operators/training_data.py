@@ -35,6 +35,7 @@ from linux_logs_spark.operators.llm_pipeline import (
     blocked_jaccard_pairs,
 )
 from linux_logs_spark.registry import register
+from linux_logs_spark.session import broadcast_if_fits
 
 # Token budget per packed training sequence. Small so sf0.001 already
 # exercises multi-chunk docs; the plan shape is budget-independent.
@@ -203,60 +204,97 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard verifies (pair space bounded by (lang,
     source) blocks and the WORD_DF_CAP ceiling, never n²; the shared
     oracle CTE keeps both queries' semantics pinned to the same
-    DuckDB text). Components run as
-    Pregel-style min-label propagation on the VERTEX set (|V| ≤
-    |docs with a near-dup|, orders of magnitude smaller than the
-    corpus): each round, every vertex takes the min label among
-    itself and its neighbors. Labels decrease monotonically, so
-    sum(labels) is a convergence witness — no per-vertex diff join.
-    Rounds needed = graph diameter; dup clusters are near-cliques, so
-    2-3 in practice (CC_MAX_ITERS is a safety rail). Each round
-    localCheckpoints the label frame: lineage stays O(1) instead of
-    growing by two joins per round (on a cluster this is a reliable
-    checkpoint to object storage). The oracle is the same graph
-    closed under a recursive CTE."""
+    DuckDB text). Components run as min-label CONTRACTION in label
+    space (round 11; the round-10 second decade measured the previous
+    edges⋈labels propagation shuffling the full 1.97 GB edge set
+    EVERY round). In contracted space a vertex's name IS its label,
+    so each round:
+    (1) neighbor-min is a plain groupBy(b).min(a) over the contracted
+    edges — map-side partial min, so the exchange carries one row per
+    distinct endpoint per partition, never the edge volume;
+    (2) the strictly-decreasing merge map (b → nm, nm < b) is at most
+    vertex-set-sized and shrinks every round — it broadcasts
+    (size-gated on the |docs| footer bound), so updating the full
+    doc_id→cluster frame and remapping both edge endpoints are
+    broadcast joins with NO shuffle;
+    (3) remapped intra-cluster edges become self-loops, filtered
+    MAP-SIDE before the distinct, so the re-materialized edge set
+    shrinks geometrically — near-clique dup graphs collapse almost
+    entirely in round 1.
+    No stage after the initial edge build touches the full edge
+    volume. Fixpoint ⇔ the merge map is empty (any surviving
+    symmetric edge (x,y) with x<y hands y a smaller neighbor), read
+    off the checkpointed map. Rounds ≤ graph diameter exactly as
+    plain propagation (each round every non-minimal contracted
+    vertex adjacent to a smaller one merges); dup clusters are
+    near-cliques, so 1-2 in practice (CC_MAX_ITERS is a safety
+    rail). Per-round frames localCheckpoint: lineage stays O(1) (on
+    a cluster this is a reliable checkpoint to object storage).
+    Exact-dup sha2 pre-contraction was considered and measured
+    useless on this corpus (exactly ONE identical-text pair in 500k
+    docs at the 100× rehearsal — its duplicates are near-dups);
+    label-space contraction subsumes the clique-collapse benefit for
+    every round past the first and needs no df-cap-ordering caveats.
+    The oracle is the same graph closed under a recursive CTE."""
     d = load(spark, sf_dir, "documents")
+    n_docs = table_row_count(sf_dir, "documents")  # footer, no job
     edges0 = (
-        blocked_jaccard_pairs(d, table_row_count(sf_dir, "documents"))
+        blocked_jaccard_pairs(d, n_docs)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    edges = edges0.union(
-        edges0.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)  # materialize once; reused every round
-
+    cedges = (
+        edges0.union(
+            edges0.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("a", "b")
+        .localCheckpoint(eager=True)  # the ONE full-volume materialization
+    )
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
+        cedges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     converged = False
     for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, F.col("doc_a") == F.col("doc_id"))
-            .groupBy(F.col("doc_b").alias("nbr_doc"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        upd = (
+            cedges.groupBy("b")
+            .agg(F.min("a").alias("nm"))
+            .filter(F.col("nm") < F.col("b"))
+            .localCheckpoint(eager=True)  # consumed 3× below + isEmpty
         )
-        labels = (
-            labels.join(nbr_min, F.col("doc_id") == F.col("nbr_doc"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if new_sum == prev_sum:  # min-propagation: sum strictly decreases until fixpoint
+        if upd.isEmpty():
             converged = True
             break
-        prev_sum = new_sum
+        labels = (
+            labels.join(
+                broadcast_if_fits(upd, n_docs, 64),
+                F.col("cluster_id") == F.col("b"),
+                "left",
+            )
+            .select("doc_id", F.coalesce("nm", "cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        ua = upd.toDF("ka", "va")
+        ub = upd.toDF("kb", "vb")
+        cedges = (
+            cedges.join(
+                broadcast_if_fits(ua, n_docs, 64), F.col("a") == F.col("ka"), "left"
+            )
+            .join(
+                broadcast_if_fits(ub, n_docs, 64), F.col("b") == F.col("kb"), "left"
+            )
+            .select(
+                F.coalesce("va", "a").alias("a"),
+                F.coalesce("vb", "b").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))  # self-loops drop map-side
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     if not converged:
-        # Min-label propagation spreads one hop per round, so a
+        # Contraction merges one adjacency hop per round, so a
         # component with graph diameter > CC_MAX_ITERS would exit the
         # loop with labels that LOOK valid but disagree with the
         # recursive-CTE oracle — fail loudly instead of returning a
@@ -264,7 +302,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"dedup_clusters_cc: no fixpoint after {CC_MAX_ITERS} rounds "
             "(a component's diameter exceeds the iteration rail); raise "
-            "CC_MAX_ITERS or switch to large-star/small-star contraction"
+            "CC_MAX_ITERS"
         )
     return labels
 

@@ -631,45 +631,58 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    def _cells(emb, k):
+    def _probe_cells(emb):
         m = np.array(emb.tolist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ cents.T  # batch × cells
-        order = np.argsort(-sims, axis=1, kind="stable")
-        return order[:, :k]
+        # top-N_PROBE via repeated argmax, NOT a full-width argsort:
+        # argsort is O(cells·log cells) per row and cells ∝ n, so at
+        # the 100× rehearsal (1600 cells) the sort alone was a
+        # super-linear tens-of-seconds term; argmax is O(cells) per
+        # probe and returns the FIRST max — the same lowest-cell
+        # tie-break as the retired kind="stable" sort and the
+        # oracle's (sim DESC, cell ASC) row_number.
+        out = np.empty((len(m), N_PROBE), dtype=np.int64)
+        rows = np.arange(len(m))
+        for j in range(N_PROBE):
+            idx = np.argmax(sims, axis=1)
+            out[:, j] = idx
+            sims[rows, idx] = -np.inf
+        return pd.Series(list(out))
 
-    def _primary_cell(emb):
-        return pd.Series(_cells(emb, 1)[:, 0])
-
-    def _probe_cells(emb):
-        return pd.Series(list(_cells(emb, N_PROBE).astype("int64")))
-
-    primary_cell = F.pandas_udf(_primary_cell, "long")
     probe_cells = F.pandas_udf(_probe_cells, "array<long>")
 
     raw = F.col("embedding")
-    # spread_ingest: both assignment GEMM UDFs below otherwise run in
+    # spread_ingest: the assignment GEMM UDF below otherwise runs in
     # the single-row-group scan's ONE task (round-10 second-decade
     # finding); the centroid collect above stays on the raw load so
     # its vec_id filter pushes into the scan.
     e = spread_ingest(e)
-    indexed = e.select(
+    # ONE assignment pass for both roles: pcells[0] is the primary
+    # cell (index side), the full array is the probe list (query
+    # side). The two sides previously ran separate pandas UDFs, each
+    # paying the full n×cells GEMM; the localCheckpoint materializes
+    # the shared assignment once (n rows × ~600 B — 120 MB at the
+    # 100× rehearsal) and, as a stage boundary, also keeps the
+    # Python eval node out of the verify join's codegen stage.
+    base = e.select(
         "vec_id",
         raw.alias("v"),
         F.expr(norm_unrolled_sql("embedding")).alias("nv"),
-        primary_cell(raw).alias("cell"),
+        probe_cells(raw).alias("pcells"),
+    ).localCheckpoint(eager=True)
+    indexed = base.select(
+        "vec_id", "v", "nv", F.col("pcells").getItem(0).alias("cell")
     )
-    # The repartition below is load-bearing: a Python eval node in a
-    # stage disables whole-stage codegen for the WHOLE stage, so
-    # without the exchange the 64-term verification dot ran
-    # interpreted over every candidate pair (~12× slower measured at
-    # sf0.1). Hash-partitioning by vec_id also pre-satisfies the
-    # ranking window's distribution.
-    probes = e.select(
+    # The repartition below is load-bearing: it pre-satisfies the
+    # ranking window's distribution and (with the checkpoint above)
+    # keeps the 64-term verification dot inside whole-stage codegen —
+    # interpreted it ran ~12× slower measured at sf0.1.
+    probes = base.select(
         "vec_id",
-        raw.alias("qv"),
-        F.expr(norm_unrolled_sql("embedding")).alias("qn"),
-        F.explode(probe_cells(raw)).alias("cell"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        F.explode("pcells").alias("cell"),
     ).repartition(default_parallelism(), "vec_id")
     # Index side broadcasts only while it fits one executor (round-5
     # review): past the cap the SAME candidate join shuffles on the

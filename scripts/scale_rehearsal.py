@@ -66,7 +66,26 @@ STREAMING = [
     "stream_tumbling",
     "stream_custom_state",
     "stream_dedup",
+    # stream⋈stream interval join: state ∝ |users| × 30-min window,
+    # output ∝ qualifying pairs — added round 11 for a full curve
+    # before its second-decade leg.
+    "stream_stream_join",
 ]
+
+# Second decade for the streaming family (round-11 verdict item 6:
+# only batch paths had 100× coverage). Runs at the REAL 10M-row
+# events table (--gen100-events); the Python DataSource pair
+# continues the KNOBS_10X row-volume rule one more decade through
+# the SAME task/batch structure.
+STREAMING_100X = [
+    "stream_python_sink",
+    "stream_python_source",
+    "stream_stream_join",
+]
+STREAM_KNOBS_100X = {
+    ("linux_logs_spark.streaming.queries", "_PYSRC_N"): 800_000,
+    ("linux_logs_spark.streaming.queries", "_PYSRC_BATCH"): 400_000,
+}
 
 HEAVY = [
     "dedup_near_minhash",
@@ -213,6 +232,10 @@ WARM_FIRST = {
     # warmed full-family pass).
     "sim_ann_lsh",
     "sim_ann_ivf",
+    # the oriented edge frame is session-cached since round 11
+    # (_tri_oriented) — warm once so the timed pass measures the
+    # wedge+close enumeration, not the shared build prefix.
+    "graph_triangle_count",
 }
 
 # knob → 10× value, each the documented scale-up move for its family:
@@ -271,10 +294,15 @@ HEAVY_100X = [
     "corpus_temperature_sample",
     "shuffle_shard",
     "doc_chunk",
-    # Pregel min-label propagation over the near-dup pair graph —
-    # rounds ∝ diameter, per-round shuffle ∝ |edges|; the 100× leg
-    # measures edge-volume growth under the widened-sketch banding.
+    # min-label contraction over the near-dup pair graph — rounds ∝
+    # diameter; since round 11 no round shuffles the edge volume
+    # (label-space contraction), so cc ≈ edge build + ε.
     "dedup_clusters_cc",
+    # the edge build alone (same blocked_jaccard_pairs + J>=0.5):
+    # its 100× leg decomposes cc — the round-10 "1.97 GB per-round"
+    # reading was wrong; the shuffle is the one-time posting-join
+    # candidate volume, shared verbatim with this query.
+    "dedup_ngram_jaccard",
     # Python DataSource / events family at a REAL 10M-row events
     # table (--gen100-events): the pure-Python avro codec's cost ∝
     # rows and the heavy-hitter sketch's shuffle ∝ distinct combos
@@ -676,6 +704,12 @@ if __name__ == "__main__":
         "10x event stream; availableNow micro-batch end-to-end)",
     )
     ap.add_argument(
+        "--stream-run100",
+        action="store_true",
+        help="run STREAMING_100X at the 10M-row .scale100 events table "
+        "(requires --gen100-events)",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -788,7 +822,21 @@ if __name__ == "__main__":
     if args.stream_run:
         HEAVY = STREAMING  # module scope — run() reads the global
         run()
+    if args.stream_run100:
+        import pyarrow.parquet as _pq2
+
+        ev = os.path.join(SCALE100_DIR, "events.parquet")
+        n_ev = _pq2.ParquetFile(ev).metadata.num_rows if os.path.exists(ev) else 0
+        if n_ev != 10_000_000:
+            ap.error("--stream-run100 needs the 10M-row .scale100 events "
+                     "table: run --gen100-events first")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("100x", SCALE100_DIR, STREAM_KNOBS_100X)],
+            family=STREAMING_100X,
+        )
     if not (args.gen or args.run or args.stream_run or args.gen100
-            or args.gen100_events or args.gen100_facts or args.run100):
-        ap.error("pass --gen/--gen100/--gen100-events, --run/--run100 "
-                 "and/or --stream-run")
+            or args.gen100_events or args.gen100_facts or args.run100
+            or args.stream_run100):
+        ap.error("pass --gen/--gen100/--gen100-events, --run/--run100, "
+                 "--stream-run and/or --stream-run100")

@@ -54,6 +54,7 @@ NEAR_DUP_FRAC = 0.03
 # (the sub-quadratic dedup/similarity family reads nothing else);
 # events/facts come from the 10× set so `load()` keeps working.
 SCALE100_DIR = os.path.join(REPO, ".scale100")
+SCALE1000_DIR = os.path.join(REPO, ".scale1000")
 N_DOCS_100X = 500_000
 N_VECS_100X = 200_000
 # rare-tail multiplier tracks the corpus (Heaps): 30× base vocab at
@@ -336,6 +337,27 @@ HEAVY_100X = [
 KNOBS_100X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 11,
 }
+
+# --- third decade (round-11 verdict item 8): a SPOT rehearsal of the
+# cheapest sub-linear per-doc/token families at 5M docs / 2M
+# embeddings. The 1000× corpus is a key-shifted 10× replication of
+# the 100× set (the --gen100-facts technique): content repeats, so it
+# is VALID ONLY for content-independent families — every query below
+# is a per-doc/per-token transform or a corpus-key aggregate whose
+# cost never depends on cross-doc similarity. The pair-based dedup/
+# sim families are excluded BY DESIGN (replicated text makes every
+# doc a 10-way exact dup: a pathological graph no real corpus has;
+# their third decade needs a genuine --gen1000, priced at ~10× the
+# 100× generator's Python loop). No knobs: each of these derives its
+# sizing from footer rows already.
+HEAVY_1000X = [
+    "pipeline_corpus_prep",
+    "doc_chunk",
+    "shuffle_shard",
+    "corpus_temperature_sample",
+    "sample_weighted_priority",
+    "pack_sequences_ffd",
+]
 
 
 def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
@@ -710,6 +732,18 @@ if __name__ == "__main__":
         "(requires --gen100-events)",
     )
     ap.add_argument(
+        "--gen1000",
+        action="store_true",
+        help="synthesize the 5M-doc third-decade set into .scale1000 as a "
+        "key-shifted 10x replication of .scale100 documents (valid for "
+        "the content-independent HEAVY_1000X family only)",
+    )
+    ap.add_argument(
+        "--run1000",
+        action="store_true",
+        help="run the HEAVY_1000X per-doc/token family at 1000x",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -822,6 +856,49 @@ if __name__ == "__main__":
     if args.stream_run:
         HEAVY = STREAMING  # module scope — run() reads the global
         run()
+    if args.gen1000:
+        import duckdb as _duckdb3
+        import shutil as _shutil
+
+        if not os.path.exists(os.path.join(SCALE100_DIR, "documents.parquet")):
+            ap.error("--gen1000 requires --gen100 first")
+        os.makedirs(SCALE1000_DIR, exist_ok=True)
+        con = _duckdb3.connect()
+        # doc_id span: shift replicas past the 100x id range so ids
+        # stay unique (and dense-ish) — content repeats BY DESIGN,
+        # valid only for the content-independent HEAVY_1000X family.
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + i * {N_DOCS_100X} AS doc_id,
+                     text, lang, source, n_chars
+              FROM read_parquet('{SCALE100_DIR}/documents.parquet')
+              CROSS JOIN (SELECT unnest(range(10)) AS i)
+              ORDER BY doc_id
+            ) TO '{os.path.join(SCALE1000_DIR, "documents.parquet")}'
+            (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+            """
+        )
+        con.close()
+        # small dims + embeddings ride along so catalog.load resolves
+        # any incidental lookup; the big fact/event tables stay absent
+        # (HEAVY_1000X never reads them, and --run1000 runs no guard
+        # against them by construction of the family list).
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "embeddings"):
+            src = os.path.join(SCALE100_DIR, f"{t}.parquet")
+            dst = os.path.join(SCALE1000_DIR, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                _shutil.copyfile(src, dst)
+        print(f"generated {10 * N_DOCS_100X} docs in {SCALE1000_DIR}")
+    if args.run1000:
+        if not os.path.exists(os.path.join(SCALE1000_DIR, "documents.parquet")):
+            ap.error("--run1000 requires --gen1000 first")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("1000x", SCALE1000_DIR, {})],
+            family=HEAVY_1000X,
+        )
     if args.stream_run100:
         import pyarrow.parquet as _pq2
 
@@ -837,6 +914,7 @@ if __name__ == "__main__":
         )
     if not (args.gen or args.run or args.stream_run or args.gen100
             or args.gen100_events or args.gen100_facts or args.run100
-            or args.stream_run100):
-        ap.error("pass --gen/--gen100/--gen100-events, --run/--run100, "
-                 "--stream-run and/or --stream-run100")
+            or args.stream_run100 or args.gen1000 or args.run1000):
+        ap.error("pass --gen/--gen100/--gen100-events/--gen1000, "
+                 "--run/--run100/--run1000, --stream-run and/or "
+                 "--stream-run100")

@@ -55,6 +55,7 @@ NEAR_DUP_FRAC = 0.03
 # events/facts come from the 10× set so `load()` keeps working.
 SCALE100_DIR = os.path.join(REPO, ".scale100")
 SCALE1000_DIR = os.path.join(REPO, ".scale1000")
+SCALE1000T_DIR = os.path.join(REPO, ".scale1000t")
 N_DOCS_100X = 500_000
 N_VECS_100X = 200_000
 # rare-tail multiplier tracks the corpus (Heaps): 30× base vocab at
@@ -359,6 +360,24 @@ HEAVY_1000X = [
     "pack_sequences_ffd",
 ]
 
+# The TRUE-distribution third decade for the PAIR-BASED families:
+# --gen1000-true synthesizes 5M genuinely distinct docs with the same
+# Zipf-head + rare-tail shape as the canonical sets (vectorized
+# generator, new rng stream — the per-doc Python loop would take
+# ~10× the 100× generator's minutes), tail_mult continues the
+# 30/300 → 3000 rule so tail-word per-block df stays single-digit.
+# Every width/cell knob derives from footer counts (round-11 rules:
+# minhash r=6 / 48 hashes, simhash capped 64 bits at 5M docs), so no
+# patch is needed or applied.
+HEAVY_1000X_TRUE = [
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "text_tfidf",
+    "decontam_ngram_overlap",
+    "pipeline_perplexity_gate",
+]
+TAIL_MULT_1000X = 3000
+
 
 def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
     """The events writer, extracted so --gen100-events can synthesize
@@ -397,6 +416,166 @@ def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
         }
     )
     pq.write_table(ev, os.path.join(scale_dir, "events.parquet"))
+
+
+def gen1000_true(n_docs: int = 5_000_000) -> None:
+    """TRUE-distribution third-decade corpus: 5M genuinely distinct
+    documents with gen()'s exact statistical shape (empirical
+    lang/source/length profiles from sf0.1; Zipf 1/(r+10) word draws
+    over the base vocab + a tail_mult rare tail; 3% planted near-dups
+    at ~5% token edits) — but VECTORIZED: word draws are one global
+    inverse-CDF searchsorted per (chunk, lang) instead of a per-doc
+    rng.choice, because gen()'s per-doc loop measured minutes at 500k
+    docs and would take tens of minutes at 5M. New rng stream
+    (SEED+2): this set makes no bit-compat claim against gen(), only
+    a distributional one. Near-dup sources draw from the first
+    chunk's organic docs (a 500k reservoir) rather than the whole
+    corpus — statistically equivalent for banding/recall behavior,
+    and it lets the writer stream row groups instead of holding 5M
+    texts. tail_mult continues the 30/300 → 3000 per-decade rule so
+    tail-word per-block df stays single-digit at 5M docs."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED + 2)
+    os.makedirs(SCALE1000T_DIR, exist_ok=True)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, source, len(string_split(text, ' ')) AS n_words
+        FROM read_parquet('{SF1_DIR}/documents.parquet')
+        """
+    ).fetchall()
+    langs = sorted({r[0] for r in rows})
+    lang_sources: dict[str, list[str]] = {}
+    lang_lens: dict[str, list[int]] = {}
+    for lang, source, n_words in rows:
+        lang_sources.setdefault(lang, []).append(source)
+        lang_lens.setdefault(lang, []).append(n_words)
+    vocab_arr: dict[str, object] = {}
+    cum_w: dict[str, object] = {}
+    for lang in langs:
+        base = [
+            w
+            for (w,) in con.execute(
+                f"""
+                SELECT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM read_parquet('{SF1_DIR}/documents.parquet')
+                  WHERE lang = ?
+                ) GROUP BY word ORDER BY count(*) DESC, word
+                """,
+                [lang],
+            ).fetchall()
+            if w
+        ]
+        extra = [
+            f"{base[i % len(base)]}x{i}" for i in range(TAIL_MULT_1000X * len(base))
+        ]
+        v = base + extra
+        vocab_arr[lang] = np.array(v, dtype=object)
+        w = 1.0 / (np.arange(len(v)) + 10.0)
+        cum_w[lang] = np.cumsum(w / w.sum())
+    con.close()
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    dst = os.path.join(SCALE1000T_DIR, "documents.parquet")
+    writer = pq.ParquetWriter(dst, schema)
+    n_dup = int(n_docs * NEAR_DUP_FRAC)
+    n_organic = n_docs - n_dup
+    CHUNK = 500_000
+    pool_texts: list[str] = []
+    pool_langs: list[str] = []
+    pool_sources: list[str] = []
+    done = 0
+    while done < n_organic:
+        m = min(CHUNK, n_organic - done)
+        c_langs = rng.choice(langs, size=m)
+        texts: list[str] = [""] * m
+        sources: list[str] = [""] * m
+        for lang in langs:
+            idxs = np.flatnonzero(c_langs == lang)
+            if idxs.size == 0:
+                continue
+            lens = np.maximum(
+                rng.choice(lang_lens[lang], size=idxs.size), 1
+            ).astype(np.int64)
+            draws = np.searchsorted(
+                cum_w[lang], rng.random(int(lens.sum())), side="right"
+            )
+            words = vocab_arr[lang][draws]
+            off = 0
+            for j, L in zip(idxs, lens):
+                texts[j] = " ".join(words[off : off + L])
+                off += L
+            srcs = rng.choice(lang_sources[lang], size=idxs.size)
+            for j, s in zip(idxs, srcs):
+                sources[j] = str(s)
+        if not pool_texts:  # first organic chunk = the dup-source pool
+            pool_texts = list(texts)
+            pool_langs = [str(x) for x in c_langs]
+            pool_sources = list(sources)
+        writer.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(done, done + m), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array([str(x) for x in c_langs], pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                },
+                schema=schema,
+            )
+        )
+        done += m
+    # planted near-dups: mutated copies of pool docs (~5% token edits)
+    while done < n_docs:
+        m = min(CHUNK, n_docs - done)
+        texts, d_langs, sources = [], [], []
+        src_idx = rng.integers(0, len(pool_texts), size=m)
+        for si in src_idx:
+            toks = pool_texts[si].split(" ")
+            lang = pool_langs[si]
+            v = vocab_arr[lang]
+            for _ in range(max(1, len(toks) // 20)):
+                toks[int(rng.integers(0, len(toks)))] = str(
+                    v[int(rng.integers(0, len(v)))]
+                )
+            texts.append(" ".join(toks))
+            d_langs.append(lang)
+            sources.append(pool_sources[si])
+        writer.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(done, done + m), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(d_langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                },
+                schema=schema,
+            )
+        )
+        done += m
+    writer.close()
+    import shutil as _sh
+
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        src = os.path.join(SCALE100_DIR, f"{t}.parquet")
+        d2 = os.path.join(SCALE1000T_DIR, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(d2):
+            _sh.copyfile(src, d2)
+    print(f"generated {n_docs} true-distribution docs in {SCALE1000T_DIR}")
 
 
 def gen(
@@ -744,6 +923,18 @@ if __name__ == "__main__":
         help="run the HEAVY_1000X per-doc/token family at 1000x",
     )
     ap.add_argument(
+        "--gen1000-true",
+        action="store_true",
+        help="synthesize a TRUE-distribution 5M-doc corpus into "
+        ".scale1000t (vectorized generator) for the pair-based "
+        "HEAVY_1000X_TRUE family",
+    )
+    ap.add_argument(
+        "--run1000-true",
+        action="store_true",
+        help="run HEAVY_1000X_TRUE at the true-distribution 1000x corpus",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -899,6 +1090,19 @@ if __name__ == "__main__":
             tiers=[("1000x", SCALE1000_DIR, {})],
             family=HEAVY_1000X,
         )
+    if args.gen1000_true:
+        if not os.path.exists(os.path.join(SCALE100_DIR, "documents.parquet")):
+            ap.error("--gen1000-true requires --gen100 first (small tables "
+                     "ride along from .scale100)")
+        gen1000_true()
+    if args.run1000_true:
+        if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
+            ap.error("--run1000-true requires --gen1000-true first")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("1000x_true", SCALE1000T_DIR, {})],
+            family=HEAVY_1000X_TRUE,
+        )
     if args.stream_run100:
         import pyarrow.parquet as _pq2
 
@@ -914,7 +1118,8 @@ if __name__ == "__main__":
         )
     if not (args.gen or args.run or args.stream_run or args.gen100
             or args.gen100_events or args.gen100_facts or args.run100
-            or args.stream_run100 or args.gen1000 or args.run1000):
-        ap.error("pass --gen/--gen100/--gen100-events/--gen1000, "
-                 "--run/--run100/--run1000, --stream-run and/or "
+            or args.stream_run100 or args.gen1000 or args.run1000
+            or args.gen1000_true or args.run1000_true):
+        ap.error("pass --gen/--gen100/--gen100-events/--gen1000[-true], "
+                 "--run/--run100/--run1000[-true], --stream-run and/or "
                  "--stream-run100")

@@ -342,13 +342,18 @@ def minhash_width(n_docs: int) -> int:
 def simhash_width(n_docs: int) -> int:
     """Effective simhash signature bits: +4 bits per band per decade
     past the base (2^-4 ≈ 1/16 per-band random-collision cut per
-    ×10 of n², i.e. one bit per band per ~doubling of n), capped at
-    64 — the bigint signature column's width. Returns SIMHASH_BITS
-    at n ≤ _SKETCH_BASE_DOCS."""
+    ×100 of n² — collisions then grow ~6×/decade, matching the
+    historical 48→64 step's budget). Returns SIMHASH_BITS at
+    n ≤ _SKETCH_BASE_DOCS. NOT capped at 64: round 11's 1000×
+    rehearsal measured the cap's consequence — at 5M docs a 64-bit
+    signature leaves 2^-16 per-band random collisions against
+    n² = 2.5e13 ≈ 1.5e9 candidate pairs, and the band join never
+    finished. Past 64 bits dedup_simhash switches to per-BAND key
+    columns (_simhash_band_keys), each ≤ 62 bits, with no ceiling."""
     bits = SIMHASH_BITS
     scale = _SKETCH_BASE_DOCS
-    while n_docs > scale and bits < 64:
-        bits = min(64, bits + 4 * SIMHASH_BANDS)
+    while n_docs > scale:
+        bits += 4 * SIMHASH_BANDS
         scale *= 10
     return bits
 
@@ -492,6 +497,12 @@ def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
     signatures, then band-join)."""
     if bits is None:
         bits = SIMHASH_BITS
+    if bits > 64:
+        raise ValueError(
+            f"simhash_signatures packs one bigint; {bits} bits needs the "
+            "per-band key form — use _simhash_band_keys (dedup_simhash "
+            "switches automatically past 64 bits)"
+        )
     per_word = spread_ingest(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
@@ -529,6 +540,65 @@ def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
     return sums.selectExpr("doc_id", f"({fold}) AS simhash").localCheckpoint()
 
 
+def _simhash_band_keys(d: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, k0..k{SIMHASH_BANDS-1}) — the WIDE simhash form for
+    bits > 64 (round 11: the 1000× rehearsal measured the bigint
+    cap's consequence — at 5M docs a 64-bit signature leaves
+    n²·2^-16 ≈ 1.5e9 per-band random candidate pairs and the band
+    join never finished; the +4-bits/band/decade rule must keep
+    going). Each band's bits/bands-bit slice is packed into its OWN
+    bigint column, so there is no signature-width ceiling (each band
+    key ≤ 62 bits), band joins key on the column directly, and the
+    total Hamming distance is the SUM of per-band popcounts — bands
+    partition the bit positions, so this is exact, and the d ≤
+    bands-1 pigeonhole argument is untouched. Bit j's vote comes
+    from bit (j % 64) of hash word j//64, where word 0 is
+    xxhash64(word) (the narrow path's source) and word i ≥ 1 is
+    xxhash64(i, xxhash64(word)) — the same seeded-chain derivation
+    the minhash seeds use. Same vocab-broadcast + per-bit-sum build
+    as simhash_signatures; same localCheckpoint rationale."""
+    n_bands = SIMHASH_BANDS
+    if bits % n_bands:
+        raise ValueError(f"bits {bits} must divide into {n_bands} bands")
+    k = bits // n_bands
+    if k > 62:
+        raise ValueError(f"band key width {k} exceeds a positive bigint")
+    per_word = spread_ingest(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
+    )
+    n_chunks = (bits + 63) // 64
+    chunk_exprs = ["xxhash64(word) AS h0"] + [
+        f"xxhash64(CAST({i} AS BIGINT), xxhash64(word)) AS h{i}"
+        for i in range(1, n_chunks)
+    ]
+    vote_exprs = [
+        f"CASE WHEN (shiftright(h{j // 64}, {j % 64}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END AS v{j}"
+        for j in range(bits)
+    ]
+    vocab = (
+        per_word.select("word")
+        .distinct()
+        .selectExpr("word", *chunk_exprs)
+        .selectExpr("word", *vote_exprs)
+    )
+    sums = (
+        per_word.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(*[F.expr(f"sum(v{j}) AS s{j}") for j in range(bits)])
+    )
+    key_exprs = []
+    for b in range(n_bands):
+        fold = "cast(0 as bigint)"
+        for i in range(k - 1, -1, -1):  # MSB-first: bit i lands at position i
+            fold = (
+                f"shiftleft({fold}, 1) | "
+                f"(CASE WHEN s{b * k + i} >= 0 THEN 1 ELSE 0 END)"
+            )
+        key_exprs.append(f"({fold}) AS k{b}")
+    return sums.selectExpr("doc_id", *key_exprs).localCheckpoint()
+
+
 @register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: SIMHASH_BITS-bit signature from word-hash
@@ -553,10 +623,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the xxhash64 bit votes, not the candidate logic."""
     d = load(spark, sf_dir, "documents")
     # signature bits derive from the footer row count: 48 through the
-    # 50k-doc decade, +4 bits/band per decade past it, capped at the
-    # bigint's 64 — the 100× rehearsal's hand-patched width now falls
-    # out of the data (simhash_width docstring has the algebra)
+    # 50k-doc decade, +4 bits/band per decade past it — the 100×
+    # rehearsal's hand-patched width now falls out of the data
+    # (simhash_width docstring has the algebra). Past 64 bits the
+    # one-bigint signature can't hold the width and the query
+    # switches to per-band key columns (_simhash_band_keys — the
+    # round-11 1000× finding); output and semantics are identical.
     bits = simhash_width(table_row_count(sf_dir, "documents"))
+    if bits > 64:
+        keys = _simhash_band_keys(d, bits)
+        banded = keys.select(
+            "doc_id",
+            *[f"k{b}" for b in range(SIMHASH_BANDS)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"k{b}").alias("band_key"),
+                        )
+                        for b in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            "doc_id",
+            *[f"k{b}" for b in range(SIMHASH_BANDS)],
+            "band.band_id",
+            "band.band_key",
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        ham = sum(
+            F.bit_count(
+                F.col(f"a.k{i}").bitwiseXOR(F.col(f"b.k{i}"))
+            )
+            for i in range(SIMHASH_BANDS)
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
+        )
     summed = simhash_signatures(d, bits=bits)
     band_bits = bits // SIMHASH_BANDS
     band_mask = (1 << band_bits) - 1

@@ -112,3 +112,44 @@ def test_knob_restore_restores_default_pairs(spark, sf_dir):
     _with_knobs(spark, sf_dir, "dedup_simhash", SIMHASH_BITS=64)
     after = _pairs(_Q["dedup_simhash"].fn(spark, sf_dir))
     assert before == after
+
+
+def test_simhash_wide_band_keys_past_the_bigint(spark, sf_dir):
+    """bits > 64 must route through the per-band key form
+    (_simhash_band_keys — the 1000× rehearsal's finding: the one-
+    bigint signature caps the log(n) width rule at 64 and leaves
+    n²·2⁻¹⁶ random band collisions at 5M docs). Pins, at 80 bits:
+    the query's pairs equal brute-force Hamming ≤ SIMHASH_BANDS-1
+    where Hamming = Σ per-band popcounts over the SAME engine keys
+    (bands partition the bits, so this is the exact distance and the
+    pigeonhole completeness argument is width-independent); and the
+    second hash chunk genuinely contributes (band 3 of an 80-bit
+    signature holds bits 60-79, so positions 4-19 of k3 come from
+    chunk 1 — the truncation regression would zero them)."""
+    from linux_logs_spark.catalog import load
+
+    old = lp.SIMHASH_BITS
+    lp.SIMHASH_BITS = 80
+    try:
+        kf = lp._simhash_band_keys(load(spark, sf_dir, "documents"), 80)
+        keys = {
+            r["doc_id"]: tuple(r[f"k{b}"] for b in range(lp.SIMHASH_BANDS))
+            for r in kf.collect()
+        }
+        got = _with_knobs(spark, sf_dir, "dedup_simhash", SIMHASH_BITS=80)
+    finally:
+        lp.SIMHASH_BITS = old
+    assert any(ks[3] >= 16 for ks in keys.values())  # chunk-1 bits live
+    radius = lp.SIMHASH_BANDS - 1
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(keys[a], keys[b]))
+
+    ids = sorted(keys)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= radius
+    }
+    assert got == brute

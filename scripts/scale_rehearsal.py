@@ -375,6 +375,10 @@ HEAVY_1000X_TRUE = [
     "text_tfidf",
     "decontam_ngram_overlap",
     "pipeline_perplexity_gate",
+    # the df-capped posting join (cost ∝ n × WORD_DF_CAP — linear by
+    # the cap) and the contraction loop on top of it
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
 ]
 TAIL_MULT_1000X = 3000
 

@@ -380,6 +380,24 @@ HEAVY_1000X_TRUE = [
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
 ]
+
+# Embedding family at 2M vectors (--gen1000-emb overwrites the
+# .scale1000t embeddings with a true 2M-vector set, same construction
+# as gen()). kmeans pins the fixed-K linear claim at a third decade;
+# SemDeDup runs its K∝n rule at K=8000 — deep inside the GEMM regime;
+# LSH continues the log-n plane rule (14 planes ≈ 122/bucket at 2M,
+# the knob stays a knob because the plane count is baked into the
+# registered oracle SQL). sim_ann_ivf is excluded: its verify volume
+# (n × nprobe × 125 = 500M exact dots) is a ~20-minute leg on this
+# host — nothing new beyond the 100× trend it already proved.
+EMB_1000X_TRUE = [
+    "emb_kmeans_lloyd",
+    "dedup_semantic_cluster",
+    "sim_ann_lsh",
+]
+EMB_KNOBS_1000X = {
+    ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 14,
+}
 TAIL_MULT_1000X = 3000
 
 
@@ -939,6 +957,16 @@ if __name__ == "__main__":
         help="run HEAVY_1000X_TRUE at the true-distribution 1000x corpus",
     )
     ap.add_argument(
+        "--gen1000-emb",
+        action="store_true",
+        help="overwrite .scale1000t embeddings with a true 2M-vector set",
+    )
+    ap.add_argument(
+        "--run1000-emb",
+        action="store_true",
+        help="run EMB_1000X_TRUE at the 2M-vector third-decade set",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -1099,6 +1127,58 @@ if __name__ == "__main__":
             ap.error("--gen1000-true requires --gen100 first (small tables "
                      "ride along from .scale100)")
         gen1000_true()
+    if args.gen1000_emb:
+        import numpy as _np2
+        import pyarrow as _pa2
+        import pyarrow.parquet as _pq3
+
+        if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
+            ap.error("--gen1000-emb requires --gen1000-true first")
+        n_vecs = 2_000_000
+        rng2 = _np2.random.default_rng(SEED + 3)
+        labels = rng2.integers(0, 10, size=n_vecs)
+        vecs = rng2.normal(0, 1.0, size=(n_vecs, 64))
+        n_vdup = int(n_vecs * NEAR_DUP_FRAC)
+        # vectorized form of gen()'s per-dup loop (same distribution)
+        src = rng2.integers(0, n_vecs - n_vdup, size=n_vdup)
+        vecs[n_vecs - n_vdup :] = vecs[src] + rng2.normal(
+            0, 0.05, size=(n_vdup, 64)
+        )
+        labels[n_vecs - n_vdup :] = labels[src]
+        vecs /= _np2.linalg.norm(vecs, axis=1, keepdims=True)
+        emb_schema = _pq3.read_table(
+            os.path.join(SF1_DIR, "embeddings.parquet")
+        ).schema
+        emb = _pa2.table(
+            {
+                "vec_id": _pa2.array(range(n_vecs), _pa2.int64()),
+                "embedding": _pa2.array(
+                    list(vecs.astype("float32")), _pa2.list_(_pa2.float32())
+                ),
+                "label": _pa2.array(labels, _pa2.int64()),
+            }
+        ).cast(emb_schema)
+        _pq3.write_table(
+            emb, os.path.join(SCALE1000T_DIR, "embeddings.parquet"),
+            row_group_size=1_000_000,
+        )
+        print(f"generated {n_vecs} embeddings in {SCALE1000T_DIR}")
+    if args.run1000_emb:
+        if not os.path.exists(os.path.join(SCALE1000T_DIR, "embeddings.parquet")):
+            ap.error("--run1000-emb requires --gen1000-emb first")
+        import pyarrow.parquet as _pq4
+
+        n = _pq4.ParquetFile(
+            os.path.join(SCALE1000T_DIR, "embeddings.parquet")
+        ).metadata.num_rows
+        if n != 2_000_000:
+            ap.error(f".scale1000t embeddings has {n} rows, not the 2M "
+                     "third-decade set: run --gen1000-emb")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("1000x_true", SCALE1000T_DIR, EMB_KNOBS_1000X)],
+            family=EMB_1000X_TRUE,
+        )
     if args.run1000_true:
         if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
             ap.error("--run1000-true requires --gen1000-true first")
@@ -1123,7 +1203,8 @@ if __name__ == "__main__":
     if not (args.gen or args.run or args.stream_run or args.gen100
             or args.gen100_events or args.gen100_facts or args.run100
             or args.stream_run100 or args.gen1000 or args.run1000
-            or args.gen1000_true or args.run1000_true):
+            or args.gen1000_true or args.run1000_true
+            or args.gen1000_emb or args.run1000_emb):
         ap.error("pass --gen/--gen100/--gen100-events/--gen1000[-true], "
                  "--run/--run100/--run1000[-true], --stream-run and/or "
                  "--stream-run100")

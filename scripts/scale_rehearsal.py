@@ -367,8 +367,9 @@ HEAVY_1000X = [
 # ~10× the 100× generator's minutes), tail_mult continues the
 # 30/300 → 3000 rule so tail-word per-block df stays single-digit.
 # Every width/cell knob derives from footer counts (round-11 rules:
-# minhash r=6 / 48 hashes, simhash capped 64 bits at 5M docs), so no
-# patch is needed or applied.
+# minhash r=6 / 48 hashes, simhash 80 bits routed through the
+# per-band key path _simhash_band_keys — widths are NOT capped at 64
+# bits anymore), so no patch is needed or applied.
 HEAVY_1000X_TRUE = [
     "dedup_near_minhash",
     "dedup_simhash",

@@ -804,18 +804,42 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_ingest: the shingle explode + hash + map-side distinct is
     # the whole map cost and single-readers on one-row-group inputs
     d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    wb = Window.partitionBy("sh_hash")
-    sh = (
+    # array_distinct BEFORE the explode: per-doc shingle dedup is the
+    # only dedup the semantics need, and doing it inside the map task
+    # deletes the posting frame's distinct() — at the 5M-doc decade
+    # that distinct's 260M-row shuffle was the leg's dominant cost and
+    # the diagnosed page-cache spill (SCALING.md round-11 row).
+    # localCheckpoint: sh0 feeds THREE consumers (the df groupBy, and
+    # both sides of the train⋈bench self-join via the anti join) — on
+    # lazy lineage each would re-run the shingle explode, the leg's
+    # dominant CPU (measured round-12: 2× wall at every tier). The
+    # old distinct() paid a full (doc_id, hash) shuffle to get this
+    # reuse implicitly via ReusedExchange; the checkpoint buys it for
+    # one narrow 16-byte-row materialization instead.
+    sh0 = (
         d.select(
             "doc_id",
-            F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+            F.explode(F.array_distinct(word_shingles(words("text"), 3))).alias(
+                "shingle"
+            ),
         )
         .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
-        .distinct()
-        .withColumn("df", F.count("*").over(wb))
-        .filter(F.col("df") <= DECONTAM_DF_CAP)
-        .drop("df")
+        .localCheckpoint(eager=True)
     )
+    # df via groupBy (map-side combined counts — a window over the
+    # same key must SORT the full posting frame in each reducer), then
+    # EXCLUDE the over-cap shingles with a left-anti join: the hot
+    # list is tiny by construction (≤ |postings|/cap keys, and only
+    # genuine boilerplate in practice), and the anti join's sh_hash
+    # partitioning is exactly what the train⋈bench join below needs,
+    # so the exchange is reused instead of re-shuffling the frame.
+    hot = (
+        sh0.groupBy("sh_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DECONTAM_DF_CAP)
+        .select("sh_hash")
+    )
+    sh = sh0.join(hot, "sh_hash", "left_anti")
     train = sh.filter(F.col("doc_id") % 50 != 0)
     bench = sh.filter(F.col("doc_id") % 50 == 0)
     return (

@@ -912,3 +912,115 @@ def test_kmeans_assignment_is_data_not_code(spark, sf_dir):
     plan = plan_string(_Q["emb_kmeans_lloyd"].fn(spark, sf_dir))
     assert "array_min(transform(" in plan, plan[:2000]
     assert "least(" not in plan, plan[:2000]
+
+
+# ---- round-12: bounded-unpartitioned-window audit ----------------------
+#
+# An unpartitioned Window moves ALL rows to one task — fine over a
+# bounded post-aggregate frame (|langs| rows, K centroids, 24×7 cells),
+# a genuine 100 TB scale-killer over a corpus-sized frame. The bench
+# tail's recurring `WindowExec: No Partition Defined` warnings all come
+# from the bounded kind (spot-checked in rounds 9-11), but nothing
+# pinned that invariant — a new global window over raw documents would
+# have slipped through silently (round-11 verdict item 7). This audit
+# enumerates every unpartitioned window in the full registered surface
+# and fails on any site not explicitly whitelisted below with its
+# boundedness argument.
+
+# query name -> justification that every unpartitioned window in its
+# plan runs over a BOUNDED frame (rows independent of corpus size, or
+# growing only with a capped aggregate's group count). Discovered by
+# walking all 229 batch queries' optimized plans (round 12): exactly
+# these six have an unpartitioned Window node.
+_UNPARTITIONED_WINDOW_OK: dict[str, str] = {
+    "agg_freq_items_sketch": (
+        "row_number over the merged sketch output — ≤ sketch-width × "
+        "|days| rows by construction, corpus-size-free"
+    ),
+    "cust_rfm_segments": (
+        "cumsum over the ≤|range-partitions|-row pid-counts frame (the "
+        "bounded offsets step of the distributed ntile; the main ranking "
+        "windows are partitioned by _pid and separately pinned by "
+        "test_cust_rfm_has_no_single_partition_window)"
+    ),
+    "log_burst_detect": (
+        "trailing-frame stats over the per-minute count frame — rows "
+        "bounded by the time span in minutes, not by event volume"
+    ),
+    "log_slo_burn": (
+        "rolling burn rate over the per-hour SLO frame — rows bounded "
+        "by the time span in hours"
+    ),
+    "log_top_services": (
+        "noise_rank over the TakeOrderedAndProject 10-row top-k result "
+        "(the |users|-sized rank is explicitly NOT a window — see the "
+        "operator docstring)"
+    ),
+    "vocab_build": (
+        "token_id over the VOCAB_SIZE-row limit output — the corpus-"
+        "sized count aggregate happens before the limit"
+    ),
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """simpleStrings of logical Window nodes with an EMPTY partition
+    spec, walked over the optimized logical plan (logical, not
+    physical: AQE wraps the physical tree and hides children)."""
+    out: list[str] = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            out.append(node.simpleString(80))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def test_unpartitioned_window_helper_catches_global_window(spark, sf_dir):
+    """Negative control: a deliberately-global window over the
+    corpus-sized documents table MUST be flagged — if the walker goes
+    blind (node class renamed, plan shape changed), the audit below
+    degrades to vacuously green and this canary fails first."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    bad = docs.withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    assert _unpartitioned_windows(bad), "walker missed a global window"
+    good = docs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy("doc_id"))
+    )
+    assert not _unpartitioned_windows(good)
+
+
+def test_registered_surface_has_only_whitelisted_unpartitioned_windows(
+    spark, sf_dir
+):
+    """Walk EVERY batch query's optimized plan; any unpartitioned
+    window must appear in _UNPARTITIONED_WINDOW_OK with a boundedness
+    justification. Streaming queries are excluded: building them runs
+    real micro-batch streams (minutes of wall for zero new plan
+    surface — their windows are watermarked groupBys, not Window
+    nodes), and their result frames are bounded sink outputs."""
+    from linux_logs_spark.registry import all_queries
+
+    offenders: dict[str, list[str]] = {}
+    for name, spec in sorted(all_queries().items()):
+        if spec.category == "streaming":
+            continue
+        wins = _unpartitioned_windows(spec.fn(spark, sf_dir))
+        if wins and name not in _UNPARTITIONED_WINDOW_OK:
+            offenders[name] = wins
+    assert not offenders, (
+        "unpartitioned windows outside the whitelist — each one moves "
+        f"its whole input to a single task: {offenders}"
+    )
+    stale = sorted(set(_UNPARTITIONED_WINDOW_OK) - set(all_queries()))
+    assert not stale, f"whitelist names unknown queries: {stale}"

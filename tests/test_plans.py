@@ -145,11 +145,22 @@ def test_log_top_services_is_take_ordered(spark, sf_dir):
 
 def test_decontam_shuffles_hashes_not_strings(spark, sf_dir):
     """The train⋈bench join key must be the 8-byte xxhash64, with no
-    shingle string surviving past the hash projection."""
-    plan = plan_string(_Q["decontam_ngram_overlap"].fn(spark, sf_dir))
-    assert "xxhash64" in plan, plan
-    # join key columns are listed in the operator details section
+    shingle string surviving past the hash projection. Round 12 put a
+    localCheckpoint between the hash projection and the joins, so the
+    final plan starts at a LogicalRDD scan — assert (a) the
+    checkpointed frame itself is the narrow (doc_id, sh_hash) shape
+    with no string column, and (b) every join in the downstream plan
+    keys on sh_hash with no shingle column anywhere."""
+    df = _Q["decontam_ngram_overlap"].fn(spark, sf_dir)
+    plan = plan_string(df)
     assert "sh_hash" in plan, plan
+    assert "shingle#" not in plan, plan
+    # the checkpoint cut hides the projection; its schema is the proof
+    # that only the 8-byte hash (never the string) was materialized
+    scans = [ln for ln in plan_string(df, "extended").splitlines()
+             if "LogicalRDD" in ln or "Scan ExistingRDD" in ln]
+    assert scans and all("sh_hash" in ln for ln in scans if "doc_id" in ln), scans
+    assert all("shingle" not in ln for ln in scans), scans
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
     assert keys and all("shingle#" not in ln for ln in keys), keys
 

@@ -2012,29 +2012,37 @@ SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_TARGET_CELL_ROWS = 250
 
 
-# Escape hatch (a) from SCALING.md's SemDeDup third-decade analysis,
-# behind a default-OFF knob: balance cell size T ∝ √n instead of the
-# flat TARGET_CELL_ROWS, so assignment FLOPs (n·K = n·n/T) and pair
-# volume (n·T) meet at O(n^1.5) — the flat rule's assignment term is
-# n²/T (quadratic) while its pair volume is linear. The flat form
-# stays the registered, oracle-replayed contract (the oracle derives
-# K from count(*) with the flat rule); the knob'd path is pinned
-# Spark-vs-Spark (tests/test_semdedup_sqrt.py: identical pair set at
-# the committed scale factors — planted near-dups embed close enough
-# that both clusterings keep them same-cell).
+# Escape hatch (a) from SCALING.md's SemDeDup third-decade analysis:
+# balance cell size T ∝ √n instead of the flat TARGET_CELL_ROWS, so
+# assignment FLOPs (n·K = n·n/T) and pair volume (n·T) meet at
+# O(n^1.5) — the flat rule's assignment term is n²/T (quadratic)
+# while its pair volume is linear. Round-12: the hatch AUTO-FLIPS at
+# SEMDEDUP_SQRT_FLIP_ROWS, derived from the footer row count like
+# every other sizing rule (_ivf_cells pattern), and the oracle's kk
+# CTE replays the SAME conditional from count(*) so both engines
+# agree at any scale factor. The flip sits just past the largest
+# decade the flat rule has MEASURED complete (2M vectors, 159.6 s:
+# the K=8000 assignment GEMM is already the larger half of that
+# wall, and it quadruples per flat decade while everything else
+# doubles). √n uses floor(sqrt(double)) — IEEE sqrt is correctly
+# rounded, so Python and DuckDB floor identically; exactness of the
+# integer root is irrelevant, cross-engine parity is everything.
+# The default-OFF knob still forces the √n rule BELOW the flip for
+# rehearsals (pinned Spark-vs-Spark by tests/test_semdedup_sqrt.py).
 SEMDEDUP_SQRT_CELLS = False
+SEMDEDUP_SQRT_FLIP_ROWS = 4_000_000
 
 
 def _semdedup_k(n_vecs: int) -> int:
-    """Flat rule: max(KM_K, n // TARGET) — never below the kmeans
-    floor, grows linearly with the corpus; Python // and DuckDB //
-    agree (floor) on the non-negative ints involved. Sqrt rule
-    (SEMDEDUP_SQRT_CELLS): T = isqrt(n) → K ≈ √n, the O(n^1.5)
-    balance point."""
-    if SEMDEDUP_SQRT_CELLS:
-        from math import isqrt
+    """Flat rule below the flip: max(KM_K, n // TARGET) — never below
+    the kmeans floor, grows linearly with the corpus; Python // and
+    DuckDB // agree (floor) on the non-negative ints involved. Sqrt
+    rule (n >= SEMDEDUP_SQRT_FLIP_ROWS, or the rehearsal knob):
+    T = floor(sqrt(n)) → K ≈ √n, the O(n^1.5) balance point."""
+    if SEMDEDUP_SQRT_CELLS or n_vecs >= SEMDEDUP_SQRT_FLIP_ROWS:
+        from math import floor, sqrt
 
-        return max(KM_K, n_vecs // max(1, isqrt(n_vecs)))
+        return max(KM_K, n_vecs // max(1, floor(sqrt(n_vecs))))
     return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
 
 
@@ -2225,9 +2233,16 @@ def _semdedup_oracle() -> str:
     dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
     final = SEMDEDUP_ITERS + 1
     k_sql = "(SELECT kv FROM kk)"
+    # mirrors _semdedup_k EXACTLY, including the √n auto-flip: DuckDB
+    # // is floor division and floor(sqrt(double)) matches Python's
+    # (IEEE-correctly-rounded sqrt in both engines)
     kk_cte = (
-        f"kk AS (SELECT GREATEST({KM_K},"
-        f" count(*) // {SEMDEDUP_TARGET_CELL_ROWS}) AS kv FROM embeddings), "
+        f"kk AS (SELECT CASE WHEN count(*) >= {SEMDEDUP_SQRT_FLIP_ROWS}"
+        f" THEN GREATEST({KM_K}, count(*) //"
+        f" GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)))"
+        f" ELSE GREATEST({KM_K},"
+        f" count(*) // {SEMDEDUP_TARGET_CELL_ROWS}) END AS kv"
+        f" FROM embeddings), "
     )
     cos = (
         "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"

@@ -56,6 +56,7 @@ NEAR_DUP_FRAC = 0.03
 SCALE100_DIR = os.path.join(REPO, ".scale100")
 SCALE1000_DIR = os.path.join(REPO, ".scale1000")
 SCALE1000T_DIR = os.path.join(REPO, ".scale1000t")
+SCALE10K_DIR = os.path.join(REPO, ".scale10k")
 N_DOCS_100X = 500_000
 N_VECS_100X = 200_000
 # rare-tail multiplier tracks the corpus (Heaps): 30× base vocab at
@@ -398,6 +399,24 @@ EMB_1000X_TRUE = [
 ]
 EMB_KNOBS_1000X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 14,
+}
+
+# Fourth decade (round 12): 20M vectors, ONLY for the emb families
+# whose third-decade legs COMPLETED (the round-11 verdict's rule).
+# sim_ann_lsh continues the log-n plane rule (17 planes ≈ 2^17
+# buckets, occupancy ~152 at 20M); dedup_semantic_cluster crosses
+# SEMDEDUP_SQRT_FLIP_ROWS here, so this leg is the auto-flip's first
+# live measurement (K = 20M // floor(√20M) = 4472 — the O(n^1.5)
+# balance point; the flat rule's K=80000 assignment GEMM alone would
+# be ~20 minutes on this host). emb_kmeans_lloyd is excluded: fixed
+# K=8 is proven linear through 2M and a ~15-minute fourth leg
+# re-proves nothing.
+EMB_10000X_TRUE = [
+    "dedup_semantic_cluster",
+    "sim_ann_lsh",
+]
+EMB_KNOBS_10000X = {
+    ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 17,
 }
 TAIL_MULT_1000X = 3000
 
@@ -968,6 +987,16 @@ if __name__ == "__main__":
         help="run EMB_1000X_TRUE at the 2M-vector third-decade set",
     )
     ap.add_argument(
+        "--gen10000-emb",
+        action="store_true",
+        help="synthesize the 20M-vector fourth-decade set into .scale10k",
+    )
+    ap.add_argument(
+        "--run10000-emb",
+        action="store_true",
+        help="run EMB_10000X_TRUE at the 20M-vector fourth-decade set",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -1180,6 +1209,68 @@ if __name__ == "__main__":
             tiers=[("1000x_true", SCALE1000T_DIR, EMB_KNOBS_1000X)],
             family=EMB_1000X_TRUE,
         )
+    if args.gen10000_emb:
+        import numpy as _np5
+        import pyarrow as _pa5
+        import pyarrow.parquet as _pq5
+
+        os.makedirs(SCALE10K_DIR, exist_ok=True)
+        n_vecs = 20_000_000
+        rng5 = _np5.random.default_rng(SEED + 4)
+        labels = rng5.integers(0, 10, size=n_vecs)
+        # float32 accumulation in 2M-row chunks: a monolithic float64
+        # draw would peak >10 GB; same distribution as gen1000-emb
+        # (unit-norm isotropic + 3% planted near-dups), new rng stream
+        vecs = _np5.empty((n_vecs, 64), dtype=_np5.float32)
+        step = 2_000_000
+        for lo in range(0, n_vecs, step):
+            vecs[lo : lo + step] = rng5.normal(
+                0, 1.0, size=(min(step, n_vecs - lo), 64)
+            ).astype(_np5.float32)
+        n_vdup = int(n_vecs * NEAR_DUP_FRAC)
+        src = rng5.integers(0, n_vecs - n_vdup, size=n_vdup)
+        vecs[n_vecs - n_vdup :] = vecs[src] + rng5.normal(
+            0, 0.05, size=(n_vdup, 64)
+        ).astype(_np5.float32)
+        labels[n_vecs - n_vdup :] = labels[src]
+        for lo in range(0, n_vecs, step):
+            blk = vecs[lo : lo + step]
+            blk /= _np5.linalg.norm(blk, axis=1, keepdims=True)
+        emb_schema = _pq5.read_table(
+            os.path.join(SF1_DIR, "embeddings.parquet")
+        ).schema
+        writer = _pq5.ParquetWriter(
+            os.path.join(SCALE10K_DIR, "embeddings.parquet"), emb_schema
+        )
+        for lo in range(0, n_vecs, step):
+            hi = min(lo + step, n_vecs)
+            tbl = _pa5.table(
+                {
+                    "vec_id": _pa5.array(range(lo, hi), _pa5.int64()),
+                    "embedding": _pa5.array(
+                        list(vecs[lo:hi]), _pa5.list_(_pa5.float32())
+                    ),
+                    "label": _pa5.array(labels[lo:hi], _pa5.int64()),
+                }
+            ).cast(emb_schema)
+            writer.write_table(tbl, row_group_size=1_000_000)
+        writer.close()
+        print(f"generated {n_vecs} embeddings in {SCALE10K_DIR}")
+    if args.run10000_emb:
+        import pyarrow.parquet as _pq6
+
+        pth = os.path.join(SCALE10K_DIR, "embeddings.parquet")
+        if not os.path.exists(pth):
+            ap.error("--run10000-emb requires --gen10000-emb first")
+        n = _pq6.ParquetFile(pth).metadata.num_rows
+        if n != 20_000_000:
+            ap.error(f".scale10k embeddings has {n} rows, not the 20M "
+                     "fourth-decade set: run --gen10000-emb")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("10000x_true", SCALE10K_DIR, EMB_KNOBS_10000X)],
+            family=EMB_10000X_TRUE,
+        )
     if args.run1000_true:
         if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
             ap.error("--run1000-true requires --gen1000-true first")
@@ -1205,7 +1296,8 @@ if __name__ == "__main__":
             or args.gen100_events or args.gen100_facts or args.run100
             or args.stream_run100 or args.gen1000 or args.run1000
             or args.gen1000_true or args.run1000_true
-            or args.gen1000_emb or args.run1000_emb):
+            or args.gen1000_emb or args.run1000_emb
+            or args.gen10000_emb or args.run10000_emb):
         ap.error("pass --gen/--gen100/--gen100-events/--gen1000[-true], "
                  "--run/--run100/--run1000[-true], --stream-run and/or "
                  "--stream-run100")

@@ -78,3 +78,21 @@ def test_sqrt_cells_quality_bound_and_restore(spark, sf_dir):
     assert before <= exact
     assert len(before) / len(exact) >= 0.25
     assert after == before
+
+
+def test_sqrt_rule_auto_flips_from_footer_scale():
+    """Round-12: the hatch is no longer manual — past
+    SEMDEDUP_SQRT_FLIP_ROWS the √n rule engages from the row count
+    alone (the _ivf_cells pattern), and the oracle's kk CTE carries
+    the same CASE so both engines agree at any sf. Below the flip the
+    flat rule is untouched (every oracle-checked scale factor and the
+    measured-complete 2M leg run flat)."""
+    assert wh._semdedup_k(2_000_000) == 8000  # flat, proven decade
+    assert wh._semdedup_k(3_999_999) == 15999  # still flat
+    # 20M: T = floor(sqrt(20M)) = 4472 -> K = 20M // 4472
+    assert wh._semdedup_k(20_000_000) == 20_000_000 // 4472
+    assert wh._semdedup_k(4_000_000) == 4_000_000 // 2000
+    # the oracle string carries the same flip constant and sqrt form
+    oracle = wh._semdedup_oracle()
+    assert str(wh.SEMDEDUP_SQRT_FLIP_ROWS) in oracle
+    assert "floor(sqrt(count(*)))" in oracle

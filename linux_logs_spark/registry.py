@@ -113,71 +113,69 @@ def _ensure_loaded() -> None:
 # scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
-# LAST REFRESH: 242 queries, total 329.3 s, zero bad rows; round-9 final: full 2-pass refresh at 242 queries post review fixes
+# LAST REFRESH: 243 queries, total 346.0 s, zero bad rows; round-12 full 2-pass after LSH/SemDeDup GEMM + decontam restructure
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.66, "agg_approx_percentile": 0.17, "agg_bitmap_distinct": 0.29, "agg_bool": 0.21,
-    "agg_collect": 0.25, "agg_conditional_family": 0.48, "agg_count_distinct": 0.33, "agg_cube": 0.33,
-    "agg_distinct_rows": 0.18, "agg_freq_items_sketch": 0.88, "agg_global": 0.33, "agg_groupby": 0.41,
-    "agg_groupby_sql": 0.46, "agg_grouping_id": 0.25, "agg_grouping_sets": 0.21, "agg_having": 0.2,
-    "agg_histogram": 0.18, "agg_hll_sketch_rollup": 0.41, "agg_min_max_by": 0.17, "agg_mode": 0.26,
-    "agg_percentile": 0.37, "agg_pivot": 0.31, "agg_regression_family": 0.32, "agg_rollup": 0.33,
-    "agg_stats": 0.28, "agg_string_concat": 0.23, "agg_unpivot": 0.13, "bpe_train_merges": 3.86,
-    "corpus_budget_trim": 0.6, "corpus_mix_rebalance": 0.32, "corpus_temperature_sample": 0.47, "cust_order_intervals": 0.28,
-    "cust_rfm_segments": 2.06, "decontam_ngram_overlap": 0.87, "dedup_clusters_cc": 2.81, "dedup_edit_verify": 1.33,
-    "dedup_embedding_cosine": 1.34, "dedup_exact": 0.2, "dedup_exact_hash": 0.2, "dedup_near_minhash": 1.31,
-    "dedup_ngram_jaccard": 1.01, "dedup_semantic_cluster": 2.71, "dedup_shingle_jaccard": 0.92, "dedup_simhash": 1.12,
-    "dedup_substring_span": 1.62, "doc_chunk": 0.19, "doc_pii_scrub": 0.26, "dq_expectations": 0.31,
-    "emb_centroid_outliers": 0.69, "emb_kmeans_lloyd": 3.31, "emb_label_centroid": 0.23, "emb_matryoshka_truncate": 1.8,
-    "emb_neighborhood_purity": 0.63, "emb_pca_power": 0.47, "emb_quantize_int8": 0.38, "fn_aes_roundtrip": 0.15,
-    "fn_array": 0.15, "fn_array_agg": 0.19, "fn_bitwise": 0.28, "fn_collation": 0.45,
-    "fn_conditional": 0.35, "fn_datetime": 0.69, "fn_hash": 0.1, "fn_interval": 0.19,
-    "fn_json": 0.27, "fn_map": 0.25, "fn_math": 0.19, "fn_posexplode": 0.14,
-    "fn_regex": 0.15, "fn_sql_udf": 0.24, "fn_string": 0.2, "fn_string_extended": 0.21,
-    "fn_struct": 0.31, "fn_trig": 0.15, "fn_try_arith": 0.17, "fn_url_parse": 0.13,
-    "fn_variant": 0.13, "fn_xpath": 0.25, "graph_pagerank": 2.89, "graph_shortest_path": 2.15,
-    "graph_triangle_count": 1.91, "join_asof": 0.25, "join_bloom_runtime_filter": 0.43, "join_broadcast": 0.29,
-    "join_bucketed_colocated": 1.09, "join_cross": 0.13, "join_full_outer": 0.31, "join_inner_equi": 0.41,
-    "join_inner_equi_sql": 0.5, "join_left_anti": 0.15, "join_left_outer": 0.31, "join_left_semi": 0.14,
-    "join_null_safe": 0.34, "join_partition_pruned": 0.35, "join_range_binned": 0.56, "join_self_multi": 0.25,
-    "join_skew_salted": 0.36, "join_theta_range": 0.15, "limit_topk": 0.11, "log_alert_debounce": 0.3,
-    "log_anomaly_zscore": 0.4, "log_burst_detect": 0.4, "log_corr_matrix": 0.51, "log_entropy_profile": 0.51,
-    "log_error_rate_hourly": 0.21, "log_error_rate_hourly_sql": 0.25, "log_event_transitions": 0.31, "log_gap_fill": 0.41,
-    "log_latency_percentiles": 0.47, "log_retention_cohorts": 0.42, "log_rollup_incremental": 0.5, "log_rollup_multires": 0.96,
-    "log_search": 0.29, "log_seasonality_profile": 0.34, "log_slo_burn": 0.33, "log_template_mine": 0.41,
-    "log_top_services": 0.23, "log_type_hour_matrix": 0.26, "log_user_funnel": 0.26, "multimodal_features": 0.41,
-    "multimodal_frame_sample": 0.32, "multimodal_join": 0.14, "multimodal_resize": 0.3, "obs_metrics": 0.57,
-    "pack_sequences": 0.25, "pack_sequences_ffd": 0.41, "part_copurchase": 0.16, "pipeline_corpus_prep": 0.61,
-    # round-10 addition: warm 2-run timing at sf0.01 (1.12/0.97 s)
-    "pipeline_perplexity_gate": 1.0,
-    "q_case_when": 0.28, "q_exists_correlated": 0.16, "q_filter_basic": 0.22, "q_filter_basic_sql": 0.28,
-    "q_filter_in_between": 0.15, "q_filter_like": 0.13, "q_group_by_all": 0.29, "q_lateral_topk": 0.29,
-    "q_parameterized_sql": 0.18, "q_pipe_syntax": 0.22, "q_project": 1.2, "q_recursive_cte": 1.09,
-    "q_subquery_scalar": 0.22, "sample_stratified": 0.28, "sample_weighted_priority": 0.4, "scan_apache_log": 0.31,
-    "scan_avro_roundtrip": 1.17, "scan_binary_files": 0.17, "scan_csv_malformed": 0.28, "scan_csv_roundtrip": 0.33,
-    "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.25, "scan_parquet": 0.06, "scan_python_datasource": 0.79,
-    "scan_schema_evolution": 0.67, "scan_text_gzip": 0.36, "scan_text_parse": 0.33, "scan_xml_roundtrip": 0.23,
-    "scd2_merge": 0.17, "sessionize": 0.46, "set_except": 0.21, "set_except_all": 0.37,
-    "set_intersect": 0.23, "set_intersect_all": 0.41, "set_union_all": 0.16, "set_union_distinct": 0.2,
-    "shuffle_shard": 0.26, "sim_ann_ivf": 1.41, "sim_ann_lsh": 0.83, "sim_cosine_blocked": 0.43,
-    "sim_cosine_topk": 1.18, "sim_knn_label": 0.65, "sink_parquet_partitioned": 0.84, "sink_parquet_rebalanced": 0.47,
-    "sink_python_datasource": 1.99, "sort_multi": 0.59, "split_train_holdout": 0.1, "stream_custom_state": 0.82,
-    "stream_dedup": 2.05, "stream_foreach_batch": 0.76, "stream_python_sink": 1.36, "stream_python_source": 4.06,
-    "stream_session": 1.24, "stream_sliding": 1.05, "stream_state_reader": 0.23, "stream_static_join": 1.0,
-    "stream_stream_join": 2.84, "stream_text_tail": 1.1, "stream_transform_with_state": 0.92, "stream_tumbling": 1.04,
-    "stream_watermark_late": 1.36, "table_column_stats": 0.68, "table_incremental_changes": 0.47, "table_merge_upsert": 0.42,
-    "table_optimize_compact": 0.77, "table_partition_evolution": 1.44, "table_time_travel": 0.29, "table_vacuum": 2.14,
-    "table_zorder_cluster": 0.79, "text_bigram_lm": 0.56, "text_fingerprint": 0.35, "text_hashing_tf": 0.38,
-    "text_lang_id": 0.22, "text_lang_stats": 0.28, "text_ngram_topk": 0.52, "text_perplexity": 0.64,
-    "text_quality_score": 0.19, "text_repetition_score": 0.35, "text_tfidf": 0.92, "text_token_count_bpe": 0.14,
-    "text_tokenize_counts": 0.18, "topk_per_group": 0.26, "tpch_q10": 0.39, "tpch_q13": 0.33,
-    "tpch_q14": 0.41, "tpch_q15": 0.34, "tpch_q17": 0.38, "tpch_q18": 0.53,
-    "tpch_q19": 0.27, "tpch_q3": 0.4, "tpch_q5": 0.37, "tpch_q6": 0.21,
-    "tpch_q7": 0.47, "tpch_q8": 0.39, "udaf_arrow_grouped": 0.35, "udaf_pandas_agg": 0.33,
-    "udf_arrow_batch": 0.4, "udf_pandas_scalar": 0.27, "udf_python": 0.33, "udtf_apply_in_pandas": 0.34,
-    "udtf_python_native": 0.5, "vocab_build": 0.26, "win_first_last": 0.32, "win_lag_lead": 0.4,
-    "win_latest_per_key": 0.28, "win_nth_value": 0.31, "win_pattern_seq": 0.3, "win_pattern_var": 0.44,
-    "win_range_frame": 1.75, "win_ranking": 0.67, "win_ranking_sql": 0.72, "win_running": 0.73,
-    "win_session_window": 0.47, "win_time_range_frame": 0.45,
+    "agg_approx_distinct": 0.87, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.35, "agg_bool": 0.25,
+    "agg_collect": 0.27, "agg_conditional_family": 0.41, "agg_count_distinct": 0.37, "agg_cube": 0.45,
+    "agg_distinct_rows": 0.17, "agg_freq_items_sketch": 0.77, "agg_global": 0.39, "agg_groupby": 0.46,
+    "agg_groupby_sql": 0.48, "agg_grouping_id": 0.25, "agg_grouping_sets": 0.24, "agg_having": 0.24,
+    "agg_histogram": 0.19, "agg_hll_sketch_rollup": 0.46, "agg_min_max_by": 0.2, "agg_mode": 0.31,
+    "agg_percentile": 0.5, "agg_pivot": 0.31, "agg_regression_family": 0.36, "agg_rollup": 0.38,
+    "agg_stats": 0.29, "agg_string_concat": 0.24, "agg_unpivot": 0.14, "bpe_train_merges": 4.15,
+    "corpus_budget_trim": 0.68, "corpus_mix_rebalance": 0.36, "corpus_temperature_sample": 0.37, "cust_order_intervals": 0.37,
+    "cust_rfm_segments": 2.33, "decontam_ngram_overlap": 1.1, "dedup_clusters_cc": 3.02, "dedup_edit_verify": 1.72,
+    "dedup_embedding_cosine": 1.47, "dedup_exact": 0.19, "dedup_exact_hash": 0.17, "dedup_near_minhash": 1.11,
+    "dedup_ngram_jaccard": 1.08, "dedup_semantic_cluster": 3.07, "dedup_shingle_jaccard": 1.07, "dedup_simhash": 1.87,
+    "dedup_substring_span": 1.38, "doc_chunk": 0.21, "doc_pii_scrub": 0.23, "dq_expectations": 0.38,
+    "emb_centroid_outliers": 0.6, "emb_kmeans_lloyd": 5.2, "emb_label_centroid": 0.25, "emb_matryoshka_truncate": 1.41,
+    "emb_neighborhood_purity": 1.24, "emb_pca_power": 0.46, "emb_quantize_int8": 0.56, "fn_aes_roundtrip": 0.18,
+    "fn_array": 0.15, "fn_array_agg": 0.15, "fn_bitwise": 0.28, "fn_collation": 0.45,
+    "fn_conditional": 0.36, "fn_datetime": 0.67, "fn_hash": 0.1, "fn_interval": 0.3,
+    "fn_json": 0.32, "fn_map": 0.36, "fn_math": 0.17, "fn_posexplode": 0.16,
+    "fn_regex": 0.17, "fn_sql_udf": 0.28, "fn_string": 0.19, "fn_string_extended": 0.19,
+    "fn_struct": 0.33, "fn_trig": 0.21, "fn_try_arith": 0.18, "fn_url_parse": 0.14,
+    "fn_variant": 0.15, "fn_xpath": 0.27, "graph_pagerank": 3.65, "graph_shortest_path": 1.91,
+    "graph_triangle_count": 0.46, "join_asof": 0.32, "join_bloom_runtime_filter": 0.42, "join_broadcast": 0.36,
+    "join_bucketed_colocated": 1.16, "join_cross": 0.14, "join_full_outer": 0.3, "join_inner_equi": 0.52,
+    "join_inner_equi_sql": 0.49, "join_left_anti": 0.15, "join_left_outer": 0.36, "join_left_semi": 0.16,
+    "join_null_safe": 0.33, "join_partition_pruned": 0.39, "join_range_binned": 0.52, "join_self_multi": 0.31,
+    "join_skew_salted": 0.35, "join_theta_range": 0.15, "limit_topk": 0.11, "log_alert_debounce": 0.26,
+    "log_anomaly_zscore": 0.35, "log_burst_detect": 0.34, "log_corr_matrix": 0.46, "log_entropy_profile": 0.47,
+    "log_error_rate_hourly": 0.23, "log_error_rate_hourly_sql": 0.25, "log_event_transitions": 0.34, "log_gap_fill": 0.41,
+    "log_latency_percentiles": 0.41, "log_retention_cohorts": 0.37, "log_rollup_incremental": 0.6, "log_rollup_multires": 1.05,
+    "log_search": 0.3, "log_seasonality_profile": 0.3, "log_slo_burn": 0.32, "log_template_mine": 0.41,
+    "log_top_services": 0.25, "log_type_hour_matrix": 0.31, "log_user_funnel": 0.25, "multimodal_features": 0.55,
+    "multimodal_frame_sample": 0.32, "multimodal_join": 0.19, "multimodal_resize": 0.31, "obs_metrics": 0.75,
+    "pack_sequences": 0.23, "pack_sequences_ffd": 0.35, "part_copurchase": 0.15, "pipeline_corpus_prep": 0.58,
+    "pipeline_perplexity_gate": 1.43, "q_case_when": 0.36, "q_exists_correlated": 0.16, "q_filter_basic": 0.25,
+    "q_filter_basic_sql": 0.25, "q_filter_in_between": 0.14, "q_filter_like": 0.12, "q_group_by_all": 0.25,
+    "q_lateral_topk": 0.36, "q_parameterized_sql": 0.18, "q_pipe_syntax": 0.25, "q_project": 1.59,
+    "q_recursive_cte": 1.2, "q_subquery_scalar": 0.31, "sample_stratified": 0.25, "sample_weighted_priority": 0.37,
+    "scan_apache_log": 0.39, "scan_avro_roundtrip": 1.55, "scan_binary_files": 0.2, "scan_csv_malformed": 0.27,
+    "scan_csv_roundtrip": 0.57, "scan_json_lines": 0.23, "scan_orc_roundtrip": 0.45, "scan_parquet": 0.05,
+    "scan_python_datasource": 1.01, "scan_schema_evolution": 0.56, "scan_text_gzip": 0.5, "scan_text_parse": 0.31,
+    "scan_xml_roundtrip": 0.28, "scd2_merge": 0.18, "sessionize": 0.52, "set_except": 0.2,
+    "set_except_all": 0.39, "set_intersect": 0.26, "set_intersect_all": 0.37, "set_union_all": 0.19,
+    "set_union_distinct": 0.27, "shuffle_shard": 0.23, "sim_ann_ivf": 1.87, "sim_ann_lsh": 1.08,
+    "sim_cosine_blocked": 1.13, "sim_cosine_topk": 0.45, "sim_knn_label": 0.54, "sink_parquet_partitioned": 1.1,
+    "sink_parquet_rebalanced": 0.59, "sink_python_datasource": 1.12, "sort_multi": 0.55, "split_train_holdout": 0.1,
+    "stream_custom_state": 1.13, "stream_dedup": 1.03, "stream_foreach_batch": 0.77, "stream_python_sink": 1.24,
+    "stream_python_source": 4.58, "stream_session": 1.33, "stream_sliding": 0.98, "stream_state_reader": 0.25,
+    "stream_static_join": 1.02, "stream_stream_join": 3.35, "stream_text_tail": 1.1, "stream_transform_with_state": 1.08,
+    "stream_tumbling": 0.93, "stream_watermark_late": 1.5, "table_column_stats": 0.72, "table_incremental_changes": 0.37,
+    "table_merge_upsert": 0.47, "table_optimize_compact": 0.79, "table_partition_evolution": 1.04, "table_time_travel": 0.36,
+    "table_vacuum": 1.2, "table_zorder_cluster": 0.78, "text_bigram_lm": 0.48, "text_fingerprint": 0.36,
+    "text_hashing_tf": 0.41, "text_lang_id": 0.28, "text_lang_stats": 0.28, "text_ngram_topk": 0.51,
+    "text_perplexity": 1.45, "text_quality_score": 0.18, "text_repetition_score": 0.31, "text_tfidf": 1.43,
+    "text_token_count_bpe": 0.16, "text_tokenize_counts": 0.2, "topk_per_group": 0.27, "tpch_q10": 0.43,
+    "tpch_q13": 0.37, "tpch_q14": 0.3, "tpch_q15": 0.5, "tpch_q17": 0.51,
+    "tpch_q18": 0.53, "tpch_q19": 0.3, "tpch_q3": 0.39, "tpch_q5": 0.34,
+    "tpch_q6": 0.19, "tpch_q7": 0.5, "tpch_q8": 0.66, "udaf_arrow_grouped": 0.39,
+    "udaf_pandas_agg": 0.31, "udf_arrow_batch": 0.46, "udf_pandas_scalar": 0.28, "udf_python": 0.36,
+    "udtf_apply_in_pandas": 0.32, "udtf_python_native": 0.47, "vocab_build": 0.24, "win_first_last": 0.32,
+    "win_lag_lead": 0.52, "win_latest_per_key": 0.24, "win_nth_value": 0.31, "win_pattern_seq": 0.31,
+    "win_pattern_var": 0.44, "win_range_frame": 2.09, "win_ranking": 0.74, "win_ranking_sql": 0.73,
+    "win_running": 0.93, "win_session_window": 0.45, "win_time_range_frame": 0.41,
 }
 
 _DEFAULT_COST = 0.9

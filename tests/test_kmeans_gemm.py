@@ -65,3 +65,38 @@ def test_semdedup_gemm_equals_hof(spark, sf_dir, gemm_forced):
         wh_default.undo()
     assert got == want
     assert got  # non-vacuous: the sf fixture must produce pairs
+
+
+def test_gemm_key_chunk_boundary(spark, gemm_forced):
+    """The chunked GEMM (round-12: one reused 512-row buffer per Arrow
+    batch) must be exact across chunk boundaries — the committed sf
+    fixtures never exceed one chunk, so force a single 1300-row batch
+    (512 + 512 + 276, including a partial tail chunk) through one
+    worker and pin GEMM keys == HOF keys for every vector."""
+    n, k = 1300, 150
+    qa = (
+        spark.range(n)
+        .selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63),"
+            " j -> CAST((id * 37 + j * j * 11) % 2001 - 1000 AS BIGINT)) AS qa",
+        )
+        .repartition(1)
+        .localCheckpoint()
+    )
+    cents, key_sql = wh._km_train_array(qa, 1, k)
+    got = {
+        r["vec_id"]: r["key"] for r in wh._km_assign(qa, cents, key_sql, k).collect()
+    }
+    mp = pytest.MonkeyPatch()
+    mp.setattr(wh, "_KM_GEMM_MIN_K", 10**9)
+    try:
+        cents2, key_sql2 = wh._km_train_array(qa, 1, k)
+        want = {
+            r["vec_id"]: r["key"]
+            for r in wh._km_assign(qa, cents2, key_sql2, k).collect()
+        }
+    finally:
+        mp.undo()
+    assert len(got) == n
+    assert got == want

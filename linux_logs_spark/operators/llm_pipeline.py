@@ -1416,6 +1416,12 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.001 where the recall gate runs.
 N_PLANES = 4
 
+# Query-side chunk for the per-bucket verification GEMM: bounds task
+# memory (chunk × |bucket| doubles) on a pathologically hot bucket.
+# Module-level so tests can shrink it and exercise the boundary
+# arithmetic on real data (normal occupancy never exceeds one chunk).
+_BUCKET_GEMM_CHUNK = 2048
+
 
 def lsh_plane(j: int, i: int) -> float:
     """Element i of hyperplane j: a sampled sinusoid whose FREQUENCY
@@ -1515,6 +1521,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     weights = (2 ** np.arange(N_PLANES - 1, -1, -1)).astype(np.int64)
+    chunk = _BUCKET_GEMM_CHUNK
 
     def _lsh_bucket(emb):
         m = np.array(emb.tolist(), dtype=np.float64)  # batch × dim
@@ -1539,8 +1546,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         # Chunk the query side so the sim matrix is chunk×|bucket|,
         # bounding task memory even on a pathologically hot bucket.
-        for lo in range(0, len(ids), 2048):
-            sims = unit[lo : lo + 2048] @ unit.T
+        for lo in range(0, len(ids), chunk):
+            sims = unit[lo : lo + chunk] @ unit.T
             sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
             for r in range(sims.shape[0]):
                 row = sims[r]

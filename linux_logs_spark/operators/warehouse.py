@@ -2032,6 +2032,11 @@ SEMDEDUP_TARGET_CELL_ROWS = 250
 SEMDEDUP_SQRT_CELLS = False
 SEMDEDUP_SQRT_FLIP_ROWS = 4_000_000
 
+# Query-side chunk for the per-cell verification GEMM — bounds task
+# memory on a hot cell; module-level so tests can shrink it and
+# exercise the boundary arithmetic (normal cells never exceed one).
+_CELL_GEMM_CHUNK = 2048
+
 
 def _semdedup_k(n_vecs: int) -> int:
     """Flat rule below the flip: max(KM_K, n // TARGET) — never below
@@ -2353,6 +2358,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     thr = SEMDEDUP_THRESHOLD
+    chunk = _CELL_GEMM_CHUNK
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:  # singleton cell: no candidate pairs
@@ -2369,8 +2375,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster = int(pdf["cluster"].iloc[0])
         unit = m / np.linalg.norm(m, axis=1, keepdims=True)
         frames = []
-        for lo in range(0, len(ids), 2048):
-            sims = unit[lo : lo + 2048] @ unit.T
+        for lo in range(0, len(ids), chunk):
+            sims = unit[lo : lo + chunk] @ unit.T
             sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
             # strict upper triangle of the full matrix, offset by the
             # chunk base: pair (lo+r, c) survives only when c > lo+r

@@ -2012,25 +2012,42 @@ SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_TARGET_CELL_ROWS = 250
 
 
-# Escape hatch (a) from SCALING.md's SemDeDup third-decade analysis:
-# balance cell size T ∝ √n instead of the flat TARGET_CELL_ROWS, so
-# assignment FLOPs (n·K = n·n/T) and pair volume (n·T) meet at
-# O(n^1.5) — the flat rule's assignment term is n²/T (quadratic)
-# while its pair volume is linear. Round-12: the hatch AUTO-FLIPS at
-# SEMDEDUP_SQRT_FLIP_ROWS, derived from the footer row count like
-# every other sizing rule (_ivf_cells pattern), and the oracle's kk
-# CTE replays the SAME conditional from count(*) so both engines
-# agree at any scale factor. The flip sits just past the largest
-# decade the flat rule has MEASURED complete (2M vectors, 159.6 s:
-# the K=8000 assignment GEMM is already the larger half of that
-# wall, and it quadruples per flat decade while everything else
-# doubles). √n uses floor(sqrt(double)) — IEEE sqrt is correctly
-# rounded, so Python and DuckDB floor identically; exactness of the
-# integer root is irrelevant, cross-engine parity is everything.
-# The default-OFF knob still forces the √n rule BELOW the flip for
-# rehearsals (pinned Spark-vs-Spark by tests/test_semdedup_sqrt.py).
-SEMDEDUP_SQRT_CELLS = False
-SEMDEDUP_SQRT_FLIP_ROWS = 4_000_000
+# TWO-LEVEL centroid probing past the flip (round-13; replaces the
+# round-12 √n cell-size hatch). The flat K∝n rule's assignment FLOPs
+# are n·K = n²/T (quadratic); the retired √n hatch (T = √n) balanced
+# assignment and pair volume at O(n^1.5) — but its PAIR OUTPUT was
+# the n^1.5 term (measured fourth decade: 2.88B same-cell pairs /
+# 768.3 s at 20M vectors), i.e. the materialized-rows cost, not the
+# GEMM, became the wall. Two-level keeps fine cells at the flat
+# TARGET_CELL_ROWS (pair output ~n·T — LINEAR again) and makes the
+# ASSIGNMENT hierarchical instead: a coarse quantizer of
+# K1 = √(n/T) super-cells (the FLOPs balance point: coarse assignment
+# n·K1 equals the summed per-super-cell fine assignment n²/(K1·T)
+# exactly at K1 = √(n/T)), then per super-cell a fine k-means with
+# k2 = max(1, |cell| // T) cells seeded by the cell's lowest vec_ids.
+# Total assignment FLOPs 2·n·√(n/T) — 16× below the √n hatch's n^1.5
+# at 20M — and every fine cell stays ~T rows. Per-task memory is one
+# coarse cell (~√(n·T) rows ≈ 70 MB at 20M); SEMDEDUP_COARSE_ROW_CAP
+# bounds it at the extreme (past n = T·CAP² ≈ 1B the cap arm takes
+# over and K1 grows ∝ n, trading coarse FLOPs for bounded tasks).
+# The flip AUTO-ENGAGES at SEMDEDUP_TWOLEVEL_FLIP_ROWS from the
+# parquet footer row count (the _ivf_cells pattern); the registered
+# oracle is ONE static SQL whose kk/csz CTEs replay the same
+# conditionals from count(*), with the fine level degenerating to
+# k2=1 below the flip — algebraically identical to the flat
+# single-level query there, so committed-sf hashes are unchanged.
+# √ uses floor(sqrt(double)) — IEEE sqrt is correctly rounded, so
+# Python and DuckDB floor identically. The default-OFF force knob
+# runs the two-level path below the flip for tests/rehearsals
+# (oracle-checked against the flip-forced SQL by
+# tests/test_semdedup_twolevel.py).
+SEMDEDUP_TWOLEVEL = False
+SEMDEDUP_TWOLEVEL_FLIP_ROWS = 4_000_000
+SEMDEDUP_COARSE_ROW_CAP = 500_000
+# fine packed key = dist·PACK + f; k2 < PACK enforced, and
+# dist·PACK + f ≤ 64·(2·KM_SCALE)²·2²⁰ ≈ 2.7e14 < 2⁵³ stays exact
+# in float64 (the _km_assign GEMM argument, fine-level instance).
+_SEMDEDUP_FINE_PACK = 1 << 20
 
 # Query-side chunk for the per-cell verification GEMM — bounds task
 # memory on a hot cell; module-level so tests can shrink it and
@@ -2038,16 +2055,25 @@ SEMDEDUP_SQRT_FLIP_ROWS = 4_000_000
 _CELL_GEMM_CHUNK = 2048
 
 
+def _semdedup_twolevel(n_vecs: int) -> bool:
+    return SEMDEDUP_TWOLEVEL or n_vecs >= SEMDEDUP_TWOLEVEL_FLIP_ROWS
+
+
 def _semdedup_k(n_vecs: int) -> int:
-    """Flat rule below the flip: max(KM_K, n // TARGET) — never below
-    the kmeans floor, grows linearly with the corpus; Python // and
-    DuckDB // agree (floor) on the non-negative ints involved. Sqrt
-    rule (n >= SEMDEDUP_SQRT_FLIP_ROWS, or the rehearsal knob):
-    T = floor(sqrt(n)) → K ≈ √n, the O(n^1.5) balance point."""
-    if SEMDEDUP_SQRT_CELLS or n_vecs >= SEMDEDUP_SQRT_FLIP_ROWS:
+    """Coarse cell count. Flat rule below the flip: max(KM_K,
+    n // TARGET) — never below the kmeans floor, grows linearly with
+    the corpus; Python // and DuckDB // agree (floor) on the
+    non-negative ints involved. Two-level rule at/past the flip:
+    K1 = max(KM_K, floor(sqrt(n // TARGET)), n // COARSE_ROW_CAP) —
+    the FLOPs balance point with a per-task-memory cap arm."""
+    if _semdedup_twolevel(n_vecs):
         from math import floor, sqrt
 
-        return max(KM_K, n_vecs // max(1, floor(sqrt(n_vecs))))
+        return max(
+            KM_K,
+            floor(sqrt(n_vecs // SEMDEDUP_TARGET_CELL_ROWS)),
+            n_vecs // SEMDEDUP_COARSE_ROW_CAP,
+        )
     return max(KM_K, n_vecs // SEMDEDUP_TARGET_CELL_ROWS)
 
 
@@ -2230,24 +2256,43 @@ def _km_train_array(qa, iters: int, k: int):
     return pack(c).localCheckpoint(eager=True), key_sql
 
 
-def _semdedup_oracle() -> str:
-    """Lloyd chain (shared _km_chain_sql, K from the data via the kk
-    CTE — the sizing rule replayed in SQL) → final assignment →
-    within-cluster pair join with list_cosine_similarity, the
-    dedup_embedding_cosine rounding convention."""
+def _semdedup_oracle(
+    flip_rows: int | None = None,
+    target_cell: int | None = None,
+    coarse_cap: int | None = None,
+) -> str:
+    """ONE static SQL for BOTH regimes. Coarse: Lloyd chain (shared
+    _km_chain_sql, K1 from the data via the kk CTE — _semdedup_k's
+    CASE replayed in SQL) → coarse assignment. Fine: per coarse cell,
+    k2 = CASE(count(*) >= flip → GREATEST(1, |cell| // T), else 1)
+    seeds taken as the cell's k2 lowest vec_ids (row_number), then
+    SEMDEDUP_ITERS Lloyd updates with the dist·PACK+f packed argmin
+    and empty-cell carry — below the flip k2 is 1 everywhere, so the
+    fine level collapses to the identity and the query is
+    algebraically the old single-level one (committed-sf hashes
+    unchanged). Pairs join on (coarse, fine) with
+    list_cosine_similarity, the dedup_embedding_cosine rounding
+    convention. Parameters exist so tests can re-bake the SQL under
+    forced-flip / shrunk-T knobs and oracle-check the two-level path
+    at tiny sf; registration bakes the module defaults."""
+    flip = SEMDEDUP_TWOLEVEL_FLIP_ROWS if flip_rows is None else flip_rows
+    t = SEMDEDUP_TARGET_CELL_ROWS if target_cell is None else target_cell
+    cap = SEMDEDUP_COARSE_ROW_CAP if coarse_cap is None else coarse_cap
+    pack = _SEMDEDUP_FINE_PACK
     dist = " + ".join(f"(q.q{i} - c.q{i}) * (q.q{i} - c.q{i})" for i in range(_KM_DIM))
     final = SEMDEDUP_ITERS + 1
     k_sql = "(SELECT kv FROM kk)"
-    # mirrors _semdedup_k EXACTLY, including the √n auto-flip: DuckDB
-    # // is floor division and floor(sqrt(double)) matches Python's
-    # (IEEE-correctly-rounded sqrt in both engines)
+    # mirrors _semdedup_k EXACTLY, including the two-level auto-flip:
+    # DuckDB // is floor division and floor(sqrt(double)) matches
+    # Python's (IEEE-correctly-rounded sqrt in both engines; n//T is
+    # < 2^53 so the CAST to DOUBLE is exact)
     kk_cte = (
-        f"kk AS (SELECT CASE WHEN count(*) >= {SEMDEDUP_SQRT_FLIP_ROWS}"
-        f" THEN GREATEST({KM_K}, count(*) //"
-        f" GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)))"
-        f" ELSE GREATEST({KM_K},"
-        f" count(*) // {SEMDEDUP_TARGET_CELL_ROWS}) END AS kv"
-        f" FROM embeddings), "
+        f"nn AS (SELECT count(*) AS nv FROM embeddings), "
+        f"kk AS (SELECT CASE WHEN nv >= {flip}"
+        f" THEN GREATEST({KM_K},"
+        f" CAST(floor(sqrt(CAST(nv // {t} AS DOUBLE))) AS BIGINT),"
+        f" nv // {cap})"
+        f" ELSE GREATEST({KM_K}, nv // {t}) END AS kv FROM nn), "
     )
     cos = (
         "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
@@ -2259,18 +2304,205 @@ def _semdedup_oracle() -> str:
         f" FROM q CROSS JOIN c{SEMDEDUP_ITERS} c GROUP BY q.vec_id)"
     )
     sql.append(
-        f", m AS (SELECT vec_id, key % {k_sql} AS cluster FROM a{final})"
+        f", m AS (SELECT vec_id, key % {k_sql} AS coarse FROM a{final})"
+    )
+    # ---- fine level ----
+    qcols = ", ".join(f"q{i}" for i in range(_KM_DIM))
+    fdist = " + ".join(
+        f"(x.q{i} - s.q{i}) * (x.q{i} - s.q{i})" for i in range(_KM_DIM)
+    )
+    fupd = ", ".join(
+        f"CAST(floor(sum(x.q{i}) / count(*)) AS BIGINT) AS q{i}"
+        for i in range(_KM_DIM)
+    )
+    fcarry = ", ".join(f"coalesce(u.q{i}, p.q{i}) AS q{i}" for i in range(_KM_DIM))
+    sql.append(
+        f", mq AS (SELECT m.vec_id, m.coarse, {qcols}"
+        f" FROM m JOIN q ON m.vec_id = q.vec_id)"
+    )
+    sql.append(
+        f", csz AS (SELECT coarse, CASE WHEN (SELECT nv FROM nn) >= {flip}"
+        f" THEN GREATEST(1, count(*) // {t}) ELSE 1 END AS k2"
+        f" FROM mq GROUP BY coarse)"
+    )
+    sql.append(
+        ", rn AS (SELECT mq.*, row_number() OVER"
+        " (PARTITION BY coarse ORDER BY vec_id) - 1 AS r FROM mq)"
+    )
+    sql.append(
+        f", s0 AS (SELECT rn.coarse, rn.r AS f, {qcols}"
+        f" FROM rn JOIN csz ON rn.coarse = csz.coarse WHERE rn.r < csz.k2)"
+    )
+    for it in range(1, SEMDEDUP_ITERS + 1):
+        sql.append(
+            f", fa{it} AS (SELECT x.vec_id, x.coarse,"
+            f" min(({fdist}) * {pack} + s.f) AS fkey"
+            f" FROM mq x JOIN s{it - 1} s ON x.coarse = s.coarse"
+            f" GROUP BY x.vec_id, x.coarse)"
+        )
+        sql.append(
+            f", fu{it} AS (SELECT x.coarse, a.fkey % {pack} AS f, {fupd}"
+            f" FROM mq x JOIN fa{it} a ON x.vec_id = a.vec_id"
+            f" GROUP BY x.coarse, a.fkey % {pack})"
+        )
+        sql.append(
+            f", s{it} AS (SELECT p.coarse, p.f, {fcarry}"
+            f" FROM s{it - 1} p LEFT JOIN fu{it} u"
+            f" ON p.coarse = u.coarse AND p.f = u.f)"
+        )
+    ffinal = SEMDEDUP_ITERS + 1
+    sql.append(
+        f", fa{ffinal} AS (SELECT x.vec_id, x.coarse,"
+        f" min(({fdist}) * {pack} + s.f) AS fkey"
+        f" FROM mq x JOIN s{SEMDEDUP_ITERS} s ON x.coarse = s.coarse"
+        f" GROUP BY x.vec_id, x.coarse)"
+    )
+    sql.append(
+        f", m2 AS (SELECT vec_id, coarse, fkey % {pack} AS fine FROM fa{ffinal})"
     )
     sql.append(
         f"""
-SELECT a.cluster, a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS sim
-FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+SELECT a.coarse AS cluster, a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS sim
+FROM m2 a JOIN m2 b
+  ON a.coarse = b.coarse AND a.fine = b.fine AND a.vec_id < b.vec_id
 JOIN q ea ON a.vec_id = ea.vec_id
 JOIN q eb ON b.vec_id = eb.vec_id
 WHERE {cos} >= {SEMDEDUP_THRESHOLD}
 """
     )
     return "\n".join(sql)
+
+
+def _semdedup_fine_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """The two-level regime's fine stage: ONE shuffle of (coarse,
+    vec_id, embedding) keyed by coarse cell, then per coarse cell a
+    numpy fine k-means (k2 = max(1, |cell| // T) cells seeded by the
+    cell's lowest vec_ids, SEMDEDUP_ITERS Lloyd updates — the EXACT
+    integer arithmetic of _km_train_array replayed in float64, which
+    is exact by the _km_assign bound: dist·PACK+f ≤ 2.7e14 < 2⁵³)
+    followed by the per-fine-cell exact-cosine threshold scan. Pair
+    output is Σ|fine cell|² ≈ n·T — linear, the whole point. Per-task
+    memory is one coarse cell (√(n·T) rows, capped by
+    SEMDEDUP_COARSE_ROW_CAP); the distance/sim buffers are chunked to
+    _CELL_GEMM_CHUNK rows. Quantization happens INSIDE the UDF
+    (floor(float64(emb)·SCALE) — float32→float64 is exact and numpy's
+    multiply/floor are the same IEEE ops the SQL oracle uses) so the
+    shuffle carries the raw embedding only, not 64 extra longs.
+    Mean updates use floor(double(sum)/double(count)) — double
+    division then floor, the SAME operation as Spark's F.floor(s/n)
+    and DuckDB's floor(sum/count), not numpy integer floor-division,
+    so all three engines round identical edge cases identically."""
+    import numpy as np
+    import pandas as pd
+
+    thr = SEMDEDUP_THRESHOLD
+    t_rows = SEMDEDUP_TARGET_CELL_ROWS
+    iters = SEMDEDUP_ITERS
+    pack = _SEMDEDUP_FINE_PACK
+    chunk = _CELL_GEMM_CHUNK
+    scale = float(KM_SCALE)
+    # static exactness guard, the _km_assign argument at the fine level
+    if (_KM_DIM * (2 * KM_SCALE) ** 2 + 1) * pack >= 2**53:
+        raise ValueError(
+            "fine packed key exceeds the exact-float64 bound — "
+            "re-derive _SEMDEDUP_FINE_PACK / KM_SCALE"
+        )
+
+    empty = {
+        "cluster": pd.Series(dtype="int64"),
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "sim": pd.Series(dtype="float64"),
+    }
+
+    def _assign_fine(qf: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+        # chunked packed-key argmin: |q|² - 2q·Cᵀ + |c|², all
+        # integral float64 (exact); key = dist·PACK + f, min per row
+        ct = np.ascontiguousarray(cents.T)
+        c_sq = (cents * cents).sum(axis=1)
+        jf = np.arange(len(cents), dtype=np.float64)
+        keys = np.empty(len(qf), dtype=np.int64)
+        for lo in range(0, len(qf), chunk):
+            mc = qf[lo : lo + chunk]
+            b = mc @ ct
+            b *= -2.0
+            b += (mc * mc).sum(axis=1)[:, None]
+            b += c_sq[None, :]
+            b *= float(pack)
+            b += jf[None, :]
+            keys[lo : lo + len(mc)] = b.min(axis=1)
+        return keys % pack
+
+    def fine_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:  # singleton coarse cell: no candidate pairs
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        coarse = int(pdf["cluster"].iloc[0])
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        qf = np.floor(m * scale)  # integral float64, |q| ≤ KM_SCALE
+        k2 = max(1, len(pdf) // t_rows)
+        if k2 >= pack:
+            raise ValueError(
+                f"fine cell count {k2} exceeds the packed-key width "
+                f"{pack} — a coarse cell of {len(pdf)} rows escaped "
+                "SEMDEDUP_COARSE_ROW_CAP"
+            )
+        cents = qf[:k2].copy()  # seeds: the k2 lowest vec_ids
+        qi = qf.astype(np.int64)
+        for _ in range(iters):
+            f = _assign_fine(qf, cents)
+            cnt = np.bincount(f, minlength=k2)
+            s = np.zeros((k2, qf.shape[1]), dtype=np.int64)
+            np.add.at(s, f, qi)
+            nz = cnt > 0
+            new = cents.copy()  # empty fine cells carry the previous
+            new[nz] = np.floor(
+                s[nz].astype(np.float64) / cnt[nz, None].astype(np.float64)
+            )
+            cents = new
+        f = _assign_fine(qf, cents)
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        frames = []
+        for fc in np.unique(f):
+            idx = np.nonzero(f == fc)[0]
+            if len(idx) < 2:
+                continue
+            u = unit[idx]
+            sid = ids[idx]
+            for lo in range(0, len(sid), chunk):
+                sims = u[lo : lo + chunk] @ u.T
+                sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+                r_idx, c_idx = np.nonzero(
+                    (sims >= thr)
+                    & (
+                        np.arange(len(sid))[None, :]
+                        > (lo + np.arange(sims.shape[0]))[:, None]
+                    )
+                )
+                if len(r_idx):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": coarse,
+                                "doc_a": sid[lo + r_idx],
+                                "doc_b": sid[c_idx],
+                                "sim": sims[r_idx, c_idx],
+                            }
+                        )
+                    )
+        if not frames:
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        emb.join(assign, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+        .groupBy("cluster")
+        .applyInPandas(
+            fine_pairs, "cluster long, doc_a long, doc_b long, sim double"
+        )
+    )
 
 
 @register("dedup_semantic_cluster", "llm", oracle=_semdedup_oracle())
@@ -2297,11 +2529,20 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (see cell_pairs below) — same-cell pairs only, never a
     cartesian, and pair volume stays ~n·TARGET_CELL instead of n²/K
     (the round-8 rehearsal measured fixed K=8 at 23× wall under 10×
-    rows; the K∝n rule is the paper's fix). Cosine parity: the GEMM
-    rounds 6-digit half-away-from-zero on the binary double — the
-    shared rounded-sim convention — and the oracle replays K
-    (count(*)-derived), the cluster assignment (all-integer) and the
-    cosine via list_cosine_similarity."""
+    rows; the K∝n rule is the paper's fix). Past
+    SEMDEDUP_TWOLEVEL_FLIP_ROWS the flat rule's n·K assignment term
+    goes quadratic, so the sizing flips to TWO-LEVEL probing
+    (round-13): the SAME trainer builds K1 = √(n/T) coarse
+    super-cells, and _semdedup_fine_pairs splits each into
+    ~TARGET_CELL-row fine cells inside one applyInPandas — assignment
+    FLOPs 2·n·√(n/T), pair output linear n·T (the retired round-12
+    √n hatch had O(n^1.5) pair OUTPUT: 2.88B pairs / 768 s at 20M).
+    Cosine parity: the GEMM rounds 6-digit half-away-from-zero on
+    the binary double — the shared rounded-sim convention — and the
+    ONE registered oracle replays K (count(*)-derived), both
+    assignment levels (all-integer, the fine level degenerating to
+    k2=1 below the flip) and the cosine via
+    list_cosine_similarity."""
     n_vecs = table_row_count(sf_dir, "embeddings")
     k = _semdedup_k(n_vecs)
     emb = load(spark, sf_dir, "embeddings")
@@ -2337,6 +2578,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("vec_id", f"key % {k} AS cluster")
         .localCheckpoint(eager=True)
     )
+    if _semdedup_twolevel(n_vecs):
+        # two-level regime: k above was the COARSE K1 (√(n/T) balance
+        # rule); the fine k-means + per-fine-cell pair scan runs
+        # inside one applyInPandas over coarse cells — pair output
+        # returns to the flat rule's linear n·T (the round-12 √n
+        # hatch's 2.88B-pair fourth decade is the retired comparison)
+        return _semdedup_fine_pairs(emb, assign)
     # Within-cell verification: ONE numpy float64 GEMM per cell via
     # groupBy(cluster).applyInPandas — round-12. The previous shape
     # (broadcast/sort-merge cluster equi-join + JVM 64-term fold per

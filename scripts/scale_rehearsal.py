@@ -405,10 +405,13 @@ EMB_KNOBS_1000X = {
 # whose third-decade legs COMPLETED (the round-11 verdict's rule).
 # sim_ann_lsh continues the log-n plane rule (17 planes ≈ 2^17
 # buckets, occupancy ~152 at 20M); dedup_semantic_cluster crosses
-# SEMDEDUP_SQRT_FLIP_ROWS here, so this leg is the auto-flip's first
-# live measurement (K = 20M // floor(√20M) = 4472 — the O(n^1.5)
-# balance point; the flat rule's K=80000 assignment GEMM alone would
-# be ~20 minutes on this host). emb_kmeans_lloyd is excluded: fixed
+# SEMDEDUP_TWOLEVEL_FLIP_ROWS here, so this leg measures the
+# two-level auto-flip live (round-13: K1 = √(20M/250) = 282 coarse
+# super-cells, fine cells back at ~250 rows so pair output is linear
+# again — the round-12 √n hatch this replaces measured 2.88B
+# same-cell pairs / 768.3 s on this leg, and the flat rule's K=80000
+# assignment GEMM alone would be ~20 minutes on this host).
+# emb_kmeans_lloyd is excluded: fixed
 # K=8 is proven linear through 2M and a ~15-minute fourth leg
 # re-proves nothing.
 EMB_10000X_TRUE = [

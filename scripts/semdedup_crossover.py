@@ -1,6 +1,7 @@
-"""One-off: measure SemDeDup flat-cell vs sqrt-cell (escape hatch a)
-at the 100x rehearsal corpus (round-11 verdict item 7 'rehearsal
-shows the crossover'). Writes semdedup_crossover.json.
+"""One-off: measure SemDeDup flat-cell vs two-level probing at the
+100x rehearsal corpus (round-11 verdict item 7's crossover probe,
+re-pointed at the round-13 two-level regime). Writes
+semdedup_crossover.json.
 
 Run AFTER scripts/scale_rehearsal.py --gen100 (needs .scale100).
 Serialize with any other Spark work (local[32] contention inflates
@@ -27,8 +28,8 @@ def main() -> None:
     fn = all_queries()["dedup_semantic_cluster"].fn
     sf100 = os.path.join(REPO, ".scale100")
     out: dict[str, dict] = {}
-    for regime, flag in (("flat", False), ("sqrt", True)):
-        wh.SEMDEDUP_SQRT_CELLS = flag
+    for regime, flag in (("flat", False), ("twolevel", True)):
+        wh.SEMDEDUP_TWOLEVEL = flag
         try:
             n_vecs = 200_000
             k = wh._semdedup_k(n_vecs)
@@ -37,7 +38,7 @@ def main() -> None:
             rows = fn(spark, sf100).count()
             wall = time.monotonic() - t0
         finally:
-            wh.SEMDEDUP_SQRT_CELLS = False
+            wh.SEMDEDUP_TWOLEVEL = False
         out[regime] = {"k": k, "wall_s": round(wall, 2), "pairs": rows}
         print(regime, out[regime], flush=True)
     with open(os.path.join(REPO, "semdedup_crossover.json"), "w") as fh:

@@ -221,6 +221,56 @@ def _last_verified_round() -> dict[str, int]:
     return out
 
 
+_FP_CHANGED: set[str] | None = None
+
+
+def _changed_since_signed() -> set[str]:
+    """Names whose CURRENT behavioral fingerprint differs from the one
+    stamped in VERIFIED_HISTORY.json at their last driver signing —
+    i.e. the driver's evidence predates the code (round-13 verdict
+    item 2: four round-12 plan rewrites kept their old signature rank
+    and were never oracle-checked by the driver on the new plans).
+    Best-effort: a missing fingerprint module/section or a computation
+    error degrades to "nothing changed" so ordering still works."""
+    global _FP_CHANGED
+    if _FP_CHANGED is not None:
+        return _FP_CHANGED
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    changed: set[str] = set()
+    try:
+        stamped = json.loads((repo / "VERIFIED_HISTORY.json").read_text()).get(
+            "fingerprints", {}
+        )
+        if stamped:
+            spec = importlib.util.spec_from_file_location(
+                "plan_fingerprint", repo / "scripts" / "plan_fingerprint.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            strip = str(repo)
+            for name, s in _REGISTRY.items():
+                fp = stamped.get(name)
+                if fp and fp != mod.fingerprint_fn(s.fn, s.oracle, strip=strip):
+                    changed.add(name)
+    except Exception:
+        changed = set()
+    _FP_CHANGED = changed
+    return changed
+
+
+def _effective_last_round() -> dict[str, int]:
+    """_last_verified_round with plan-changed queries zeroed: evidence
+    on retired code counts as no evidence for ordering purposes."""
+    last = _last_verified_round()
+    for name in _changed_since_signed():
+        last.pop(name, None)
+    return last
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Registry in driver-iteration order.
 
@@ -230,13 +280,17 @@ def all_queries() -> dict[str, QuerySpec]:
     never-verified-first, which closed the gap to 168/168 signed. With
     everything signed at least once, never-first degenerates back to
     cheapest-first and a rewritten expensive query would never be
-    re-signed — so the primary key is now the LAST round each query was
+    re-signed — so the primary key is the LAST round each query was
     signed (ascending, never = 0), i.e. stalest-signature-first,
-    cheapest-first within a round cohort. Each driver window therefore
-    refreshes the oldest evidence instead of re-stamping last round's.
+    cheapest-first within a round cohort; round 13 sharpens "signed"
+    to "signed ON THIS CODE": a query whose behavioral fingerprint
+    (scripts/plan_fingerprint.py) no longer matches the one stamped at
+    its last signing sorts as never-verified, so plan rewrites reach
+    the driver's oracle in the NEXT window instead of aging back to
+    the front over several rounds.
     """
     _ensure_loaded()
-    last = _last_verified_round()
+    last = _effective_last_round()
     names = sorted(
         _REGISTRY,
         key=lambda n: (last.get(n, 0), _MEASURED_COST.get(n, _DEFAULT_COST)),

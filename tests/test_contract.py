@@ -91,16 +91,51 @@ def test_stalest_signature_queries_come_first():
     order. With all queries signed at least once, the ordering must be
     stalest-signature-first (last-verified round ascending, never = 0)
     so each driver window refreshes the oldest evidence — a rewritten
-    r1-era query gets re-signed instead of the same cheap head."""
-    from linux_logs_spark.registry import _last_verified_round
+    r1-era query gets re-signed instead of the same cheap head.
+    Round 13: "signed" means signed ON THIS CODE — a query whose
+    behavioral fingerprint no longer matches its VERIFIED_HISTORY
+    stamp counts as never-verified, so the effective-round sequence
+    (changed → 0) is what must ascend."""
+    from linux_logs_spark.registry import _effective_last_round
 
-    last = _last_verified_round()
+    last = _effective_last_round()
     assert last, "VERIFIED_HISTORY.json missing or empty"
     rounds = [last.get(n, 0) for n in _SPECS]
     assert rounds == sorted(rounds), (
-        "all_queries() must yield queries in ascending last-verified-round "
-        "order (never-verified first)"
+        "all_queries() must yield queries in ascending effective "
+        "last-verified-round order (never-verified / plan-changed first)"
     )
+
+
+def test_plan_changed_queries_lead_the_driver_window():
+    """Verdict r12 item 2: four round-12 plan rewrites kept their old
+    signature rank and the driver never oracle-checked the new plans.
+    Every query whose current fingerprint mismatches its stamp must
+    sort before every stamp-matching query, and every verified query
+    must carry a stamp (else a rewrite could hide as unstampable)."""
+    import json
+    from pathlib import Path
+
+    from linux_logs_spark.registry import _changed_since_signed
+
+    repo = Path(__file__).resolve().parent.parent
+    hist = json.loads((repo / "VERIFIED_HISTORY.json").read_text())
+    stamps = hist.get("fingerprints", {})
+    assert set(hist["verified"]) <= set(stamps), (
+        "verified queries missing fingerprint stamps: "
+        f"{sorted(set(hist['verified']) - set(stamps))[:5]}"
+    )
+    changed = _changed_since_signed()
+    names = list(_SPECS)
+    if changed:
+        last_changed = max(names.index(n) for n in changed)
+        unchanged_before = [
+            n for n in names[:last_changed] if n not in changed
+        ]
+        assert not unchanged_before, (
+            "plan-changed queries must lead the driver window; found "
+            f"unchanged queries ahead of them: {unchanged_before[:5]}"
+        )
 
 
 def test_verified_history_is_fresh():

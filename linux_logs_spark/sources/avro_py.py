@@ -193,6 +193,181 @@ def write_avro_file(path: str, fields: list[tuple[str, str]], rows,
     return n_total
 
 
+# ------------------------------------------------- vectorized writer
+#
+# Round-13 (verdict item 7): the per-row _write_value loop priced
+# scan_avro_roundtrip at 7.9 s — ~4× the next scan — with the reader
+# already Arrow-batched. The sink's hot path now encodes each
+# container block COLUMN-WISE in numpy and interleaves the per-cell
+# byte runs row-major with one ragged scatter, so Python executes
+# O(columns) work per block instead of O(rows·columns). Byte-for-byte
+# identical to the row path (same varint/zigzag/IEEE encodings, same
+# block framing) — pinned by tests/test_avro.py writing both paths
+# and comparing files.
+
+
+def _varint_flat(u, np):
+    """Row-major concatenation of the varint encodings of uint64 `u`
+    → (flat uint8 array, per-value byte lengths). Exact group count
+    via 9 threshold compares (no float log near 2^53)."""
+    n = len(u)
+    ln = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        ln += (u >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    max_l = int(ln.max()) if n else 1
+    idx = np.arange(max_l, dtype=np.uint64)
+    groups = ((u[:, None] >> (np.uint64(7) * idx)[None, :]) & np.uint64(0x7F)).astype(
+        np.uint8
+    )
+    cont = idx[None, :].astype(np.int64) < (ln[:, None] - 1)
+    groups = np.where(cont, groups | np.uint8(0x80), groups)
+    keep = idx[None, :].astype(np.int64) < ln[:, None]
+    return groups[keep], ln  # boolean mask selects row-major
+
+
+def _zigzag_u64(a, np):
+    """Vectorized _zigzag on an int64 array (two's-complement view:
+    (n<<1) ^ (n>>63) mod 2^64)."""
+    un = a.view(np.uint64) if a.dtype == np.int64 else a.astype(np.uint64)
+    sign = np.where(a < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+    return (un << np.uint64(1)) ^ sign
+
+
+def _encode_batch_columnar(batch, types: list[str]) -> bytes:
+    """One Arrow batch slice → the exact bytes the row loop would
+    write for those records. Raises ValueError for shapes the
+    columnar path doesn't cover (nulls, unexpected arrow types) —
+    callers fall back to the row path."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    streams: list[tuple] = []  # (flat uint8, per-cell lengths) in record order
+    for i, t in enumerate(types):
+        col = batch.column(i)
+        if col.null_count:
+            raise ValueError("columnar avro encode: null values present")
+        if t == "long":
+            if not pa.types.is_int64(col.type):
+                raise ValueError(f"columnar avro encode: {col.type} for long")
+            a = col.to_numpy(zero_copy_only=False)
+            streams.append(_varint_flat(_zigzag_u64(a, np), np))
+        elif t == "double":
+            if not pa.types.is_float64(col.type):
+                raise ValueError(f"columnar avro encode: {col.type} for double")
+            a = col.to_numpy(zero_copy_only=False)
+            flat = np.ascontiguousarray(a.astype("<f8")).view(np.uint8)
+            streams.append((flat, np.full(n, 8, dtype=np.int64)))
+        elif t == "string":
+            if pa.types.is_large_string(col.type):
+                odt = np.int64
+            elif pa.types.is_string(col.type):
+                odt = np.int32
+            else:
+                raise ValueError(f"columnar avro encode: {col.type} for string")
+            bufs = col.buffers()
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            # length prefix is a zigzag varint of a non-negative long
+            streams.append(_varint_flat(lens.astype(np.uint64) << np.uint64(1), np))
+            streams.append((np.ascontiguousarray(data), lens))
+        else:  # pragma: no cover - schema mapping guards this upstream
+            raise ValueError(f"columnar avro encode: unknown avro type {t!r}")
+    # ragged row-major interleave: each stream's cell r lands at
+    # row_start[r] + (sum of earlier streams' cell-r lengths)
+    row_total = np.zeros(n, dtype=np.int64)
+    for _f, ln in streams:
+        row_total += ln
+    row_starts = np.concatenate(([0], np.cumsum(row_total)[:-1]))
+    out = np.empty(int(row_total.sum()), dtype=np.uint8)
+    within = np.zeros(n, dtype=np.int64)
+    for flat, ln in streams:
+        starts = row_starts + within
+        cum_excl = np.concatenate(([0], np.cumsum(ln)[:-1]))
+        pos = np.repeat(starts, ln) + (
+            np.arange(flat.size, dtype=np.int64) - np.repeat(cum_excl, ln)
+        )
+        out[pos] = flat
+        within += ln
+    return out.tobytes()
+
+
+def write_avro_file_arrow(path: str, fields: list[tuple[str, str]], batches,
+                          block_rows: int = BLOCK_ROWS) -> int:
+    """write_avro_file over pyarrow RecordBatches, columnar-encoded.
+    Identical container bytes: blocks still hold exactly block_rows
+    records straddling batch boundaries (a block's payload is the
+    concatenation of record encodings, so encoding sub-slices
+    separately and concatenating is the same bytes). Falls back to
+    the row path per-slice if a column shape defeats the columnar
+    encoder (nulls, exotic arrow types)."""
+    sync = _sync_marker(os.path.basename(path))
+    meta = {
+        "avro.schema": _avro_schema_json(fields).encode(),
+        "avro.codec": b"null",
+    }
+    types = [t for _n, t in fields]
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, len(meta))
+        for k, v in sorted(meta.items()):
+            _write_value(head, "string", k)
+            _write_long(head, len(v))
+            head.write(v)
+        _write_long(head, 0)
+        fh.write(head.getvalue())
+        fh.write(sync)
+
+        block = io.BytesIO()
+        n_block = 0
+
+        def flush():
+            nonlocal n_block
+            if not n_block:
+                return
+            hdr = io.BytesIO()
+            _write_long(hdr, n_block)
+            _write_long(hdr, block.tell())
+            fh.write(hdr.getvalue())
+            fh.write(block.getvalue())
+            fh.write(sync)
+            block.seek(0)
+            block.truncate()
+            n_block = 0
+
+        def encode_slice(sl) -> bytes:
+            try:
+                return _encode_batch_columnar(sl, types)
+            except ValueError:
+                buf = io.BytesIO()
+                for row in zip(
+                    *(sl.column(i).to_pylist() for i in range(sl.num_columns))
+                ):
+                    for t, v in zip(types, row):
+                        _write_value(buf, t, v)
+                return buf.getvalue()
+
+        for b in batches:
+            pos = 0
+            while pos < b.num_rows:
+                k = min(block_rows - n_block, b.num_rows - pos)
+                block.write(encode_slice(b.slice(pos, k)))
+                n_block += k
+                n_total += k
+                pos += k
+                if n_block >= block_rows:
+                    flush()
+        flush()
+    return n_total
+
+
 def read_avro_header(fh) -> tuple[list[tuple[str, str]], bytes]:
     """Parse magic + metadata map; returns (fields, sync_marker) with
     the stream positioned at the first block."""
@@ -350,14 +525,9 @@ class AvroWriter(DataSourceArrowWriter):
         tc = TaskContext.get()
         tmp = f"_tmp_{self.job_id}_{tc.partitionId()}_{tc.taskAttemptId()}.avro"
         os.makedirs(self.path, exist_ok=True)
-
-        def rows():
-            for b in batches:  # column order == write schema order
-                yield from zip(
-                    *(b.column(i).to_pylist() for i in range(b.num_columns))
-                )
-
-        write_avro_file(os.path.join(self.path, tmp), self.fields, rows())
+        # column order == write schema order; columnar encode with a
+        # per-slice row-path fallback (round 13 — see write_avro_file_arrow)
+        write_avro_file_arrow(os.path.join(self.path, tmp), self.fields, batches)
         return _AvroCommit(tmp)
 
     def commit(self, messages) -> None:

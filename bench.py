@@ -81,6 +81,40 @@ HEADLINE = (
 # artifact's by more than this ratio is rejected (see guard_full_artifact).
 GUARD_RATIO = 1.10
 
+# Outlier-splice gate (round 13, verdict item 3): two rounds running,
+# the driver's artifact was a rejected loaded run because load arrived
+# MID-run — after the pre-run cooldown passed. A mid-run load check
+# can't tell external load from our own (local[32] keeps load1 ≈ ncpu
+# while the bench itself runs), so instead the run self-heals after
+# the main pass: any query slower than the committed per-query
+# baseline by >RETRY_RATIO AND >RETRY_MIN_ABS seconds is re-timed
+# once, solo, after a fresh cooldown, and the better time is spliced
+# in (min-of-passes — the _MEASURED_COST convention). A REAL
+# regression re-times to the same slow number and stays; a transient
+# stall window re-times to the quiet number and the artifact stops
+# being hostage to whichever minute the host got busy.
+RETRY_RATIO = 1.5
+RETRY_MIN_ABS = 0.3
+MAX_RETRIES = 60
+
+
+def _baseline_query_times(repo_dir: str) -> dict[str, float] | None:
+    """Per-query seconds of the HEAD-committed bench_full.json (the
+    guarded-publish baseline), or None."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:bench_full.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if r.returncode != 0:
+            return None
+        q = json.loads(r.stdout).get("queries")
+        return {k: float(v) for k, v in q.items()} if isinstance(q, dict) else None
+    except (OSError, subprocess.SubprocessError, ValueError, TypeError):
+        return None
+
 
 def _stats_of_artifact(text: str) -> tuple[float, float] | None:
     """(median, total) of an artifact's per-query timings, or None."""
@@ -167,7 +201,7 @@ def guard_full_artifact(new_median: float | None,
 
 
 def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,
-          force: bool = False) -> None:
+          force: bool = False, retimed: list[str] | None = None) -> None:
     total = round(sum(timings.values()), 3)
     # Median/p90 ride along because the shared VM's hypervisor
     # throttle windows inflate single queries 5-40x (BASELINE.md
@@ -228,6 +262,10 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
     else:
         artifact = "bench_full.json"
     blob = {"total_sec": total, "queries": timings, "sf": sf}
+    if retimed:
+        # transparency: these entries are min(first pass, solo retry)
+        blob["retimed"] = sorted(retimed)
+        payload["retimed"] = len(retimed)
     if partial:
         blob["partial"] = True
     try:
@@ -301,16 +339,45 @@ def main() -> None:
         "noop"
     ).save()
 
-    for name in names:
+    def timed(name: str) -> float:
         # Time plan construction + execution together: streaming
         # queries do their micro-batch work inside fn().
         t0 = time.perf_counter()
         df = specs[name].fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    for name in names:
+        timings[name] = timed(name)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
-    _emit(timings, subset=bool(only), force=force)
+    # outlier splice: re-time queries a transient mid-run load window
+    # inflated vs the committed baseline (see RETRY_RATIO above).
+    # Full canonical runs only — a subset run has no artifact claim.
+    retimed: list[str] = []
+    if not only and sf_of(SF_DIR) == 0.1:
+        base = _baseline_query_times(os.path.dirname(os.path.abspath(__file__)))
+        if base:
+            flagged = [
+                n for n in names
+                if n in base
+                and timings[n] > RETRY_RATIO * base[n]
+                and timings[n] - base[n] > RETRY_MIN_ABS
+            ][:MAX_RETRIES]
+            if flagged:
+                print(f"# re-timing {len(flagged)} outliers solo: "
+                      f"{' '.join(flagged[:8])}{' ...' if len(flagged) > 8 else ''}",
+                      file=sys.stderr, flush=True)
+                _await_quiet_window(max_wait_s=120)
+                for name in flagged:
+                    t = timed(name)
+                    if t < timings[name]:
+                        timings[name] = t
+                        retimed.append(name)
+                    print(f"# retry {name}: {t:.3f}s", file=sys.stderr,
+                          flush=True)
+
+    _emit(timings, subset=bool(only), force=force, retimed=retimed)
 
 
 if __name__ == "__main__":

@@ -521,6 +521,18 @@ def cust_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_MIN_CELLS = 16
 IVF_TARGET_CELL_ROWS = 125
 N_PROBE = 2
+# Round-13 (verdict item 4): past the flip the flat cells-∝-n rule's
+# DRIVER-SIDE centroid collect (cells×dim float64, carried in the
+# probe UDF's closure) is what grows without bound — 33 MB at the
+# flip, ~512 MB at 125M vectors under flat growth. The √n arm bounds
+# it: cells = n // floor(√n) ≈ √n (5.7 MB at 125M), trading flat
+# occupancy for √n occupancy — verify volume becomes n^1.5·nprobe,
+# which the per-cell GEMM verify absorbs decade(s) further than the
+# retired row-join verify could. The force knob runs the √n rule
+# below the flip for tests/rehearsals (oracle-checked against the
+# flip-forced SQL by tests/test_ivf_sqrt.py, the SemDeDup pattern).
+IVF_SQRT_CELLS = False
+IVF_SQRT_FLIP_ROWS = 8_000_000
 
 
 def _ivf_cells(n_vecs: int) -> int:
@@ -536,10 +548,17 @@ def _ivf_cells(n_vecs: int) -> int:
     (zero jobs) on the Spark side and count(*) in the oracle — the
     `_semdedup_k` pattern — so both engines compute the same cell
     count at any scale from the data alone. Python // and DuckDB //
-    agree (floor) on the non-negative ints involved. At every
+    agree (floor) on the non-negative ints involved; the √n arm's
+    floor(sqrt(double)) is IEEE-identical cross-engine. At every
     committed scale factor the result is the historical 16
     (500//125 < 16 → floor; 2000//125 = 16 exactly), so the baked
-    hash signatures are unchanged."""
+    hash signatures are unchanged. At/past IVF_SQRT_FLIP_ROWS (or
+    under the force knob) the √n arm bounds the driver-side centroid
+    closure — see the knob comment above."""
+    if IVF_SQRT_CELLS or n_vecs >= IVF_SQRT_FLIP_ROWS:
+        from math import floor, sqrt
+
+        return max(IVF_MIN_CELLS, n_vecs // max(1, floor(sqrt(n_vecs))))
     return max(IVF_MIN_CELLS, n_vecs // IVF_TARGET_CELL_ROWS)
 
 
@@ -549,16 +568,28 @@ def _ivf_cells(n_vecs: int) -> int:
 # assignment flip needs a near-exact centroid tie), take rk=1 as the
 # assignment and rk<=N_PROBE as the probes, then verify with the SAME
 # round-6 cosine the exact-family oracles hash-match. Graduated from
-# rows-only in round 6 (the r5 verdict's item 1). The oracle is an
-# f-string over the floor/target/N_PROBE knobs (round-6 advice) and
-# re-derives the cell count from count(*) — retuning or rescaling
+# rows-only in round 6 (the r5 verdict's item 1). The oracle is
+# parameterized over the floor/target/N_PROBE knobs (round-6 advice)
+# and re-derives the cell count from count(*) — including the √n flip
+# CASE, mirroring _ivf_cells exactly — so retuning or rescaling
 # cannot silently desync engine and oracle, same rule as _LSH_ORACLE.
-_IVF_ORACLE = f"""
+# The flip_rows parameter exists so tests can re-bake the SQL with
+# the flip forced and oracle-check the √n regime at tiny sf;
+# registration bakes the module default.
+
+
+def _ivf_oracle(flip_rows: int | None = None) -> str:
+    flip = IVF_SQRT_FLIP_ROWS if flip_rows is None else flip_rows
+    return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
 ),
 k AS (
-  SELECT GREATEST({IVF_MIN_CELLS}, count(*) // {IVF_TARGET_CELL_ROWS}) AS n_cells
+  SELECT CASE WHEN count(*) >= {flip}
+         THEN GREATEST({IVF_MIN_CELLS}, count(*) //
+              GREATEST(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
+         ELSE GREATEST({IVF_MIN_CELLS}, count(*) // {IVF_TARGET_CELL_ROWS})
+         END AS n_cells
   FROM v
 ),
 cent AS (
@@ -588,7 +619,7 @@ QUALIFY nn_rank <= 5
 """
 
 
-@register("sim_ann_ivf", "llm", oracle=_IVF_ORACLE)
+@register("sim_ann_ivf", "llm", oracle=_ivf_oracle())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbors: the _ivf_cells(n)
     lowest-vec_id vectors serve as deterministic centroids
@@ -597,10 +628,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector is assigned to its nearest centroid cell (one numpy
     GEMM in a pandas UDF — same blocked-matmul shape as the 100 TB
     path), each query probes its 2 nearest cells, and candidates are
-    verified with the exact codegen'd JVM cosine. Candidate generation
-    is an equi-join on cell id — the cross-join pair space never
-    materializes. Complements sim_ann_lsh: IVF partitions by data
-    geometry, LSH by random hyperplanes."""
+    verified with one exact float64 GEMM per cell (round-13, the
+    sim_ann_lsh treatment: per-cell local top-5 is exhaustive for the
+    cell, so the global top-5 is a bounded ≤ N_PROBE·5-row window
+    merge). Candidate generation shuffles n·N_PROBE rows keyed by
+    cell — the cross-join pair space never materializes. Past
+    IVF_SQRT_FLIP_ROWS the cell count flips from ∝n to ∝√n so the
+    driver-side centroid closure stays bounded (see _ivf_cells; the
+    oracle's k CTE replays the same CASE). Complements sim_ann_lsh:
+    IVF partitions by data geometry, LSH by random hyperplanes."""
     import numpy as np
     import pandas as pd
 
@@ -631,10 +667,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
+    c_t = np.ascontiguousarray(cents.T)
+    _CH = 512
+
     def _probe_cells(emb):
+        if emb.empty:
+            return pd.Series([], dtype=object)
         m = np.array(emb.tolist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ cents.T  # batch × cells
+        # Chunked with ONE reused buffer (the _gemm_key treatment,
+        # round 13): a monolithic batch×cells sims matrix is 1.28 GB
+        # per 10k-row Arrow batch at the 2M leg's 16000 cells, and
+        # re-faulting fresh pages per batch ran the whole leg ~5×
+        # slower than the arithmetic (497 s measured; same host
+        # pathology the round-12 _gemm_key chunking fixed).
         # top-N_PROBE via repeated argmax, NOT a full-width argsort:
         # argsort is O(cells·log cells) per row and cells ∝ n, so at
         # the 100× rehearsal (1600 cells) the sort alone was a
@@ -643,11 +689,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tie-break as the retired kind="stable" sort and the
         # oracle's (sim DESC, cell ASC) row_number.
         out = np.empty((len(m), N_PROBE), dtype=np.int64)
-        rows = np.arange(len(m))
-        for j in range(N_PROBE):
-            idx = np.argmax(sims, axis=1)
-            out[:, j] = idx
-            sims[rows, idx] = -np.inf
+        buf = np.empty((min(_CH, len(m)), c_t.shape[1]))
+        for lo in range(0, len(m), _CH):
+            mc = m[lo : lo + _CH]
+            b = buf[: len(mc)]
+            np.matmul(mc, c_t, out=b)
+            rows = np.arange(len(mc))
+            for j in range(N_PROBE):
+                idx = np.argmax(b, axis=1)
+                out[lo : lo + len(mc), j] = idx
+                b[rows, idx] = -np.inf
         return pd.Series(list(out))
 
     probe_cells = F.pandas_udf(_probe_cells, "array<long>")
@@ -658,62 +709,82 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finding); the centroid collect above stays on the raw load so
     # its vec_id filter pushes into the scan.
     e = spread_ingest(e)
-    # ONE assignment pass for both roles: pcells[0] is the primary
-    # cell (index side), the full array is the probe list (query
-    # side). The two sides previously ran separate pandas UDFs, each
-    # paying the full n×cells GEMM; the localCheckpoint materializes
-    # the shared assignment once (n rows × ~600 B — 120 MB at the
-    # 100× rehearsal) and, as a stage boundary, also keeps the
-    # Python eval node out of the verify join's codegen stage.
-    base = e.select(
-        "vec_id",
-        raw.alias("v"),
-        F.expr(norm_unrolled_sql("embedding")).alias("nv"),
-        probe_cells(raw).alias("pcells"),
-    ).localCheckpoint(eager=True)
-    indexed = base.select(
-        "vec_id", "v", "nv", F.col("pcells").getItem(0).alias("cell")
-    )
-    # The repartition below is load-bearing: it pre-satisfies the
-    # ranking window's distribution and (with the checkpoint above)
-    # keeps the 64-term verification dot inside whole-stage codegen —
-    # interpreted it ran ~12× slower measured at sf0.1.
-    probes = base.select(
-        "vec_id",
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-        F.explode("pcells").alias("cell"),
-    ).repartition(default_parallelism(), "vec_id")
-    # Index side broadcasts only while it fits one executor (round-5
-    # review): past the cap the SAME candidate join shuffles on the
-    # cell id — cells grow ∝ n (occupancy flat at ~IVF_TARGET_CELL_
-    # ROWS), so the cell key has the cardinality a shuffle join needs
-    # and no single cell can become a skew straggler.
-    from linux_logs_spark.operators.llm_pipeline import _EMBED_ROW_BYTES
+    # ONE assignment pass for both roles: posexploding pcells yields a
+    # (prank, cell) row per probe — prank 0 marks the PRIMARY cell
+    # (the row is a MEMBER there), and every row is a QUERY of its
+    # cell. Shuffle volume is n·N_PROBE rows keyed by cell.
+    probed = e.select(
+        "vec_id", "embedding", probe_cells(raw).alias("pcells")
+    ).select("vec_id", "embedding", F.posexplode("pcells").alias("prank", "cell"))
 
-    cand = probes.alias("q").join(
-        broadcast_if_fits(indexed.alias("x"), table_row_count(sf_dir, "embeddings"), _EMBED_ROW_BYTES),
-        (F.col("q.cell") == F.col("x.cell"))
-        & (F.col("q.vec_id") != F.col("x.vec_id")),
+    chunk = _CELL_GEMM_CHUNK
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Within-cell verification: ONE numpy float64 GEMM of the
+        # cell's queries against its members (round-13 — the JVM
+        # equi-join + 64-term-fold form priced the 2M-vector leg at
+        # ~5e9 candidate rows, a ~20-minute DNF that kept sim_ann_ivf
+        # out of the third-decade rehearsal; this is the sim_ann_lsh
+        # treatment). A query's per-cell local top-5 is EXHAUSTIVE for
+        # that cell, so the global top-5 lives in the union of its
+        # ≤ N_PROBE·5 local winners — merged by the tiny ranking
+        # window below. Tie-break parity: members sorted by vec_id so
+        # argmax's first-max rule IS the oracle's (sim DESC,
+        # neighbor_id ASC); sims round 6-digit half-away-from-zero
+        # BEFORE ranking (the shared rounded-sim convention).
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        mem = pdf[pdf["prank"] == 0]
+        if not len(mem):
+            # probed-only cell (no vector's primary): no candidates
+            return empty
+        mids = mem["vec_id"].to_numpy()
+        mm = np.array(mem["embedding"].tolist(), dtype=np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        qids = pdf["vec_id"].to_numpy()
+        qm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        k = min(5, mm.shape[0])
+        frames = []
+        # query-chunked so the sim matrix is chunk×|members| — bounds
+        # task memory on a hot cell; top-5 via k argmax PASSES, not a
+        # per-row sort (occupancy grows to √n past the flip, where a
+        # Python loop over rows would dominate the GEMM)
+        for lo in range(0, len(qids), chunk):
+            sims = qm[lo : lo + chunk] @ mm.T
+            sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+            sims[qids[lo : lo + chunk, None] == mids[None, :]] = -np.inf
+            rows = np.arange(sims.shape[0])
+            qslice = qids[lo : lo + sims.shape[0]]
+            for _ in range(k):
+                idx = np.argmax(sims, axis=1)
+                val = sims[rows, idx]
+                keep = val != -np.inf
+                if keep.any():
+                    frames.append(pd.DataFrame({
+                        "vec_id": qslice[keep],
+                        "neighbor_id": mids[idx[keep]],
+                        "sim": val[keep],
+                    }))
+                sims[rows, idx] = -np.inf
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = probed.groupBy("cell").applyInPandas(
+        cell_topk, "vec_id long, neighbor_id long, sim double"
     )
-    raw_sim = F.expr(dot_unrolled_sql("q.qv", "x.v")) / (
-        F.col("q.qn") * F.col("x.nv")
-    )
-    # pairs are already unique: each query probes 2 DISTINCT cells and
-    # a candidate lives in exactly 1 primary cell — no dedup shuffle.
-    # round6_away in its own projection: one binary half-away-from-
-    # zero convention for every rounded-sim oracle (round-6 advice).
-    pairs = cand.select(
-        F.col("q.vec_id").alias("vec_id"),
-        F.col("x.vec_id").alias("neighbor_id"),
-        raw_sim.alias("raw_sim"),
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        F.expr(round6_away_sql("raw_sim")).alias("sim"),
-    )
+    # global merge: ≤ N_PROBE·5 candidates per query — a bounded
+    # partitioned window with the same (sim DESC, neighbor ASC) order
+    # as each cell's local ranking and the oracle's row_number
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return pairs.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
+    return cand.withColumn("nn_rank", F.row_number().over(w).cast("long")).filter(
         F.col("nn_rank") <= 5
     )
 

@@ -389,13 +389,16 @@ HEAVY_1000X_TRUE = [
 # SemDeDup runs its K∝n rule at K=8000 — deep inside the GEMM regime;
 # LSH continues the log-n plane rule (14 planes ≈ 122/bucket at 2M,
 # the knob stays a knob because the plane count is baked into the
-# registered oracle SQL). sim_ann_ivf is excluded: its verify volume
-# (n × nprobe × 125 = 500M exact dots) is a ~20-minute leg on this
-# host — nothing new beyond the 100× trend it already proved.
+# registered oracle SQL). sim_ann_ivf joined in round 13: the
+# per-cell GEMM verify replaced the JVM candidate join whose ~5e8
+# exact-dot verify volume priced this leg at ~20 minutes (the
+# round-12 exclusion reason); 2M vectors run the flat cells-∝-n rule
+# (16000 cells, occupancy 125, 8 MB centroid closure).
 EMB_1000X_TRUE = [
     "emb_kmeans_lloyd",
     "dedup_semantic_cluster",
     "sim_ann_lsh",
+    "sim_ann_ivf",
 ]
 EMB_KNOBS_1000X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 14,
@@ -414,9 +417,14 @@ EMB_KNOBS_1000X = {
 # emb_kmeans_lloyd is excluded: fixed
 # K=8 is proven linear through 2M and a ~15-minute fourth leg
 # re-proves nothing.
+# sim_ann_ivf's 20M leg is the √n hatch's first live measurement
+# (20M ≥ IVF_SQRT_FLIP_ROWS → 4472 cells ≈ √n: centroid closure
+# 2.3 MB instead of the flat rule's 82 MB, occupancy 4472 → verify
+# is the documented n^1.5·nprobe GEMM trade).
 EMB_10000X_TRUE = [
     "dedup_semantic_cluster",
     "sim_ann_lsh",
+    "sim_ann_ivf",
 ]
 EMB_KNOBS_10000X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 17,

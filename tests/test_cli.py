@@ -99,3 +99,18 @@ def test_prior_full_median_prefers_head_commit(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert _prior_full_median(str(empty)) is None
+
+
+def test_bench_baseline_query_times_reads_head():
+    """The outlier-splice pass (round 13) compares against the
+    HEAD-committed per-query baseline; it must parse the committed
+    artifact and degrade to None on garbage, never crash a run."""
+    import os
+
+    from bench import _baseline_query_times
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = _baseline_query_times(repo)
+    assert base and len(base) > 200
+    assert all(isinstance(v, float) for v in base.values())
+    assert _baseline_query_times("/nonexistent") is None

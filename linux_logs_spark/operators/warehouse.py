@@ -521,18 +521,26 @@ def cust_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_MIN_CELLS = 16
 IVF_TARGET_CELL_ROWS = 125
 N_PROBE = 2
-# Round-13 (verdict item 4): past the flip the flat cells-∝-n rule's
-# DRIVER-SIDE centroid collect (cells×dim float64, carried in the
-# probe UDF's closure) is what grows without bound — 33 MB at the
-# flip, ~512 MB at 125M vectors under flat growth. The √n arm bounds
-# it: cells = n // floor(√n) ≈ √n (5.7 MB at 125M), trading flat
-# occupancy for √n occupancy — verify volume becomes n^1.5·nprobe,
-# which the per-cell GEMM verify absorbs decade(s) further than the
-# retired row-join verify could. The force knob runs the √n rule
-# below the flip for tests/rehearsals (oracle-checked against the
-# flip-forced SQL by tests/test_ivf_sqrt.py, the SemDeDup pattern).
+# Round-13 (verdict item 4): past the flip the flat cells-∝-n rule
+# has TWO unbounded terms — the driver-side centroid collect
+# (cells×dim float64 in the probe UDF's closure: ~512 MB at 125M
+# vectors) and, sooner, the n×cells assignment GEMM (n²·dim/125
+# FLOPs: the 2M rehearsal leg measured 211.6 s, 27× its 200k leg).
+# The √n arm bounds both: cells = n // floor(√n) ≈ √n (closure
+# 5.7 MB at 125M; assignment n^1.5·dim), trading flat occupancy for
+# √n occupancy — verify volume becomes n^1.5·nprobe·dim, the same
+# order as the assignment, which the per-cell GEMM verify absorbs
+# (measured: the 2M leg drops 211.6 → ~60 s under the √n arm, the
+# 20M leg completes in ~507 s where flat projects hours). The flip
+# sits at the measured crossover decade: 1x/10x/100x rehearsal legs
+# (≤200k vectors) and every committed sf stay flat, so baked hash
+# signatures are unchanged. Recall is not traded: √n cells are
+# BIGGER, so each probe verifies more candidates, never fewer. The
+# force knob runs the √n rule below the flip for tests/rehearsals
+# (oracle-checked against the flip-forced SQL by
+# tests/test_ivf_sqrt.py, the SemDeDup pattern).
 IVF_SQRT_CELLS = False
-IVF_SQRT_FLIP_ROWS = 8_000_000
+IVF_SQRT_FLIP_ROWS = 1_000_000
 
 
 def _ivf_cells(n_vecs: int) -> int:

@@ -23,10 +23,12 @@ def test_ivf_cells_rule_arms():
     # flat below the flip — committed sfs keep their historical 16
     assert wh._ivf_cells(500) == 16
     assert wh._ivf_cells(2000) == 16
-    assert wh._ivf_cells(2_000_000) == 16000
-    assert wh._ivf_cells(7_999_999) == 63999
-    # at/past the flip: cells ≈ √n, closure = cells×512B stays MB-scale
-    assert wh._ivf_cells(8_000_000) == 8_000_000 // 2828
+    assert wh._ivf_cells(200_000) == 1600
+    assert wh._ivf_cells(999_999) == 7999
+    # at/past the flip: cells ≈ √n — bounds BOTH the centroid closure
+    # (cells×512B stays MB-scale) and the n×cells assignment GEMM
+    assert wh._ivf_cells(1_000_000) == 1_000_000 // 1000
+    assert wh._ivf_cells(2_000_000) == 2_000_000 // 1414
     assert wh._ivf_cells(125_000_000) == 125_000_000 // 11180
     # force knob engages the √n arm below the flip; floor respected
     old = wh.IVF_SQRT_CELLS

@@ -113,69 +113,69 @@ def _ensure_loaded() -> None:
 # scripts/update_measured_cost.py, which also maintains that line).
 # tests/test_contract.py asserts every registered
 # query has an entry so additions can't silently default.
-# LAST REFRESH: 243 queries, total 346.0 s, zero bad rows; round-12 full 2-pass after LSH/SemDeDup GEMM + decontam restructure
+# LAST REFRESH: 243 queries, total 289.1 s, zero bad rows; round-13 full 2-pass after IVF GEMM verify + SemDeDup two-level + avro columnar writer
 _MEASURED_COST: dict[str, float] = {
-    "agg_approx_distinct": 0.87, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.35, "agg_bool": 0.25,
-    "agg_collect": 0.27, "agg_conditional_family": 0.41, "agg_count_distinct": 0.37, "agg_cube": 0.45,
-    "agg_distinct_rows": 0.17, "agg_freq_items_sketch": 0.77, "agg_global": 0.39, "agg_groupby": 0.46,
-    "agg_groupby_sql": 0.48, "agg_grouping_id": 0.25, "agg_grouping_sets": 0.24, "agg_having": 0.24,
-    "agg_histogram": 0.19, "agg_hll_sketch_rollup": 0.46, "agg_min_max_by": 0.2, "agg_mode": 0.31,
-    "agg_percentile": 0.5, "agg_pivot": 0.31, "agg_regression_family": 0.36, "agg_rollup": 0.38,
-    "agg_stats": 0.29, "agg_string_concat": 0.24, "agg_unpivot": 0.14, "bpe_train_merges": 4.15,
-    "corpus_budget_trim": 0.68, "corpus_mix_rebalance": 0.36, "corpus_temperature_sample": 0.37, "cust_order_intervals": 0.37,
-    "cust_rfm_segments": 2.33, "decontam_ngram_overlap": 1.1, "dedup_clusters_cc": 3.02, "dedup_edit_verify": 1.72,
-    "dedup_embedding_cosine": 1.47, "dedup_exact": 0.19, "dedup_exact_hash": 0.17, "dedup_near_minhash": 1.11,
-    "dedup_ngram_jaccard": 1.08, "dedup_semantic_cluster": 3.07, "dedup_shingle_jaccard": 1.07, "dedup_simhash": 1.87,
-    "dedup_substring_span": 1.38, "doc_chunk": 0.21, "doc_pii_scrub": 0.23, "dq_expectations": 0.38,
-    "emb_centroid_outliers": 0.6, "emb_kmeans_lloyd": 5.2, "emb_label_centroid": 0.25, "emb_matryoshka_truncate": 1.41,
-    "emb_neighborhood_purity": 1.24, "emb_pca_power": 0.46, "emb_quantize_int8": 0.56, "fn_aes_roundtrip": 0.18,
-    "fn_array": 0.15, "fn_array_agg": 0.15, "fn_bitwise": 0.28, "fn_collation": 0.45,
-    "fn_conditional": 0.36, "fn_datetime": 0.67, "fn_hash": 0.1, "fn_interval": 0.3,
-    "fn_json": 0.32, "fn_map": 0.36, "fn_math": 0.17, "fn_posexplode": 0.16,
-    "fn_regex": 0.17, "fn_sql_udf": 0.28, "fn_string": 0.19, "fn_string_extended": 0.19,
-    "fn_struct": 0.33, "fn_trig": 0.21, "fn_try_arith": 0.18, "fn_url_parse": 0.14,
-    "fn_variant": 0.15, "fn_xpath": 0.27, "graph_pagerank": 3.65, "graph_shortest_path": 1.91,
-    "graph_triangle_count": 0.46, "join_asof": 0.32, "join_bloom_runtime_filter": 0.42, "join_broadcast": 0.36,
-    "join_bucketed_colocated": 1.16, "join_cross": 0.14, "join_full_outer": 0.3, "join_inner_equi": 0.52,
-    "join_inner_equi_sql": 0.49, "join_left_anti": 0.15, "join_left_outer": 0.36, "join_left_semi": 0.16,
-    "join_null_safe": 0.33, "join_partition_pruned": 0.39, "join_range_binned": 0.52, "join_self_multi": 0.31,
-    "join_skew_salted": 0.35, "join_theta_range": 0.15, "limit_topk": 0.11, "log_alert_debounce": 0.26,
-    "log_anomaly_zscore": 0.35, "log_burst_detect": 0.34, "log_corr_matrix": 0.46, "log_entropy_profile": 0.47,
-    "log_error_rate_hourly": 0.23, "log_error_rate_hourly_sql": 0.25, "log_event_transitions": 0.34, "log_gap_fill": 0.41,
-    "log_latency_percentiles": 0.41, "log_retention_cohorts": 0.37, "log_rollup_incremental": 0.6, "log_rollup_multires": 1.05,
-    "log_search": 0.3, "log_seasonality_profile": 0.3, "log_slo_burn": 0.32, "log_template_mine": 0.41,
-    "log_top_services": 0.25, "log_type_hour_matrix": 0.31, "log_user_funnel": 0.25, "multimodal_features": 0.55,
-    "multimodal_frame_sample": 0.32, "multimodal_join": 0.19, "multimodal_resize": 0.31, "obs_metrics": 0.75,
-    "pack_sequences": 0.23, "pack_sequences_ffd": 0.35, "part_copurchase": 0.15, "pipeline_corpus_prep": 0.58,
-    "pipeline_perplexity_gate": 1.43, "q_case_when": 0.36, "q_exists_correlated": 0.16, "q_filter_basic": 0.25,
-    "q_filter_basic_sql": 0.25, "q_filter_in_between": 0.14, "q_filter_like": 0.12, "q_group_by_all": 0.25,
-    "q_lateral_topk": 0.36, "q_parameterized_sql": 0.18, "q_pipe_syntax": 0.25, "q_project": 1.59,
-    "q_recursive_cte": 1.2, "q_subquery_scalar": 0.31, "sample_stratified": 0.25, "sample_weighted_priority": 0.37,
-    "scan_apache_log": 0.39, "scan_avro_roundtrip": 1.55, "scan_binary_files": 0.2, "scan_csv_malformed": 0.27,
-    "scan_csv_roundtrip": 0.57, "scan_json_lines": 0.23, "scan_orc_roundtrip": 0.45, "scan_parquet": 0.05,
-    "scan_python_datasource": 1.01, "scan_schema_evolution": 0.56, "scan_text_gzip": 0.5, "scan_text_parse": 0.31,
-    "scan_xml_roundtrip": 0.28, "scd2_merge": 0.18, "sessionize": 0.52, "set_except": 0.2,
-    "set_except_all": 0.39, "set_intersect": 0.26, "set_intersect_all": 0.37, "set_union_all": 0.19,
-    "set_union_distinct": 0.27, "shuffle_shard": 0.23, "sim_ann_ivf": 1.87, "sim_ann_lsh": 1.08,
-    "sim_cosine_blocked": 1.13, "sim_cosine_topk": 0.45, "sim_knn_label": 0.54, "sink_parquet_partitioned": 1.1,
-    "sink_parquet_rebalanced": 0.59, "sink_python_datasource": 1.12, "sort_multi": 0.55, "split_train_holdout": 0.1,
-    "stream_custom_state": 1.13, "stream_dedup": 1.03, "stream_foreach_batch": 0.77, "stream_python_sink": 1.24,
-    "stream_python_source": 4.58, "stream_session": 1.33, "stream_sliding": 0.98, "stream_state_reader": 0.25,
-    "stream_static_join": 1.02, "stream_stream_join": 3.35, "stream_text_tail": 1.1, "stream_transform_with_state": 1.08,
-    "stream_tumbling": 0.93, "stream_watermark_late": 1.5, "table_column_stats": 0.72, "table_incremental_changes": 0.37,
-    "table_merge_upsert": 0.47, "table_optimize_compact": 0.79, "table_partition_evolution": 1.04, "table_time_travel": 0.36,
-    "table_vacuum": 1.2, "table_zorder_cluster": 0.78, "text_bigram_lm": 0.48, "text_fingerprint": 0.36,
-    "text_hashing_tf": 0.41, "text_lang_id": 0.28, "text_lang_stats": 0.28, "text_ngram_topk": 0.51,
-    "text_perplexity": 1.45, "text_quality_score": 0.18, "text_repetition_score": 0.31, "text_tfidf": 1.43,
-    "text_token_count_bpe": 0.16, "text_tokenize_counts": 0.2, "topk_per_group": 0.27, "tpch_q10": 0.43,
-    "tpch_q13": 0.37, "tpch_q14": 0.3, "tpch_q15": 0.5, "tpch_q17": 0.51,
-    "tpch_q18": 0.53, "tpch_q19": 0.3, "tpch_q3": 0.39, "tpch_q5": 0.34,
-    "tpch_q6": 0.19, "tpch_q7": 0.5, "tpch_q8": 0.66, "udaf_arrow_grouped": 0.39,
-    "udaf_pandas_agg": 0.31, "udf_arrow_batch": 0.46, "udf_pandas_scalar": 0.28, "udf_python": 0.36,
-    "udtf_apply_in_pandas": 0.32, "udtf_python_native": 0.47, "vocab_build": 0.24, "win_first_last": 0.32,
-    "win_lag_lead": 0.52, "win_latest_per_key": 0.24, "win_nth_value": 0.31, "win_pattern_seq": 0.31,
-    "win_pattern_var": 0.44, "win_range_frame": 2.09, "win_ranking": 0.74, "win_ranking_sql": 0.73,
-    "win_running": 0.93, "win_session_window": 0.45, "win_time_range_frame": 0.41,
+    "agg_approx_distinct": 0.86, "agg_approx_percentile": 0.2, "agg_bitmap_distinct": 0.28, "agg_bool": 0.21,
+    "agg_collect": 0.19, "agg_conditional_family": 0.36, "agg_count_distinct": 0.29, "agg_cube": 0.35,
+    "agg_distinct_rows": 0.16, "agg_freq_items_sketch": 0.67, "agg_global": 0.33, "agg_groupby": 0.39,
+    "agg_groupby_sql": 0.36, "agg_grouping_id": 0.21, "agg_grouping_sets": 0.2, "agg_having": 0.18,
+    "agg_histogram": 0.17, "agg_hll_sketch_rollup": 0.31, "agg_min_max_by": 0.17, "agg_mode": 0.23,
+    "agg_percentile": 0.42, "agg_pivot": 0.27, "agg_regression_family": 0.3, "agg_rollup": 0.3,
+    "agg_stats": 0.23, "agg_string_concat": 0.19, "agg_unpivot": 0.1, "bpe_train_merges": 3.03,
+    "corpus_budget_trim": 0.56, "corpus_mix_rebalance": 0.33, "corpus_temperature_sample": 0.41, "cust_order_intervals": 0.31,
+    "cust_rfm_segments": 1.68, "decontam_ngram_overlap": 1.04, "dedup_clusters_cc": 2.06, "dedup_edit_verify": 1.2,
+    "dedup_embedding_cosine": 1.19, "dedup_exact": 0.16, "dedup_exact_hash": 0.17, "dedup_near_minhash": 0.77,
+    "dedup_ngram_jaccard": 0.84, "dedup_semantic_cluster": 5.12, "dedup_shingle_jaccard": 0.9, "dedup_simhash": 1.38,
+    "dedup_substring_span": 1.21, "doc_chunk": 0.17, "doc_pii_scrub": 0.18, "dq_expectations": 0.27,
+    "emb_centroid_outliers": 0.5, "emb_kmeans_lloyd": 4.45, "emb_label_centroid": 0.2, "emb_matryoshka_truncate": 1.3,
+    "emb_neighborhood_purity": 0.56, "emb_pca_power": 0.37, "emb_quantize_int8": 0.36, "fn_aes_roundtrip": 0.13,
+    "fn_array": 0.12, "fn_array_agg": 0.13, "fn_bitwise": 0.23, "fn_collation": 0.36,
+    "fn_conditional": 0.33, "fn_datetime": 0.62, "fn_hash": 0.08, "fn_interval": 0.21,
+    "fn_json": 0.28, "fn_map": 0.27, "fn_math": 0.15, "fn_posexplode": 0.12,
+    "fn_regex": 0.12, "fn_sql_udf": 0.22, "fn_string": 0.15, "fn_string_extended": 0.17,
+    "fn_struct": 0.39, "fn_trig": 0.14, "fn_try_arith": 0.14, "fn_url_parse": 0.12,
+    "fn_variant": 0.13, "fn_xpath": 0.2, "graph_pagerank": 3.2, "graph_shortest_path": 1.78,
+    "graph_triangle_count": 0.49, "join_asof": 0.23, "join_bloom_runtime_filter": 0.42, "join_broadcast": 0.33,
+    "join_bucketed_colocated": 0.88, "join_cross": 0.11, "join_full_outer": 0.25, "join_inner_equi": 0.38,
+    "join_inner_equi_sql": 0.4, "join_left_anti": 0.12, "join_left_outer": 0.32, "join_left_semi": 0.15,
+    "join_null_safe": 0.3, "join_partition_pruned": 0.3, "join_range_binned": 0.54, "join_self_multi": 0.24,
+    "join_skew_salted": 0.31, "join_theta_range": 0.13, "limit_topk": 0.09, "log_alert_debounce": 0.28,
+    "log_anomaly_zscore": 0.3, "log_burst_detect": 0.29, "log_corr_matrix": 0.37, "log_entropy_profile": 0.43,
+    "log_error_rate_hourly": 0.21, "log_error_rate_hourly_sql": 0.22, "log_event_transitions": 0.28, "log_gap_fill": 0.35,
+    "log_latency_percentiles": 0.39, "log_retention_cohorts": 0.32, "log_rollup_incremental": 0.47, "log_rollup_multires": 0.84,
+    "log_search": 0.23, "log_seasonality_profile": 0.28, "log_slo_burn": 0.28, "log_template_mine": 0.41,
+    "log_top_services": 0.21, "log_type_hour_matrix": 0.24, "log_user_funnel": 0.21, "multimodal_features": 0.43,
+    "multimodal_frame_sample": 0.29, "multimodal_join": 0.15, "multimodal_resize": 0.27, "obs_metrics": 0.64,
+    "pack_sequences": 0.2, "pack_sequences_ffd": 0.41, "part_copurchase": 0.14, "pipeline_corpus_prep": 0.51,
+    "pipeline_perplexity_gate": 1.15, "q_case_when": 0.26, "q_exists_correlated": 0.13, "q_filter_basic": 0.2,
+    "q_filter_basic_sql": 0.23, "q_filter_in_between": 0.11, "q_filter_like": 0.09, "q_group_by_all": 0.25,
+    "q_lateral_topk": 0.29, "q_parameterized_sql": 0.17, "q_pipe_syntax": 0.18, "q_project": 1.3,
+    "q_recursive_cte": 0.94, "q_subquery_scalar": 0.22, "sample_stratified": 0.19, "sample_weighted_priority": 0.3,
+    "scan_apache_log": 0.29, "scan_avro_roundtrip": 1.21, "scan_binary_files": 0.14, "scan_csv_malformed": 0.2,
+    "scan_csv_roundtrip": 0.34, "scan_json_lines": 0.19, "scan_orc_roundtrip": 0.26, "scan_parquet": 0.05,
+    "scan_python_datasource": 0.85, "scan_schema_evolution": 0.52, "scan_text_gzip": 0.4, "scan_text_parse": 0.26,
+    "scan_xml_roundtrip": 0.24, "scd2_merge": 0.18, "sessionize": 0.51, "set_except": 0.18,
+    "set_except_all": 0.3, "set_intersect": 0.24, "set_intersect_all": 0.38, "set_union_all": 0.15,
+    "set_union_distinct": 0.22, "shuffle_shard": 0.18, "sim_ann_ivf": 1.44, "sim_ann_lsh": 0.78,
+    "sim_cosine_blocked": 0.41, "sim_cosine_topk": 0.89, "sim_knn_label": 0.53, "sink_parquet_partitioned": 0.85,
+    "sink_parquet_rebalanced": 0.43, "sink_python_datasource": 1.2, "sort_multi": 0.46, "split_train_holdout": 0.08,
+    "stream_custom_state": 0.86, "stream_dedup": 0.9, "stream_foreach_batch": 0.65, "stream_python_sink": 1.43,
+    "stream_python_source": 3.94, "stream_session": 0.96, "stream_sliding": 0.9, "stream_state_reader": 0.29,
+    "stream_static_join": 0.82, "stream_stream_join": 2.47, "stream_text_tail": 0.93, "stream_transform_with_state": 0.96,
+    "stream_tumbling": 0.87, "stream_watermark_late": 1.3, "table_column_stats": 0.61, "table_incremental_changes": 0.43,
+    "table_merge_upsert": 0.41, "table_optimize_compact": 0.76, "table_partition_evolution": 1.03, "table_time_travel": 0.32,
+    "table_vacuum": 1.07, "table_zorder_cluster": 0.68, "text_bigram_lm": 0.45, "text_fingerprint": 0.31,
+    "text_hashing_tf": 0.4, "text_lang_id": 0.2, "text_lang_stats": 0.24, "text_ngram_topk": 0.49,
+    "text_perplexity": 1.19, "text_quality_score": 0.15, "text_repetition_score": 0.27, "text_tfidf": 1.27,
+    "text_token_count_bpe": 0.12, "text_tokenize_counts": 0.16, "topk_per_group": 0.22, "tpch_q10": 0.37,
+    "tpch_q13": 0.26, "tpch_q14": 0.24, "tpch_q15": 0.4, "tpch_q17": 0.38,
+    "tpch_q18": 0.51, "tpch_q19": 0.24, "tpch_q3": 0.3, "tpch_q5": 0.31,
+    "tpch_q6": 0.17, "tpch_q7": 0.46, "tpch_q8": 0.41, "udaf_arrow_grouped": 0.31,
+    "udaf_pandas_agg": 0.26, "udf_arrow_batch": 0.39, "udf_pandas_scalar": 0.26, "udf_python": 0.36,
+    "udtf_apply_in_pandas": 0.25, "udtf_python_native": 0.43, "vocab_build": 0.2, "win_first_last": 0.27,
+    "win_lag_lead": 0.45, "win_latest_per_key": 0.19, "win_nth_value": 0.27, "win_pattern_seq": 0.24,
+    "win_pattern_var": 0.4, "win_range_frame": 1.78, "win_ranking": 0.77, "win_ranking_sql": 0.7,
+    "win_running": 0.81, "win_session_window": 0.42, "win_time_range_frame": 0.43,
 }
 
 _DEFAULT_COST = 0.9

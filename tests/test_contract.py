@@ -214,3 +214,42 @@ def test_topk_cache_is_bounded(spark):
     assert len(lp._topk_cache) == 1
     for df in first.values():
         assert df.storageLevel.useMemory is False, "evicted frame still persisted"
+
+
+def test_fingerprint_detects_behavior_changes():
+    """The rotation's change detector must (a) be stable across calls,
+    (b) change when a scalar knob the operator reads changes, and
+    (c) change when the oracle SQL changes — else a plan rewrite can
+    ship without ever re-fronting the driver window."""
+    import importlib.util
+    from pathlib import Path
+
+    from linux_logs_spark.operators import warehouse as wh
+    from linux_logs_spark.registry import _REGISTRY
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "plan_fingerprint", repo / "scripts" / "plan_fingerprint.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    s = _REGISTRY["dedup_semantic_cluster"]
+    fp1 = mod.fingerprint_fn(s.fn, s.oracle, strip=str(repo))
+    assert fp1 == mod.fingerprint_fn(s.fn, s.oracle, strip=str(repo))
+    # (b) knob change: SEMDEDUP_THRESHOLD is read by the operator
+    old = wh.SEMDEDUP_THRESHOLD
+    try:
+        wh.SEMDEDUP_THRESHOLD = 0.99
+        fp2 = mod.fingerprint_fn(s.fn, s.oracle, strip=str(repo))
+    finally:
+        wh.SEMDEDUP_THRESHOLD = old
+    assert fp2 != fp1
+    assert mod.fingerprint_fn(s.fn, s.oracle, strip=str(repo)) == fp1
+    # (c) oracle change
+    assert mod.fingerprint_fn(s.fn, (s.oracle or "") + " -- x", strip=str(repo)) != fp1
+    # (d) repo-path strings are normalized: a __file__-derived global
+    # (scans._SCRATCH) must not leak the checkout path into the hash
+    s2 = _REGISTRY["scan_csv_roundtrip"]
+    fp_a = mod.fingerprint_fn(s2.fn, s2.oracle, strip=str(repo))
+    assert fp_a == mod.fingerprint_fn(s2.fn, s2.oracle, strip=str(repo))

@@ -57,6 +57,7 @@ SCALE100_DIR = os.path.join(REPO, ".scale100")
 SCALE1000_DIR = os.path.join(REPO, ".scale1000")
 SCALE1000T_DIR = os.path.join(REPO, ".scale1000t")
 SCALE10K_DIR = os.path.join(REPO, ".scale10k")
+SCALE30K_DIR = os.path.join(REPO, ".scale30k")
 N_DOCS_100X = 500_000
 N_VECS_100X = 200_000
 # rare-tail multiplier tracks the corpus (Heaps): 30× base vocab at
@@ -428,6 +429,21 @@ EMB_10000X_TRUE = [
 ]
 EMB_KNOBS_10000X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 17,
+}
+
+# Half-decade stress point (round 13): 60M vectors — 3× the fourth
+# decade, sized to exercise the two-level SemDeDup's per-task memory
+# dimension (coarse cells grow √(n·T): ~122k rows ≈ 125 MB matrices
+# per task at 60M vs 71k at 20M) and the √n-IVF-style shuffle volumes
+# (~3× the 20M legs) without the 200M full decade, whose ~100 GB+
+# shuffle exceeds this host's free disk. N_PLANES continues the log-n
+# rule to 19 (2¹⁹ buckets, occupancy ~114).
+EMB_30000X_TRUE = [
+    "dedup_semantic_cluster",
+    "sim_ann_lsh",
+]
+EMB_KNOBS_30000X = {
+    ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 19,
 }
 TAIL_MULT_1000X = 3000
 
@@ -1008,6 +1024,16 @@ if __name__ == "__main__":
         help="run EMB_10000X_TRUE at the 20M-vector fourth-decade set",
     )
     ap.add_argument(
+        "--gen30000-emb",
+        action="store_true",
+        help="synthesize the 60M-vector half-decade set into .scale30k",
+    )
+    ap.add_argument(
+        "--run30000-emb",
+        action="store_true",
+        help="run EMB_30000X_TRUE at the 60M-vector half-decade set",
+    )
+    ap.add_argument(
         "--gen100",
         action="store_true",
         help="synthesize the 100x documents/embeddings set into .scale100 "
@@ -1282,6 +1308,68 @@ if __name__ == "__main__":
             tiers=[("10000x_true", SCALE10K_DIR, EMB_KNOBS_10000X)],
             family=EMB_10000X_TRUE,
         )
+    if args.gen30000_emb:
+        import numpy as _np7
+        import pyarrow as _pa7
+        import pyarrow.parquet as _pq7
+
+        os.makedirs(SCALE30K_DIR, exist_ok=True)
+        n_vecs = 60_000_000
+        rng7 = _np7.random.default_rng(SEED + 5)
+        labels = rng7.integers(0, 10, size=n_vecs)
+        # float32 accumulation in 2M-row chunks (the gen10000 shape;
+        # the full array is 15.4 GB — fits RAM, a monolithic float64
+        # draw would not); same distribution, new rng stream
+        vecs = _np7.empty((n_vecs, 64), dtype=_np7.float32)
+        step = 2_000_000
+        for lo in range(0, n_vecs, step):
+            vecs[lo : lo + step] = rng7.normal(
+                0, 1.0, size=(min(step, n_vecs - lo), 64)
+            ).astype(_np7.float32)
+        n_vdup = int(n_vecs * NEAR_DUP_FRAC)
+        src = rng7.integers(0, n_vecs - n_vdup, size=n_vdup)
+        vecs[n_vecs - n_vdup :] = vecs[src] + rng7.normal(
+            0, 0.05, size=(n_vdup, 64)
+        ).astype(_np7.float32)
+        labels[n_vecs - n_vdup :] = labels[src]
+        for lo in range(0, n_vecs, step):
+            blk = vecs[lo : lo + step]
+            blk /= _np7.linalg.norm(blk, axis=1, keepdims=True)
+        emb_schema = _pq7.read_table(
+            os.path.join(SF1_DIR, "embeddings.parquet")
+        ).schema
+        writer = _pq7.ParquetWriter(
+            os.path.join(SCALE30K_DIR, "embeddings.parquet"), emb_schema
+        )
+        for lo in range(0, n_vecs, step):
+            hi = min(lo + step, n_vecs)
+            tbl = _pa7.table(
+                {
+                    "vec_id": _pa7.array(range(lo, hi), _pa7.int64()),
+                    "embedding": _pa7.array(
+                        list(vecs[lo:hi]), _pa7.list_(_pa7.float32())
+                    ),
+                    "label": _pa7.array(labels[lo:hi], _pa7.int64()),
+                }
+            ).cast(emb_schema)
+            writer.write_table(tbl, row_group_size=1_000_000)
+        writer.close()
+        print(f"generated {n_vecs} embeddings in {SCALE30K_DIR}")
+    if args.run30000_emb:
+        import pyarrow.parquet as _pq8
+
+        pth = os.path.join(SCALE30K_DIR, "embeddings.parquet")
+        if not os.path.exists(pth):
+            ap.error("--run30000-emb requires --gen30000-emb first")
+        n = _pq8.ParquetFile(pth).metadata.num_rows
+        if n != 60_000_000:
+            ap.error(f".scale30k embeddings has {n} rows, not the 60M "
+                     "half-decade set: run --gen30000-emb")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("30000x_true", SCALE30K_DIR, EMB_KNOBS_30000X)],
+            family=EMB_30000X_TRUE,
+        )
     if args.run1000_true:
         if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
             ap.error("--run1000-true requires --gen1000-true first")
@@ -1308,7 +1396,8 @@ if __name__ == "__main__":
             or args.stream_run100 or args.gen1000 or args.run1000
             or args.gen1000_true or args.run1000_true
             or args.gen1000_emb or args.run1000_emb
-            or args.gen10000_emb or args.run10000_emb):
+            or args.gen10000_emb or args.run10000_emb
+            or args.gen30000_emb or args.run30000_emb):
         ap.error("pass --gen/--gen100/--gen100-events/--gen1000[-true], "
                  "--run/--run100/--run1000[-true], --stream-run and/or "
                  "--stream-run100")

@@ -28,6 +28,7 @@ from linux_logs_spark.functions.compat import davg, dec, dsum, oracle_davg, orac
 from linux_logs_spark.session import (
     broadcast_if_fits,
     default_parallelism,
+    scaled_partitions,
     spread_ingest,
 )
 from linux_logs_spark.functions.text import word_shingles, words
@@ -2054,14 +2055,16 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold per row) would run on that handful of cores — measured at
     # the 10× rehearsal: train 26 s + assign 10 s on 2 partitions vs
     # ~2 s spread (the same fix dedup_semantic_cluster's pair probe
-    # documents).
+    # documents). Partition count scales with the row count
+    # (scaled_partitions — the 60M leg's 1 GB fixed-count partitions
+    # starved the trainer agg's first page, see session.py).
     qa = (
         emb.selectExpr("vec_id", *_km_q_exprs("embedding", one_based=False))
         .selectExpr(
             "vec_id",
             "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
         )
-        .repartition(default_parallelism())
+        .repartition(scaled_partitions(table_row_count(sf_dir, "embeddings")))
         .localCheckpoint()  # static frame, reused every iteration
     )
 
@@ -2183,13 +2186,18 @@ def _semdedup_k(n_vecs: int) -> int:
 _KM_GEMM_MIN_K = 128
 
 
-def _km_assign(qa, cents, key_sql: str, k: int):
-    """(vec_id, qa, key) assignment against the 1-row packed centroid
-    frame — broadcast-join + HOF argmin below _KM_GEMM_MIN_K, numpy
-    int64 GEMM above it. Both produce identical packed keys."""
+def _km_assign(qa, cents, key_sql: str, k: int, keep: tuple = ()):
+    """(vec_id, qa, *keep, key) assignment against the 1-row packed
+    centroid frame — broadcast-join + HOF argmin below
+    _KM_GEMM_MIN_K, numpy int64 GEMM above it. Both produce identical
+    packed keys. `keep` names extra input columns carried through
+    (round 13: the two-level SemDeDup path assigns the coarse key
+    with the raw embedding riding along, so no corpus-sized join is
+    needed to reunite them)."""
+    cols = ["vec_id", "qa", *keep]
     if k < _KM_GEMM_MIN_K:
         return qa.join(F.broadcast(cents)).selectExpr(
-            "vec_id", "qa", f"({key_sql}) AS key"
+            *cols, f"({key_sql}) AS key"
         )
     import numpy as np
     import pandas as pd
@@ -2203,7 +2211,7 @@ def _km_assign(qa, cents, key_sql: str, k: int):
         # mismatch and take the verified join path instead.
         if c_np.ndim == 2 and c_np.shape[0] < k and c_np.shape[1] == _KM_DIM:
             return qa.join(F.broadcast(cents)).selectExpr(
-                "vec_id", "qa", f"({key_sql}) AS key"
+                *cols, f"({key_sql}) AS key"
             )
         raise ValueError(
             f"_km_assign: expected a {k}x{_KM_DIM} centroid pack, got "
@@ -2250,7 +2258,7 @@ def _km_assign(qa, cents, key_sql: str, k: int):
         return pd.Series(out)
 
     gemm_key = F.pandas_udf(_gemm_key, "long")
-    return qa.select("vec_id", "qa", gemm_key("qa").alias("key"))
+    return qa.select(*cols, gemm_key("qa").alias("key"))
 
 
 def _km_train_array(qa, iters: int, k: int):
@@ -2452,7 +2460,7 @@ WHERE {cos} >= {SEMDEDUP_THRESHOLD}
     return "\n".join(sql)
 
 
-def _semdedup_fine_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
+def _semdedup_fine_pairs(assigned: DataFrame) -> DataFrame:
     """The two-level regime's fine stage: ONE shuffle of (coarse,
     vec_id, embedding) keyed by coarse cell, then per coarse cell a
     numpy fine k-means (k2 = max(1, |cell| // T) cells seeded by the
@@ -2575,8 +2583,7 @@ def _semdedup_fine_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     return (
-        emb.join(assign, "vec_id")
-        .select("cluster", "vec_id", "embedding")
+        assigned.select("cluster", "vec_id", "embedding")
         .groupBy("cluster")
         .applyInPandas(
             fine_pairs, "cluster long, doc_a long, doc_b long, sim double"
@@ -2641,11 +2648,38 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread BEFORE the checkpoint: trainer + assignment scans
         # (K×dim higher-order fold per row) otherwise run on the
         # source parquet's 2 partitions — 26 s + 10 s of the round-9
-        # 10× wall was exactly this (see emb_kmeans_lloyd).
-        .repartition(default_parallelism())
+        # 10× wall was exactly this (see emb_kmeans_lloyd). Count
+        # scales with n (scaled_partitions): fixed-count 1 GB
+        # partitions starved the 60M leg's trainer agg of its first
+        # page mid-unroll (see session.py).
+        .repartition(scaled_partitions(n_vecs))
         .localCheckpoint()
     )
     cents, key_sql = _km_train_array(qn, SEMDEDUP_ITERS, k)
+    if _semdedup_twolevel(n_vecs):
+        # Two-level regime: k above was the COARSE K1 (√(n/T) balance
+        # rule); the fine k-means + per-fine-cell pair scan runs
+        # inside one applyInPandas over coarse cells — pair output
+        # returns to the flat rule's linear n·T (the round-12 √n
+        # hatch's 2.88B-pair fourth decade is the retired comparison).
+        # The coarse key is assigned in ONE MAP PASS over a fresh
+        # parquet read with the raw embedding CARRIED (quantize →
+        # GEMM/HOF key → cluster), so the only corpus-sized shuffle is
+        # the groupBy(cluster) itself — the first 60M-leg attempt
+        # materialized a separate (vec_id, cluster) frame and
+        # sort-merge-joined it back onto the embeddings, and the two
+        # extra 60M-row exchanges ran the host out of shuffle disk.
+        wide = emb.selectExpr(
+            "vec_id", "embedding", *_km_q_exprs("embedding", one_based=False)
+        ).selectExpr(
+            "vec_id",
+            "embedding",
+            "array(" + ", ".join(f"q{i}" for i in range(_KM_DIM)) + ") AS qa",
+        )
+        assigned = _km_assign(wide, cents, key_sql, k, keep=("embedding",))
+        return _semdedup_fine_pairs(
+            assigned.selectExpr("vec_id", "embedding", f"key % {k} AS cluster")
+        )
     # The (vec_id, cluster) assignment gets its OWN stage cut: left
     # lazy, the centroid-array expression fuses into the join stage
     # below and re-evaluates per joined row (bisected in round 8: the
@@ -2657,13 +2691,6 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("vec_id", f"key % {k} AS cluster")
         .localCheckpoint(eager=True)
     )
-    if _semdedup_twolevel(n_vecs):
-        # two-level regime: k above was the COARSE K1 (√(n/T) balance
-        # rule); the fine k-means + per-fine-cell pair scan runs
-        # inside one applyInPandas over coarse cells — pair output
-        # returns to the flat rule's linear n·T (the round-12 √n
-        # hatch's 2.88B-pair fourth decade is the retired comparison)
-        return _semdedup_fine_pairs(emb, assign)
     # Within-cell verification: ONE numpy float64 GEMM per cell via
     # groupBy(cluster).applyInPandas — round-12. The previous shape
     # (broadcast/sort-merge cluster equi-join + JVM 64-term fold per

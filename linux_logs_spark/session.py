@@ -21,6 +21,19 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def scaled_partitions(n_rows: int, rows_per_part: int = 250_000) -> int:
+    """Partition count that grows with the data instead of pinning at
+    core count: a fixed repartition(default_parallelism()) makes
+    per-partition volume ∝ n — the round-13 60M-vector leg unrolled
+    1.9M-row (~1 GB) partitions into storage memory inside the same
+    stage whose partial hash-agg then could not acquire its FIRST
+    256 KB page (UNABLE_TO_ACQUIRE_MEMORY, got 0). Bounding rows per
+    partition keeps unroll/execution pressure flat at any n; below
+    rows_per_part×cores this returns exactly default_parallelism(),
+    so every committed-sf plan is unchanged."""
+    return max(default_parallelism(), n_rows // rows_per_part)
+
+
 def get_spark(
     app_name: str = APP_NAME,
     *,

@@ -888,6 +888,22 @@ def _set_knobs(values: dict) -> dict:
     return old
 
 
+def _reap_scratch(spark) -> None:
+    """Release unreferenced localCheckpoint blocks and shuffle files:
+    Python GC drops the py4j handles, a JVM System.gc() lets Spark's
+    ContextCleaner enqueue the cleanups, and the sleep gives its
+    async thread time to unpersist before the next action allocates."""
+    import gc
+    import time as _t
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    _t.sleep(3)
+
+
 def run(
     only: list[str] | None = None,
     tiers: list[tuple[str, str, dict]] | None = None,
@@ -933,6 +949,15 @@ def run(
                     # prior session state (round-7 review: the bucketed
                     # join's cold 1x leg measured SLOWER than its 10x leg)
                     specs[name].fn(spark, sf_dir).count()
+                    # reap the warm run's checkpoint/shuffle scratch
+                    # BEFORE the timed pass: at the 60M half-decade,
+                    # two generations of a ~33 GB scratch footprint
+                    # live concurrently exceeded this host's free disk
+                    # ("No space left on device" in the timed pass,
+                    # round 13) — the blocks are unreferenced after
+                    # the warm action but only release via GC +
+                    # ContextCleaner, which we trigger explicitly.
+                    _reap_scratch(spark)
                 sw0 = _shuffle_write_bytes(spark)
                 t0 = time.monotonic()
                 n_rows = specs[name].fn(spark, sf_dir).count()
@@ -948,6 +973,7 @@ def run(
                 out.setdefault(name, {})[tag] = rec
                 print(f"{tag:>4} {name:28} {wall:7.2f}s {n_rows:>9} rows "
                       f"{rec['shuffle_write_mb']} MB shuffle", flush=True)
+                _reap_scratch(spark)
         finally:
             _set_knobs(old)
     with open(dest, "w") as fh:

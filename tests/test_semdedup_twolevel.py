@@ -112,3 +112,27 @@ def test_twolevel_quality_bound_and_restore(spark, sf_dir):
     assert bset <= exact
     assert len(bset) / len(exact) >= 0.25
     assert not compare_frames(after, before)
+
+
+def test_twolevel_gemm_keep_path_matches_hof(spark, sf_dir):
+    """The two-level branch assigns coarse keys with the embedding
+    carried through _km_assign (keep=...). At the fixture's K1=8 the
+    HOF broadcast-join path runs; forcing _KM_GEMM_MIN_K=1 routes the
+    SAME assignment through the GEMM path with keep columns — results
+    must match bit-for-bit (the test_kmeans_gemm invariant, keep-column
+    instance)."""
+    fn = _Q["dedup_semantic_cluster"].fn
+    old_force, old_t, old_min = (
+        wh.SEMDEDUP_TWOLEVEL, wh.SEMDEDUP_TARGET_CELL_ROWS, wh._KM_GEMM_MIN_K
+    )
+    try:
+        wh.SEMDEDUP_TWOLEVEL = True
+        wh.SEMDEDUP_TARGET_CELL_ROWS = 20
+        hof = fn(spark, sf_dir).toPandas()
+        wh._KM_GEMM_MIN_K = 1
+        gemm = fn(spark, sf_dir).toPandas()
+    finally:
+        wh.SEMDEDUP_TWOLEVEL, wh.SEMDEDUP_TARGET_CELL_ROWS = old_force, old_t
+        wh._KM_GEMM_MIN_K = old_min
+    assert len(hof) > 0
+    assert not compare_frames(gemm, hof)

@@ -393,8 +393,10 @@ HEAVY_1000X_TRUE = [
 # registered oracle SQL). sim_ann_ivf joined in round 13: the
 # per-cell GEMM verify replaced the JVM candidate join whose ~5e8
 # exact-dot verify volume priced this leg at ~20 minutes (the
-# round-12 exclusion reason); 2M vectors run the flat cells-∝-n rule
-# (16000 cells, occupancy 125, 8 MB centroid closure).
+# round-12 exclusion reason); 2M vectors ≥ IVF_SQRT_FLIP_ROWS (1M),
+# so this leg is the √n hatch's FIRST live measurement (1414 cells,
+# occupancy ~1414, ~0.7 MB centroid closure vs the flat rule's 8 MB
+# at 16000 cells).
 EMB_1000X_TRUE = [
     "emb_kmeans_lloyd",
     "dedup_semantic_cluster",
@@ -418,10 +420,10 @@ EMB_KNOBS_1000X = {
 # emb_kmeans_lloyd is excluded: fixed
 # K=8 is proven linear through 2M and a ~15-minute fourth leg
 # re-proves nothing.
-# sim_ann_ivf's 20M leg is the √n hatch's first live measurement
-# (20M ≥ IVF_SQRT_FLIP_ROWS → 4472 cells ≈ √n: centroid closure
-# 2.3 MB instead of the flat rule's 82 MB, occupancy 4472 → verify
-# is the documented n^1.5·nprobe GEMM trade).
+# sim_ann_ivf's 20M leg continues the √n hatch one decade past the
+# 2M first-live-leg (20M ≥ IVF_SQRT_FLIP_ROWS → 4472 cells ≈ √n:
+# centroid closure 2.3 MB instead of the flat rule's 82 MB, occupancy
+# 4472 → verify is the documented n^1.5·nprobe GEMM trade).
 EMB_10000X_TRUE = [
     "dedup_semantic_cluster",
     "sim_ann_lsh",
@@ -446,6 +448,28 @@ EMB_KNOBS_30000X = {
     ("linux_logs_spark.operators.llm_pipeline", "N_PLANES"): 19,
 }
 TAIL_MULT_1000X = 3000
+
+# Fourth decade for the PAIR-BASED document families (round 14,
+# round-13 verdict item 1): 50M genuinely distinct docs — the same
+# vectorized true-distribution generator one decade up. The embedding
+# family is measured to 60M vectors; this closes the two-round gap on
+# the document side. tail_mult continues the 30/300/3000 → 30000 rule
+# (base vocab is 31 words/lang, so the tail array stays ~930k strings
+# per lang — memory-trivial). Family = the verdict's list verbatim.
+# Every width/cell knob in these plans derives from parquet footer
+# counts, so no knob overrides: the leg measures the committed rules.
+SCALE10KT_DIR = os.path.join(REPO, ".scale10kt")
+TAIL_MULT_10000X = 30_000
+N_DOCS_10000X = 50_000_000
+HEAVY_10000X_TRUE = [
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "decontam_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "text_tfidf",
+    "pipeline_perplexity_gate",
+]
 
 
 def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
@@ -487,7 +511,12 @@ def _gen_events(rng, scale_dir: str, n_events: int, n_users: int) -> None:
     pq.write_table(ev, os.path.join(scale_dir, "events.parquet"))
 
 
-def gen1000_true(n_docs: int = 5_000_000) -> None:
+def gen1000_true(
+    n_docs: int = 5_000_000,
+    scale_dir: str = SCALE1000T_DIR,
+    tail_mult: int = TAIL_MULT_1000X,
+    seed_bump: int = 2,
+) -> None:
     """TRUE-distribution third-decade corpus: 5M genuinely distinct
     documents with gen()'s exact statistical shape (empirical
     lang/source/length profiles from sf0.1; Zipf 1/(r+10) word draws
@@ -508,8 +537,8 @@ def gen1000_true(n_docs: int = 5_000_000) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.default_rng(SEED + 2)
-    os.makedirs(SCALE1000T_DIR, exist_ok=True)
+    rng = np.random.default_rng(SEED + seed_bump)
+    os.makedirs(scale_dir, exist_ok=True)
     con = duckdb.connect()
     rows = con.execute(
         f"""
@@ -541,7 +570,7 @@ def gen1000_true(n_docs: int = 5_000_000) -> None:
             if w
         ]
         extra = [
-            f"{base[i % len(base)]}x{i}" for i in range(TAIL_MULT_1000X * len(base))
+            f"{base[i % len(base)]}x{i}" for i in range(tail_mult * len(base))
         ]
         v = base + extra
         vocab_arr[lang] = np.array(v, dtype=object)
@@ -558,7 +587,7 @@ def gen1000_true(n_docs: int = 5_000_000) -> None:
             ("n_chars", pa.int64()),
         ]
     )
-    dst = os.path.join(SCALE1000T_DIR, "documents.parquet")
+    dst = os.path.join(scale_dir, "documents.parquet")
     writer = pq.ParquetWriter(dst, schema)
     n_dup = int(n_docs * NEAR_DUP_FRAC)
     n_organic = n_docs - n_dup
@@ -641,10 +670,10 @@ def gen1000_true(n_docs: int = 5_000_000) -> None:
 
     for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
         src = os.path.join(SCALE100_DIR, f"{t}.parquet")
-        d2 = os.path.join(SCALE1000T_DIR, f"{t}.parquet")
+        d2 = os.path.join(scale_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(d2):
             _sh.copyfile(src, d2)
-    print(f"generated {n_docs} true-distribution docs in {SCALE1000T_DIR}")
+    print(f"generated {n_docs} true-distribution docs in {scale_dir}")
 
 
 def gen(
@@ -974,8 +1003,17 @@ def run(
                 print(f"{tag:>4} {name:28} {wall:7.2f}s {n_rows:>9} rows "
                       f"{rec['shuffle_write_mb']} MB shuffle", flush=True)
                 _reap_scratch(spark)
+                # checkpoint after every leg: a multi-hour decade run
+                # that dies on its last family must not lose the legs
+                # that completed (round-14; pre-r14 wrote once at exit)
+                _write_results(dest, out)
         finally:
             _set_knobs(old)
+    _write_results(dest, out)
+    print(f"wrote {dest}")
+
+
+def _write_results(dest: str, out: dict) -> None:
     with open(dest, "w") as fh:
         json.dump(
             {"n_docs_10x": N_DOCS, "n_vecs_10x": N_VECS, "seed": SEED,
@@ -985,7 +1023,6 @@ def run(
              "queries": out},
             fh, indent=1,
         )
-    print(f"wrote {dest}")
 
 
 if __name__ == "__main__":
@@ -1028,6 +1065,17 @@ if __name__ == "__main__":
         "--run1000-true",
         action="store_true",
         help="run HEAVY_1000X_TRUE at the true-distribution 1000x corpus",
+    )
+    ap.add_argument(
+        "--gen10000-true",
+        action="store_true",
+        help="synthesize a TRUE-distribution 50M-doc corpus into "
+        ".scale10kt (fourth decade for the pair-based doc families)",
+    )
+    ap.add_argument(
+        "--run10000-true",
+        action="store_true",
+        help="run HEAVY_10000X_TRUE at the true-distribution 50M-doc corpus",
     )
     ap.add_argument(
         "--gen1000-emb",
@@ -1404,6 +1452,31 @@ if __name__ == "__main__":
             tiers=[("1000x_true", SCALE1000T_DIR, {})],
             family=HEAVY_1000X_TRUE,
         )
+    if args.gen10000_true:
+        if not os.path.exists(os.path.join(SCALE1000T_DIR, "documents.parquet")):
+            ap.error("--gen10000-true requires --gen1000-true first (small "
+                     "tables copy from the same .scale100 lineage)")
+        gen1000_true(
+            n_docs=N_DOCS_10000X,
+            scale_dir=SCALE10KT_DIR,
+            tail_mult=TAIL_MULT_10000X,
+            seed_bump=4,
+        )
+    if args.run10000_true:
+        import pyarrow.parquet as _pq9
+
+        pth = os.path.join(SCALE10KT_DIR, "documents.parquet")
+        if not os.path.exists(pth):
+            ap.error("--run10000-true requires --gen10000-true first")
+        n = _pq9.ParquetFile(pth).metadata.num_rows
+        if n != N_DOCS_10000X:
+            ap.error(f".scale10kt documents has {n} rows, not the 50M "
+                     "fourth-decade set: run --gen10000-true")
+        run(
+            args.queries.split(",") if args.queries else None,
+            tiers=[("10000x_true", SCALE10KT_DIR, {})],
+            family=HEAVY_10000X_TRUE,
+        )
     if args.stream_run100:
         import pyarrow.parquet as _pq2
 
@@ -1421,6 +1494,7 @@ if __name__ == "__main__":
             or args.gen100_events or args.gen100_facts or args.run100
             or args.stream_run100 or args.gen1000 or args.run1000
             or args.gen1000_true or args.run1000_true
+            or args.gen10000_true or args.run10000_true
             or args.gen1000_emb or args.run1000_emb
             or args.gen10000_emb or args.run10000_emb
             or args.gen30000_emb or args.run30000_emb):

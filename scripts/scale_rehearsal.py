@@ -393,10 +393,10 @@ HEAVY_1000X_TRUE = [
 # registered oracle SQL). sim_ann_ivf joined in round 13: the
 # per-cell GEMM verify replaced the JVM candidate join whose ~5e8
 # exact-dot verify volume priced this leg at ~20 minutes (the
-# round-12 exclusion reason); 2M vectors ≥ IVF_SQRT_FLIP_ROWS (1M),
-# so this leg is the √n hatch's FIRST live measurement (1414 cells,
-# occupancy ~1414, ~0.7 MB centroid closure vs the flat rule's 8 MB
-# at 16000 cells).
+# round-12 exclusion reason); 2M vectors ≥ IVF_TWOLEVEL_FLIP_ROWS
+# (1M), so this leg runs the round-14 two-level arm (K1 = 126 coarse
+# cells, fine cells ~125 rows inside the UDF; the retired round-13 √n
+# hatch measured 34.5 s here at 1414 cells / occupancy 1414).
 EMB_1000X_TRUE = [
     "emb_kmeans_lloyd",
     "dedup_semantic_cluster",
@@ -420,10 +420,11 @@ EMB_KNOBS_1000X = {
 # emb_kmeans_lloyd is excluded: fixed
 # K=8 is proven linear through 2M and a ~15-minute fourth leg
 # re-proves nothing.
-# sim_ann_ivf's 20M leg continues the √n hatch one decade past the
-# 2M first-live-leg (20M ≥ IVF_SQRT_FLIP_ROWS → 4472 cells ≈ √n:
-# centroid closure 2.3 MB instead of the flat rule's 82 MB, occupancy
-# 4472 → verify is the documented n^1.5·nprobe GEMM trade).
+# sim_ann_ivf's 20M leg continues the two-level arm one decade past
+# the 2M first-live-leg (20M ≥ IVF_TWOLEVEL_FLIP_ROWS → K1 = 400
+# coarse cells, closure 205 KB, fine occupancy ~125 → verify is
+# linear n·N_PROBE²·T·dim; the retired √n hatch measured 507.1 s on
+# this leg at occupancy 4472).
 EMB_10000X_TRUE = [
     "dedup_semantic_cluster",
     "sim_ann_lsh",

@@ -201,7 +201,7 @@ def guard_full_artifact(new_median: float | None,
 
 
 def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False,
-          force: bool = False, retimed: list[str] | None = None) -> None:
+          force: bool = False, retimed: dict[str, dict] | None = None) -> None:
     total = round(sum(timings.values()), 3)
     # Median/p90 ride along because the shared VM's hypervisor
     # throttle windows inflate single queries 5-40x (BASELINE.md
@@ -263,8 +263,12 @@ def _emit(timings: dict[str, float], partial: bool = False, subset: bool = False
         artifact = "bench_full.json"
     blob = {"total_sec": total, "queries": timings, "sf": sf}
     if retimed:
-        # transparency: these entries are min(first pass, solo retry)
-        blob["retimed"] = sorted(retimed)
+        # transparency: these entries are min(first pass, solo retry),
+        # and BOTH pass times are recorded (round-13 advice: the
+        # min-of-passes policy is asymmetric — only slower-than-
+        # baseline queries get a second chance — so the artifact
+        # carries the raw pair to make that bias auditable)
+        blob["retimed"] = {k: retimed[k] for k in sorted(retimed)}
         payload["retimed"] = len(retimed)
     if partial:
         blob["partial"] = True
@@ -354,7 +358,7 @@ def main() -> None:
     # outlier splice: re-time queries a transient mid-run load window
     # inflated vs the committed baseline (see RETRY_RATIO above).
     # Full canonical runs only — a subset run has no artifact claim.
-    retimed: list[str] = []
+    retimed: dict[str, dict] = {}
     if not only and sf_of(SF_DIR) == 0.1:
         base = _baseline_query_times(os.path.dirname(os.path.abspath(__file__)))
         if base:
@@ -371,9 +375,11 @@ def main() -> None:
                 _await_quiet_window(max_wait_s=120)
                 for name in flagged:
                     t = timed(name)
+                    # record BOTH passes whether or not the retry won,
+                    # so the min-of-passes bias is auditable
+                    retimed[name] = {"first": timings[name], "retry": t}
                     if t < timings[name]:
                         timings[name] = t
-                        retimed.append(name)
                     print(f"# retry {name}: {t:.3f}s", file=sys.stderr,
                           flush=True)
 

@@ -256,7 +256,19 @@ def _changed_since_signed() -> set[str]:
                 fp = stamped.get(name)
                 if fp and fp != mod.fingerprint_fn(s.fn, s.oracle, strip=strip):
                     changed.add(name)
-    except Exception:
+    except Exception as exc:
+        # Degrading to "nothing changed" silently would disable the
+        # exact re-verification ordering this function exists for
+        # (round-13 advice): make a broken fingerprint pipeline
+        # VISIBLE while still failing open to age-only ordering.
+        import sys
+
+        print(
+            f"registry: plan-fingerprint comparison unavailable "
+            f"({type(exc).__name__}: {exc}) — falling back to "
+            f"age-only verification ordering",
+            file=sys.stderr,
+        )
         changed = set()
     _FP_CHANGED = changed
     return changed

@@ -306,6 +306,8 @@ def write_avro_file_arrow(path: str, fields: list[tuple[str, str]], batches,
     separately and concatenating is the same bytes). Falls back to
     the row path per-slice if a column shape defeats the columnar
     encoder (nulls, exotic arrow types)."""
+    import pyarrow as pa
+
     sync = _sync_marker(os.path.basename(path))
     meta = {
         "avro.schema": _avro_schema_json(fields).encode(),
@@ -345,7 +347,11 @@ def write_avro_file_arrow(path: str, fields: list[tuple[str, str]], batches,
         def encode_slice(sl) -> bytes:
             try:
                 return _encode_batch_columnar(sl, types)
-            except ValueError:
+            except (ValueError, pa.lib.ArrowException):
+                # ArrowException too (round-13 advice): an unusual
+                # column layout raising ArrowInvalid from buffer
+                # access should fall back to the row path like any
+                # unsupported-shape ValueError, not abort the write.
                 buf = io.BytesIO()
                 for row in zip(
                     *(sl.column(i).to_pylist() for i in range(sl.num_columns))

@@ -342,6 +342,35 @@ def main() -> None:
     spark.range(1000).select(_warm(col("id"))).write.mode("overwrite").format(
         "noop"
     ).save()
+    # ... and the Python DataSource machinery (round-14: profiling the
+    # round-13 verdict's 6.15 s in-suite scan_avro_roundtrip showed
+    # ~5 s of it was SESSION-GLOBAL first-use bootstrap — the one-shot
+    # driver-side planner processes (create_data_source /
+    # plan_data_source_read / write_into_data_source, each a fresh
+    # python importing pyspark) plus the datasource-eval worker-module
+    # spin-up — billed to whichever datasource query happens to run
+    # first in registry order: avro measured 4.10 s write + 3.13 s
+    # read cold but 1.70 s run after its siblings and 1.11 s warm.
+    # Warming it here makes the per-query artifact order-independent,
+    # the same discipline as the JVM and pandas-UDF warms above.)
+    import tempfile
+
+    from linux_logs_spark.sources.avro_py import register_pyavro
+    from linux_logs_spark.sources.synthetic import register_synthlog
+
+    register_synthlog(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.read.format("synthlog").option("n", "64").option("parts", "2").load(
+    ).write.mode("overwrite").format("noop").save()
+    register_pyavro(spark)
+    with tempfile.TemporaryDirectory() as td:
+        wp = os.path.join(td, "warm_avro")
+        spark.range(64).selectExpr("id AS event_id").write.format(
+            "pyavro"
+        ).mode("overwrite").option("path", wp).save()
+        spark.read.format("pyavro").option("path", wp).load().write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     def timed(name: str) -> float:
         # Time plan construction + execution together: streaming

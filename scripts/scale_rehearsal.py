@@ -968,6 +968,33 @@ def run(
         ("1x", SF1_DIR, {}),
         ("10x", SCALE_DIR, KNOBS_10X),
     ):
+        # Shuffle-partition count must scale with the tier (round 14):
+        # the engine session pins spark.sql.shuffle.partitions at core
+        # count, so every post-exchange stage at the 50M-doc tier ran
+        # 32 tasks of ~1.6M docs — the partial hash-agg under a token
+        # explode spilled its dictionary and shipped near-raw tokens
+        # (90+ GB observed on the CHEAPEST leg, vs 2.9 GB at 5M docs
+        # where 156k docs/task kept the combine dictionary resident).
+        # Same failure class as the round-13 scaled_partitions fix,
+        # one level up (shuffle stages instead of ingest repartition).
+        # AQE coalescing is ON, so small stages collapse back down —
+        # sizing UP is free at the small tiers (which keep their
+        # historical 32: scaled_partitions returns core count below
+        # 250k rows/core).
+        import pyarrow.parquet as _pqr
+
+        from linux_logs_spark.session import scaled_partitions as _sp
+
+        tier_rows = max(
+            (
+                _pqr.ParquetFile(os.path.join(sf_dir, f"{t}.parquet"))
+                .metadata.num_rows
+                for t in ("documents", "embeddings", "events")
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+            ),
+            default=0,
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(_sp(tier_rows)))
         old = _set_knobs(knobs)
         try:
             for name in heavy:

@@ -394,11 +394,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 hashes through the 50k-doc decade, +2 rows/band per decade
     # past it — the 100× rehearsal's hand-patched 32 now falls out of
     # the data (minhash_width docstring has the collision algebra)
-    n_minhash = minhash_width(table_row_count(sf_dir, "documents"))
+    n_docs = table_row_count(sf_dir, "documents")
+    n_minhash = minhash_width(n_docs)
     # spread_ingest: the 32-hash × ~52-shingle/doc signature build is
     # the dominant map stage (396 s of 410 s single-readered at the
     # 100× rehearsal) — exchange corpus bytes to unlock every core
-    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = spread_ingest(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), n_docs
+    )
     # explode drops empty-shingle (sub-width) docs — no similarity is
     # defined for them, mirroring the short-doc guard in word_shingles
     ex = d.select(
@@ -476,7 +479,9 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
 
-def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
+def simhash_signatures(
+    d: DataFrame, bits: int | None = None, n_rows: int | None = None
+) -> DataFrame:
     """(doc_id, simhash) — the 48-bit signature table dedup_simhash
     band-joins, extracted so tests can brute-force Hamming distance
     over the SAME signatures the query uses (round 6). `bits`
@@ -503,7 +508,7 @@ def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
             "per-band key form — use _simhash_band_keys (dedup_simhash "
             "switches automatically past 64 bits)"
         )
-    per_word = spread_ingest(d.select("doc_id", "text")).select(
+    per_word = spread_ingest(d.select("doc_id", "text"), n_rows).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
     # expressions built as SQL strings: the Column form made ~300 py4j
@@ -540,7 +545,9 @@ def simhash_signatures(d: DataFrame, bits: int | None = None) -> DataFrame:
     return sums.selectExpr("doc_id", f"({fold}) AS simhash").localCheckpoint()
 
 
-def _simhash_band_keys(d: DataFrame, bits: int) -> DataFrame:
+def _simhash_band_keys(
+    d: DataFrame, bits: int, n_rows: int | None = None
+) -> DataFrame:
     """(doc_id, k0..k{SIMHASH_BANDS-1}) — the WIDE simhash form for
     bits > 64 (round 11: the 1000× rehearsal measured the bigint
     cap's consequence — at 5M docs a 64-bit signature leaves
@@ -563,7 +570,7 @@ def _simhash_band_keys(d: DataFrame, bits: int) -> DataFrame:
     k = bits // n_bands
     if k > 62:
         raise ValueError(f"band key width {k} exceeds a positive bigint")
-    per_word = spread_ingest(d.select("doc_id", "text")).select(
+    per_word = spread_ingest(d.select("doc_id", "text"), n_rows).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
     )
     n_chunks = (bits + 63) // 64
@@ -673,9 +680,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-bigint signature can't hold the width and the query
     # switches to per-band key columns (_simhash_band_keys — the
     # round-11 1000× finding); output and semantics are identical.
-    bits = simhash_width(table_row_count(sf_dir, "documents"))
+    n_docs = table_row_count(sf_dir, "documents")
+    bits = simhash_width(n_docs)
     if bits > 64:
-        keys = _simhash_band_keys(d, bits)
+        keys = _simhash_band_keys(d, bits, n_rows=n_docs)
         return _simhash_candidate_pairs(
             keys,
             carry=[f"k{b}" for b in range(SIMHASH_BANDS)],
@@ -687,7 +695,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(SIMHASH_BANDS)
             ),
         )
-    summed = simhash_signatures(d, bits=bits)
+    summed = simhash_signatures(d, bits=bits, n_rows=n_docs)
     band_bits = bits // SIMHASH_BANDS
     band_mask = (1 << band_bits) - 1
     return _simhash_candidate_pairs(
@@ -844,7 +852,10 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings collapsed), and on pathological corpora (identical
     boilerplate everywhere) an exact pairwise answer is Ω(n²) rows
     anyway — no plan escapes its own output size."""
-    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = spread_ingest(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        table_row_count(sf_dir, "documents"),
+    )
     return posting_jaccard_pairs(
         d,
         word_shingles(words("text"), 3),
@@ -1563,7 +1574,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_ingest: the bucket-assignment GEMM runs inside the scan
     # stage, which a single-row-group file pins to ONE task (the
     # round-10 second-decade finding) — spread the narrow frame first
-    e = spread_ingest(load(spark, sf_dir, "embeddings"))
+    e = spread_ingest(
+        load(spark, sf_dir, "embeddings"), table_row_count(sf_dir, "embeddings")
+    )
     bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     return bucketed.groupBy("bucket").applyInPandas(
         bucket_topk, "vec_id long, neighbor_id long, sim double, nn_rank long"
@@ -1655,7 +1668,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory. The localCheckpoint also keeps the df agg from being
     recomputed for the count."""
     d = load(spark, sf_dir, "documents")
-    tok = spread_ingest(d.select("doc_id", "text")).select(
+    tok = spread_ingest(
+        d.select("doc_id", "text"), table_row_count(sf_dir, "documents")
+    ).select(
         "doc_id", F.explode(words("text")).alias("word")
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -2090,7 +2105,9 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized cnt frame is size-gated on its exact checkpointed
     count; the 1-row total crossJoins as a broadcast scalar."""
     d = load(spark, sf_dir, "documents")
-    tok = spread_ingest(d.select("doc_id", "text")).select(
+    tok = spread_ingest(
+        d.select("doc_id", "text"), table_row_count(sf_dir, "documents")
+    ).select(
         "doc_id", F.explode(words("text")).alias("word")
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -2198,7 +2215,8 @@ def pipeline_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(25,6), the ce division is one IEEE op on identical
     inputs, and the rollup mean re-applies round6 + DECIMAL."""
     d = spread_ingest(
-        load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text"),
+        table_row_count(sf_dir, "documents"),
     )
     is_train = F.md5(F.col("doc_id").cast("string")) < "cccc"
     s = d.select("doc_id", "lang", "source", "text", is_train.alias("is_train"))

@@ -730,7 +730,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # cell count ∝ n from the parquet footer (zero jobs) — occupancy
     # stays flat per decade; see _ivf_cells for the scaling argument
-    n_cells = _ivf_cells(table_row_count(sf_dir, "embeddings"))
+    n_vecs_ivf = table_row_count(sf_dir, "embeddings")
+    n_cells = _ivf_cells(n_vecs_ivf)
     # vec_id is a dense 0..n-1 key, so the n_cells lowest ids are a
     # pushed-down filter (no global sort job just to pick centroids).
     # The collect is n_cells×dim float64 — 820 KB at the 100×
@@ -796,7 +797,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-row-group scan's ONE task (round-10 second-decade
     # finding); the centroid collect above stays on the raw load so
     # its vec_id filter pushes into the scan.
-    e = spread_ingest(e)
+    e = spread_ingest(e, n_vecs_ivf)
     # ONE assignment pass for both roles: posexploding pcells yields a
     # (prank, cell) row per probe — prank 0 marks the PRIMARY cell
     # (the row is a MEMBER there), and every row is a QUERY of its
@@ -1003,7 +1004,10 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match doubles as the collision check at test scale."""
     # spread_ingest: the shingle explode + hash + map-side distinct is
     # the whole map cost and single-readers on one-row-group inputs
-    d = spread_ingest(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = spread_ingest(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        table_row_count(sf_dir, "documents"),
+    )
     # array_distinct BEFORE the explode: per-doc shingle dedup is the
     # only dedup the semantics need, and doing it inside the map task
     # deletes the posting frame's distinct() — at the 5M-doc decade
@@ -1358,7 +1362,10 @@ def _copurchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (6M rows at the 10× rehearsal) — spread the 2-column
     # projection first; the distinct's own exchange follows anyway.
     li = (
-        spread_ingest(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        spread_ingest(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            table_row_count(sf_dir, "lineitem"),
+        )
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")

@@ -134,7 +134,7 @@ def broadcast_if_fits(df, est_rows: int, est_bytes_per_row: int):
     return df
 
 
-def spread_ingest(df):
+def spread_ingest(df, n_rows: int | None = None):
     """Round-robin repartition of a NARROW scan feeding a compute-
     heavy map stage (shingle/word explode + multi-hash signatures).
 
@@ -152,5 +152,18 @@ def spread_ingest(df):
     the scan is already wide and this exchange is pure overhead ∝
     corpus bytes — cheap relative to the signature compute it feeds,
     but droppable: callers apply it only in pipelines whose map stage
-    does real per-token work, never on scan-dominated queries."""
-    return df.repartition(default_parallelism())
+    does real per-token work, never on scan-dominated queries.
+
+    ``n_rows`` (round 14): pass the table's parquet-footer row count
+    to size the exchange with the data instead of pinning at core
+    count — the scaled_partitions rule one level up. At the 50M-doc
+    rehearsal tier a fixed 32-way spread put ~1.6M docs (~500 MB of
+    text) in each task: the per-task explode output blew the partial
+    hash-agg combine dictionaries downstream, and map stages spilled
+    near-raw tokens (90+ GB shuffle on a leg whose 5M-doc ancestor
+    wrote 2.9 GB). Bounded-rows partitions keep the combine resident
+    at any n; below 250k rows/core the count is exactly
+    default_parallelism(), so every committed-sf plan is unchanged."""
+    return df.repartition(
+        scaled_partitions(n_rows) if n_rows else default_parallelism()
+    )

@@ -413,11 +413,19 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     single double division — no rounding required."""
     o = load(spark, sf_dir, "orders")
     bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
-    total = o.select(F.count("*").alias("total"))
-    return (
+    # The denominator is the SUM of the bucket counts — deriving it
+    # from the (|buckets|-row, checkpointed) histogram frame instead
+    # of a separate o.count() drops the second corpus pass the
+    # round-14 plan audit flagged (count(*) ≡ Σ n exactly: every row
+    # lands in exactly one bucket, nulls included).
+    b = (
         o.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=False)
+    )
+    total = b.agg(F.sum("n").alias("total"))
+    return (
+        b.crossJoin(F.broadcast(total))
         .select(
             "bucket",
             (F.col("bucket") * 50000.0).alias("bucket_lo"),

@@ -121,6 +121,32 @@ _COUNT_ROW_BYTES = 64
 _EMBED_ROW_BYTES = 600
 
 
+def _posting_frame(
+    d: DataFrame,
+    postings,
+    block_cols: tuple[str, ...],
+    df_cap: int | None,
+) -> DataFrame:
+    """The (doc_id, *block_cols, wh) posting frame BEFORE the shared
+    localCheckpoint in posting_jaccard_pairs — split out so the plan
+    pins (8-byte hash keying, df-cap window on the join key) can see
+    the pipeline the checkpoint otherwise truncates."""
+    cols = ["doc_id", *block_cols]
+    w = (
+        d.select(*cols, F.explode(postings).alias("unit"))
+        .select(*cols, F.xxhash64("unit").alias("wh"))
+        .distinct()
+    )
+    if df_cap is not None:
+        wb = Window.partitionBy(*block_cols, "wh")
+        w = (
+            w.withColumn("df", F.count("*").over(wb))
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
+        )
+    return w
+
+
 def posting_jaccard_pairs(
     d: DataFrame,
     postings,
@@ -145,19 +171,21 @@ def posting_jaccard_pairs(
     Oracles join on the raw string — hash keying is semantics-
     preserving (xxhash64 injective in practice; a collision would only
     merge two units, as in decontam)."""
-    cols = ["doc_id", *block_cols]
-    w = (
-        d.select(*cols, F.explode(postings).alias("unit"))
-        .select(*cols, F.xxhash64("unit").alias("wh"))
-        .distinct()
+    # ONE materialization of the posting frame: `w` feeds the
+    # self-join twice and the per-doc count frame (itself consumed
+    # twice as na/nb) — left lazy, every consumer re-ran the whole
+    # scan→explode→hash→distinct(→df-cap window) pipeline, which the
+    # round-14 plan audit counted as 4 parquet scans / 11 Exchanges in
+    # dedup_ngram_jaccard alone (guide §7.2 duplicated-subtree smell).
+    # The checkpoint holds only the 8-byte-hash postings (never
+    # strings) — the same bytes the self-join shuffles anyway — so the
+    # materialized volume adds nothing the plan didn't already move.
+    # Plan-shape pins for the pre-checkpoint pipeline (hash keying,
+    # no strings) live on _posting_frame, since the checkpoint
+    # truncates the visible plan (tests/test_plans.py).
+    w = _posting_frame(d, postings, block_cols, df_cap).localCheckpoint(
+        eager=False
     )
-    if df_cap is not None:
-        wb = Window.partitionBy(*block_cols, "wh")
-        w = (
-            w.withColumn("df", F.count("*").over(wb))
-            .filter(F.col("df") <= df_cap)
-            .drop("df")
-        )
     nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = w.alias("a"), w.alias("b")
     cond = (F.col("a.wh") == F.col("b.wh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -946,7 +974,17 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("shk")
     )
-    pc = post.join(cand, "shk")
+    # Candidate postings (duplicated spans + rare collisions only —
+    # small by data design, unlike corpus-sized `post`). Lazy
+    # localCheckpoint: `pc` feeds BOTH the raw-string re-verify and
+    # the coverage join below; left lazy, each consumer re-ran the
+    # posexplode+hash pipeline with its own embedded `cand` subtree —
+    # the round-14 plan audit counted 4 shingle-explode passes (5
+    # parquet scans) in one query. Checkpointing `pc` (not `post`,
+    # whose corpus×SPAN_K strings would be the expensive thing to
+    # materialize) keeps the 8-byte shuffle discipline and leaves
+    # exactly two corpus passes: one for `cand`, one building `pc`.
+    pc = post.join(cand, "shk").localCheckpoint(eager=False)
     # pass 2 (residual, candidate subset only): re-verify on the RAW
     # string so hash collisions cannot mark a unique span duplicated
     dup = (
@@ -1033,7 +1071,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    # Observed-bigram counts: vocab²-bounded (Heaps-sublinear in the
+    # corpus). Lazy localCheckpoint — c12 feeds BOTH the head-count
+    # rollup and the final join; left lazy, the corpus-sized bigram
+    # explode+aggregate executed twice (round-14 plan audit).
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False
+    )
     c1 = c12.groupBy("w1").agg(F.sum("n").alias("c1"))
     tok = load(spark, sf_dir, "documents").select(
         F.explode(words("text")).alias("word")

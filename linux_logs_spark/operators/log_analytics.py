@@ -563,9 +563,12 @@ def log_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one distributive aggregate per pair. Rounded to 4 places before
     compare (corr's accumulation order differs across engines)."""
     e = load(spark, sf_dir, "events")
+    # |hours|×|types| rows — time-bounded. Lazy localCheckpoint: the
+    # self-join consumes `h` twice; left lazy, the corpus-sized hourly
+    # aggregate executed once per side (round-14 plan audit).
     h = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(
@@ -849,9 +852,12 @@ def log_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, then accumulated in DECIMAL(25,6) — exact and order-free
     (compat.py failure mode 2) — and negated after the final cast."""
     e = load(spark, sf_dir, "events")
+    # 24×|types| rows — bounded. Lazy localCheckpoint: `c` feeds both
+    # the per-hour totals and the p join; left lazy, the corpus-sized
+    # count aggregate executed twice (round-14 plan audit).
     c = e.groupBy(
         F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
     t = c.groupBy("hour_of_day").agg(
         F.sum("n").alias("n_events"), F.count("*").alias("n_types")
     )

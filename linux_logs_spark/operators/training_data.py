@@ -493,12 +493,15 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept tokens). This is the integration shape a training-data
     pipeline runs nightly; every stage is a built-in expression. The
     only full-volume shuffle is the dedup groupBy, keyed on
-    sha2(norm_text) (32 bytes, never documents); the quality gate is
-    map-side, and the two block rollups ride partial aggregation so
-    their exchanges carry per-(lang, source[, key]) state, not rows
-    (plan: 3 hash exchanges + 1 broadcast join of the kept-side
-    summary). The oracle groups the raw normalized string — identical
-    partitions, hash-free SQL."""
+    sha2(norm_text) (32 bytes, never documents, NULL for failed docs so
+    the quality-gated rows collapse to one group per block); the
+    quality gate is map-side, and the funnel is ONE aggregation chain —
+    group at (lang, source, passed, nk), then a conditional rollup to
+    (lang, source) — so the corpus is scanned and word-split exactly
+    once (round-14: previously the blocks/kept branches each rebuilt
+    the scan→score subtree; 2 corpus passes + a join → 1 pass, 2 hash
+    exchanges, no join). The oracle groups the raw normalized string —
+    identical partitions, hash-free SQL."""
     d = load(spark, sf_dir, "documents")
     ws = words("text")
     x = d.select(
@@ -513,35 +516,27 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     awl = (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")
     qs = awl * 0.1 + F.col("n_stop").cast("double") / F.col("n_words")
     scored = x.withColumn("passed", qs >= QUALITY_MIN)
-    blocks = scored.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.count_if(~F.col("passed")).alias("n_low_quality"),
-    )
     norm_key = F.sha2(
         F.array_join(F.array_sort(F.array_distinct(words("text"))), " "), 256
     )
-    groups = (
-        scored.filter("passed")
-        .groupBy("lang", "source", norm_key.alias("nk"))
-        .agg(
-            F.count("*").alias("grp_n"),
-            F.min_by("n_words", "doc_id").alias("rep_tokens"),
-        )
+    # sha2 + sort only on passed rows (the when-guard short-circuits);
+    # failed rows ride the shuffle as one NULL-key group per block.
+    g1 = scored.groupBy(
+        "lang", "source", "passed", F.when(F.col("passed"), norm_key).alias("nk")
+    ).agg(
+        F.count("*").alias("grp_n"),
+        F.min_by("n_words", "doc_id").alias("rep_tokens"),
     )
-    kept = groups.groupBy("lang", "source").agg(
-        F.count("*").alias("n_kept"),
-        (F.sum("grp_n") - F.count("*")).alias("n_dups_dropped"),
-        F.sum("rep_tokens").alias("kept_tokens"),
-    )
+    p = F.col("passed")
     zero = F.lit(0).cast("long")
-    return blocks.join(kept, ["lang", "source"], "left").select(
-        "lang",
-        "source",
-        "n_docs",
-        "n_low_quality",
-        F.coalesce("n_dups_dropped", zero).alias("n_dups_dropped"),
-        F.coalesce("n_kept", zero).alias("n_kept"),
-        F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+    return g1.groupBy("lang", "source").agg(
+        F.sum("grp_n").alias("n_docs"),
+        F.coalesce(F.sum(F.when(~p, F.col("grp_n"))), zero).alias("n_low_quality"),
+        F.coalesce(
+            F.sum(F.when(p, F.col("grp_n"))) - F.count_if(p), zero
+        ).alias("n_dups_dropped"),
+        F.count_if(p).alias("n_kept"),
+        F.coalesce(F.sum(F.when(p, F.col("rep_tokens"))), zero).alias("kept_tokens"),
     )
 
 

@@ -279,19 +279,22 @@ def test_dedup_embedding_cosine_is_blocked_equijoin(spark, sf_dir):
 
 
 def test_pipeline_corpus_prep_exchange_budget(spark, sf_dir):
-    """The corpus-prep funnel's headline claim: one full-volume
-    shuffle (the dedup groupBy on the 32-byte sha2 key) plus two
-    per-(lang, source) rollup exchanges that carry partially
-    aggregated state, and the kept-side summary joins back by
-    BROADCAST. A fourth shuffle or a shuffled join means a stage
-    regression (round-4 verdict item 7)."""
+    """The corpus-prep funnel's headline claim, tightened in round 14:
+    the whole funnel is ONE aggregation chain — a full-volume shuffle
+    (the dedup groupBy on the 32-byte sha2 key, NULL for quality-failed
+    rows) and one bounded per-(lang, source) rollup exchange — with a
+    single corpus scan and NO join of any kind. A third shuffle, a
+    second scan, or any join node means a stage regression (round-4
+    verdict item 7; round-14 duplicated-subtree fix)."""
     plan = plan_string(_Q["pipeline_corpus_prep"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
     nodes = set(re.findall(r"\((\d+)\) (BroadcastExchange|Exchange)\b", plan))
     shuffles = [n for n in nodes if n[1] == "Exchange"]
     broadcasts = [n for n in nodes if n[1] == "BroadcastExchange"]
-    assert len(shuffles) == 3, plan
-    assert len(broadcasts) == 1, plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert len(shuffles) == 2, plan
+    assert len(broadcasts) == 0, plan
+    assert len(re.findall(r"Scan parquet", tree)) == 1, plan
+    assert "Join" not in tree, plan
 
 
 def test_sim_cosine_topk_is_blocked_equijoin(spark, sf_dir):

@@ -1757,21 +1757,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint lifecycle: ed is reused every iteration and must
     # outlive the returned lazy plan (cust_rfm_segments note applies —
     # freed by ContextCleaner once the caller drops the result).
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    # deg is checkpointed FIRST and doubles as the vertex frame: it is
+    # one row per src by construction, so the node count and the rank
+    # seed read |V| rows instead of re-aggregating the |E|-row ed
+    # (round-14: the old shape ran distinct-over-edges twice — once
+    # eagerly for n_nodes, once inside the lazy chain for the seed;
+    # both collapse into deg's single groupBy, guide §2.4). Safe to
+    # execute deg's plan standalone since round 9: the pair self-join
+    # behind it is the session-shared _copurchase_counts checkpoint.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    n_nodes = ed.select("src").distinct().count()
+    n_nodes = deg.count()
     if n_nodes == 0:  # degenerate scale factor: no co-purchased pairs
         return spark.createDataFrame([], "l_partkey bigint, pagerank double")
     t = _pr_round6(0.15 / n_nodes)
-    # seed off the checkpointed ed, not deg — deg's plan still contains
-    # the pair self-join, which must execute exactly once
-    r = (
-        ed.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("node"),
-            F.lit(_pr_round6(1.0 / n_nodes)).alias("rank"),
-        )
+    r = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_pr_round6(1.0 / n_nodes)).alias("rank"),
     )
     contrib_sql = f"CAST({round6_away_sql('rank / deg')} AS DECIMAL(25,6))"
     # In the symmetrized graph every node has deg >= 1, so every node

@@ -1703,8 +1703,10 @@ WHERE rn <= 3
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. df (vocab-sized) broadcasts
-    into the tf table while it fits; the corpus size joins in as a
-    broadcast scalar (1 row, unconditional). The vocab is Heaps-law
+    into the tf table while it fits; the corpus size is the parquet
+    footer row count baked in as a literal (zero jobs — round 14;
+    previously a 1-row count(*) scalar that cost a second full
+    documents scan and a nested-loop broadcast). The vocab is Heaps-law
     unbounded at 100 TB, so the df broadcast is SIZE-GATED on an
     exact checkpointed count (the dedup_edit_verify precedent —
     there is no metadata proxy for |vocab|); past the cap the word
@@ -1723,14 +1725,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle — at 100 TB the token explosion is the dominant volume.
     df = tf.groupBy("word").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
     n_vocab = df.count()  # exact, on the checkpointed frame — no recompute
-    n = d.agg(F.count("*").alias("n_docs"))
-    tfidf = F.round(
-        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-    )
+    # n_docs from the parquet footer (zero jobs) — the old 1-row
+    # d.agg(count(*)) scalar was a SECOND full documents scan plus a
+    # BroadcastNestedLoopJoin in the plan (round-14 audit; guide §2.4)
+    n_docs = F.lit(table_row_count(sf_dir, "documents"))
+    tfidf = F.round(F.col("tf") * F.log(n_docs.cast("double") / F.col("df")), 6)
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (
         tf.join(broadcast_if_fits(df, n_vocab, 24), "word")
-        .crossJoin(F.broadcast(n))
         .withColumn("tfidf", tfidf)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

@@ -605,9 +605,15 @@ def test_tpch_q7_gated_customer_still_broadcasts(spark, sf_dir):
 
 def test_text_tfidf_df_broadcasts_at_test_scale(spark, sf_dir):
     """The vocab-sized df frame is size-gated on an exact checkpointed
-    count; under the cap the word join must still broadcast."""
+    count; under the cap the word join must still broadcast. Round 14:
+    n_docs comes from the parquet footer, so the plan must hold exactly
+    ONE documents scan (the token explode) and no nested-loop join —
+    the old 1-row count(*) scalar cost a second full scan + BNLJ."""
     plan = plan_string(_Q["text_tfidf"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 1, plan
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_scan_apache_log_is_shuffle_free(spark, sf_dir):

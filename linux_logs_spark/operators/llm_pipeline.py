@@ -127,10 +127,9 @@ def _posting_frame(
     block_cols: tuple[str, ...],
     df_cap: int | None,
 ) -> DataFrame:
-    """The (doc_id, *block_cols, wh) posting frame BEFORE the shared
-    localCheckpoint in posting_jaccard_pairs — split out so the plan
-    pins (8-byte hash keying, df-cap window on the join key) can see
-    the pipeline the checkpoint otherwise truncates."""
+    """The (doc_id, *block_cols, wh) posting frame of
+    posting_jaccard_pairs: explode → 8-byte hash → distinct → optional
+    per-block df cap. Split out so it stays independently testable."""
     cols = ["doc_id", *block_cols]
     w = (
         d.select(*cols, F.explode(postings).alias("unit"))
@@ -152,7 +151,6 @@ def posting_jaccard_pairs(
     postings,
     block_cols: tuple[str, ...] = ("lang", "source"),
     df_cap: int | None = WORD_DF_CAP,
-    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) for doc pairs sharing posting
     units (an array Column: words, shingles, …) within ``block_cols``
@@ -163,77 +161,60 @@ def posting_jaccard_pairs(
     safe shape (round-3 verdict item 3): the posting list projects to
     ``xxhash64(unit)`` immediately after explode, so every downstream
     shuffle carries 8-byte longs, never strings (same fix as
-    decontam_ngram_overlap); when a df cap is given, its window runs
-    on the exact key the self-join shuffles on, so the exchange is
-    reused, and the cap bounds any unit's pair contribution at cap²/2
-    regardless of corpus size (``df_cap=None`` = exact semantics: cost
-    is Σ df² — only safe for naturally-rare units like shingles).
-    Oracles join on the raw string — hash keying is semantics-
-    preserving (xxhash64 injective in practice; a collision would only
-    merge two units, as in decontam)."""
-    # ONE materialization of the posting frame: `w` feeds the
-    # self-join twice and the per-doc count frame (itself consumed
-    # twice as na/nb) — left lazy, every consumer re-ran the whole
-    # scan→explode→hash→distinct(→df-cap window) pipeline, which the
-    # round-14 plan audit counted as 4 parquet scans / 11 Exchanges in
-    # dedup_ngram_jaccard alone (guide §7.2 duplicated-subtree smell).
-    # The checkpoint holds only the 8-byte-hash postings (never
-    # strings) — the same bytes the self-join shuffles anyway — so the
-    # materialized volume adds nothing the plan didn't already move.
-    # Plan-shape pins for the pre-checkpoint pipeline (hash keying,
-    # no strings) live on _posting_frame, since the checkpoint
-    # truncates the visible plan (tests/test_plans.py).
-    w = _posting_frame(d, postings, block_cols, df_cap).localCheckpoint(
-        eager=False
-    )
-    nw = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    decontam_ngram_overlap); the cap bounds any unit's pair
+    contribution at cap²/2 regardless of corpus size (``df_cap=None``
+    = exact semantics: cost is Σ df² — only safe for naturally-rare
+    units like shingles). Oracles join on the raw string — hash keying
+    is semantics-preserving (xxhash64 injective in practice; a
+    collision would only merge two units, as in decontam)."""
+    # Round-14 shape: the per-doc posting count rides the frame as a
+    # window count instead of a separate groupBy→(na, nb) join pair.
+    # That leaves the self-join's two inputs as the SAME subtree, so
+    # at scale (sort-merge regime) the second side is a ReusedExchange
+    # — the scan→explode→hash→distinct(→df-cap) pipeline executes
+    # exactly once per query with NOTHING pinned in the block manager
+    # (pinned under test by tests/test_plans.py). An earlier round-14
+    # attempt localCheckpoint'd `w` instead: one pass too, but it
+    # materializes a CORPUS-sized frame per run — measured compounding
+    # block-manager churn on the uncapped shingle variant (solo passes
+    # 1.9 → 32 s across repeats until the ContextCleaner caught up).
+    # It also needed two corpus-sized pair⋈nw joins afterwards, which
+    # this shape deletes outright (guide §2.4/§3.1: fewer shuffles of
+    # the WIDE frame beats broadcasting a corpus-sized count table).
+    w = _posting_frame(d, postings, block_cols, df_cap)
+    w = w.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     a, b = w.alias("a"), w.alias("b")
     cond = (F.col("a.wh") == F.col("b.wh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
+    # n_a/n_b are functionally dependent on doc_a/doc_b, so adding
+    # them as grouping keys leaves the groups (and n_common) identical
+    # to the historical groupBy(doc_a, doc_b) + count-join plan.
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
         a.join(b, cond)
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
-    )
-    na, nb = nw.alias("na"), nw.alias("nb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("n_common")
-    )
-    # nw is per-DOCUMENT (corpus-sized, not a dim): hint the broadcast
-    # only while it fits (round-5 review); past the cap the same joins
-    # shuffle on doc_id. Callers over a raw table pass the parquet
-    # FOOTER count (zero jobs); the d.count() fallback covers derived
-    # input frames.
-    if n_docs is None:
-        n_docs = d.count()
-    return (
-        inter.join(
-            broadcast_if_fits(na, n_docs, _COUNT_ROW_BYTES),
-            F.col("doc_a") == F.col("na.doc_id"),
-        )
-        .join(
-            broadcast_if_fits(nb, n_docs, _COUNT_ROW_BYTES),
-            F.col("doc_b") == F.col("nb.doc_id"),
-        )
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
 
-def blocked_jaccard_pairs(d: DataFrame, n_docs: int | None = None) -> DataFrame:
+def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
     """Word-set Jaccard pairs within (lang, source) blocks, per-block
     df ≤ WORD_DF_CAP — the capped configuration of
-    posting_jaccard_pairs shared by the dedup/edit-verify/CC family.
-    Pass n_docs (footer count) when d is the raw documents table to
-    skip the gate's d.count() job."""
+    posting_jaccard_pairs shared by the dedup/edit-verify/CC family."""
     return posting_jaccard_pairs(
         d,
         words("text"),
         block_cols=("lang", "source"),
         df_cap=WORD_DF_CAP,
-        n_docs=n_docs,
     )
 
 
@@ -256,8 +237,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shingle-similar; tests/test_ann_quality.py measures minhash
     recall against brute-force SHINGLE Jaccard for that reason."""
     d = load(spark, sf_dir, "documents")
-    n_docs = table_row_count(sf_dir, "documents")  # footer, no job
-    return blocked_jaccard_pairs(d, n_docs).filter(F.col("jaccard") >= 0.5)
+    return blocked_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
 
 
 @register(
@@ -294,7 +274,7 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins shuffle on doc_id, correct at any scale."""
     d = load(spark, sf_dir, "documents")
     pairs = (
-        blocked_jaccard_pairs(d, table_row_count(sf_dir, "documents"))
+        blocked_jaccard_pairs(d)
         .filter(F.col("jaccard") >= 0.4)
         .localCheckpoint()
     )
@@ -889,7 +869,6 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles(words("text"), 3),
         block_cols=(),
         df_cap=None,
-        n_docs=table_row_count(sf_dir, "documents"),
     ).filter(F.col("jaccard") >= 0.5)
 
 

@@ -239,7 +239,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n_docs = table_row_count(sf_dir, "documents")  # footer, no job
     edges0 = (
-        blocked_jaccard_pairs(d, n_docs)
+        blocked_jaccard_pairs(d)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )

@@ -237,25 +237,7 @@ def test_jaccard_pairs_shuffle_hashes_not_words(spark, sf_dir):
     key (round-3 verdict item 3 — mirror of the decontam guard); the
     same shape feeds dedup_clusters_cc's edge generation."""
     plan = plan_string(_Q["dedup_ngram_jaccard"].fn(spark, sf_dir))
-    # the posting frame sits behind a shared localCheckpoint since
-    # round 14 (each of its four consumers re-ran the explode+hash
-    # pipeline), so the xxhash64 keying is pinned on the pre-checkpoint
-    # builder; the join keys in the final plan still expose the column
-    # identities the guard is about
-    from linux_logs_spark.operators.llm_pipeline import (
-        WORD_DF_CAP,
-        _posting_frame,
-        words,
-    )
-    from linux_logs_spark.catalog import load as _load
-
-    pf = plan_string(
-        _posting_frame(
-            _load(spark, sf_dir, "documents"), words("text"),
-            ("lang", "source"), WORD_DF_CAP,
-        )
-    )
-    assert "xxhash64" in pf, pf
+    assert "xxhash64" in plan, plan
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower() and "[" in ln]
     # the exploded posting column was renamed word → unit when the
     # pipeline was parameterized (round 6); guard both names
@@ -263,6 +245,28 @@ def test_jaccard_pairs_shuffle_hashes_not_words(spark, sf_dir):
         "word#" not in ln and "unit#" not in ln for ln in keys
     ), keys
     assert any("wh#" in ln for ln in keys), keys
+
+
+def test_jaccard_self_join_reuses_one_corpus_pass(spark, sf_dir):
+    """Round-14 shape: the per-doc posting count rides the frame as a
+    window count, so the self-join's two inputs are the SAME canonical
+    subtree and the sort-merge regime (= the at-scale strategy once
+    postings outgrow the broadcast gate) serves the second side from a
+    ReusedExchange — ONE scan→explode→distinct pipeline per query with
+    nothing pinned in the block manager. An earlier round-14 attempt
+    localCheckpoint'd the corpus-sized posting frame instead; this pin
+    exists so neither that (a checkpoint truncates the reused subtree)
+    nor a count-table join (different pruned subtree → no reuse) can
+    silently come back."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        df = _Q["dedup_ngram_jaccard"].fn(spark, sf_dir)
+        df.collect()  # AQE reuse is decided at runtime
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "ReusedExchange" in final, final
+    assert "Checkpoint" not in final, final
 
 
 # ---- round-5 additions -------------------------------------------------

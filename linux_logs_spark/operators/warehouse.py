@@ -790,7 +790,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b[rows, idx] = -np.inf
         return pd.Series(list(out))
 
-    probe_cells = F.pandas_udf(_probe_cells, "array<long>")
+    # asNondeterministic is an optimizer FENCE, not a semantics claim
+    # (the GEMM is deterministic): posexplode makes the optimizer infer
+    # `size(pcells) > 0 AND isnotnull(pcells)` and push it below
+    # spread_ingest's repartition, where the only way to evaluate it is
+    # to run the UDF AGAIN — the round-14 all-243 duplication scan
+    # found the coarse-assignment GEMM (the dominant n·K1·dim term at
+    # the 20M leg) executing twice, plan nodes (2)+(6) (guide §4.4).
+    # The fence drops the inferred filter; posexplode itself already
+    # skips null/empty arrays, and _probe_cells never returns one.
+    probe_cells = F.pandas_udf(_probe_cells, "array<long>").asNondeterministic()
 
     raw = F.col("embedding")
     # spread_ingest: the assignment GEMM UDF below otherwise runs in

@@ -132,6 +132,22 @@ def test_sim_ann_ivf_is_equijoin_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_sim_ann_ivf_coarse_gemm_runs_once(spark, sf_dir):
+    """Exactly ONE ArrowEvalPython for the coarse-assignment GEMM
+    (guide §4.4): posexplode makes the optimizer infer a
+    size(pcells) > 0 filter and push it below spread_ingest's
+    repartition, where evaluating it re-runs the UDF — the round-14
+    all-243 duplication scan caught the dominant n·K1·dim GEMM (and
+    its full-corpus Arrow round-trip) executing twice. probe_cells is
+    marked asNondeterministic as an optimizer fence; this pin keeps
+    the duplication from coming back."""
+    plan = plan_string(_Q["sim_ann_ivf"].fn(spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail header):
+    # count the numbered detail headers
+    nodes = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+    assert len(nodes) == 1, plan
+
+
 # ---- round-3 additions -------------------------------------------------
 
 

@@ -994,7 +994,15 @@ def run(
             ),
             default=0,
         )
-        spark.conf.set("spark.sql.shuffle.partitions", str(_sp(tier_rows)))
+        # REHEARSAL_SHUFFLE_PARTITIONS: A/B override for isolating the
+        # shuffle-partition dimension itself (round 14: the 20M IVF leg
+        # was re-measured under 32 vs the scaled 80 to separate this
+        # knob's effect from a code change landed the same day).
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")
+            or str(_sp(tier_rows)),
+        )
         old = _set_knobs(knobs)
         try:
             for name in heavy:

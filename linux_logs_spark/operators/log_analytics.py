@@ -1047,7 +1047,49 @@ def _ss_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_freq_items_sketch", "log", oracle=None)  # approx summary → rows-only; bounds + recall pinned in tests/test_approx_quality.py
+@register(
+    "agg_freq_items_sketch",
+    "log",
+    # Promoted from rows-only in round 15 (round-14 verdict item 7):
+    # the sketch is APPROXIMATE as an estimator but fully DETERMINISTIC
+    # as a computation (exact local counts, md5 sharding, item-key tie
+    # cuts), so DuckDB can mirror it verbatim — Spark's
+    # conv(hex, 16, 10) is DuckDB's CAST('0x' || hex AS BIGINT), and
+    # sums are cast back to BIGINT because DuckDB widens to HUGEINT.
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % GREATEST(1, (SELECT count(*) FROM events) // {SS_SHARD_ROWS}) AS shard,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events
+), counts AS (
+  SELECT day, shard, item, count(*) AS n FROM d GROUP BY day, shard, item
+), ranked AS (
+  SELECT day, shard, item, n, rk,
+         coalesce(max(CASE WHEN rk > {SS_CAPACITY} THEN n END)
+                    OVER (PARTITION BY day, shard), 0) AS summary_min
+  FROM (
+    SELECT day, shard, item, n,
+           row_number() OVER (PARTITION BY day, shard ORDER BY n DESC, item) AS rk
+    FROM counts
+  )
+), summaries AS (
+  SELECT day, shard, item, n AS est, summary_min FROM ranked WHERE rk <= {SS_CAPACITY}
+), tot AS (
+  SELECT CAST(coalesce(sum(summary_min), 0) AS BIGINT) AS tot_min
+  FROM (SELECT DISTINCT day, shard, summary_min FROM summaries)
+), merged AS (
+  SELECT item, CAST(sum(est) AS BIGINT) AS est,
+         CAST(sum(summary_min) AS BIGINT) AS present_min
+  FROM summaries GROUP BY item
+)
+SELECT CAST(row_number() OVER (ORDER BY est DESC, item) AS BIGINT) AS rank,
+       item, est, CAST(0 AS BIGINT) AS max_over,
+       (SELECT tot_min FROM tot) - present_min AS max_under
+FROM merged
+""",
+)
 def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy-hitter event sources via MERGEABLE capacity-M
     heavy-hitter summaries (Agarwal et al., "Mergeable Summaries" —

@@ -244,7 +244,31 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name")
 
 
-@register("scan_csv_malformed", "scan", oracle=None)  # staged paths → rows-only
+@register(
+    "scan_csv_malformed",
+    "scan",
+    # Promoted from rows-only in round 15 (round-14 verdict item 7):
+    # the staged file is DERIVED from the events table (its first 50
+    # rows by event_id, all non-null longs/enum strings, so every one
+    # survives the CSV round trip) plus 3 constant malformed lines, of
+    # which exactly one — the wrong-arity row "9001,7,error,..." —
+    # parses all three data fields under PERMISSIVE partial-parse
+    # semantics. The oracle mirrors the clean side from events and
+    # pins the staged-constant side, which is what makes the parse
+    # accounting (not just row counts) hash-checked.
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 50
+)
+SELECT 'clean' AS category, count(*) AS n,
+       CAST(sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+                      AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_complete
+FROM e
+UNION ALL
+SELECT 'quarantined', CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+""",
+)
 def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-tolerant CSV ingest: PERMISSIVE mode with a corrupt-record
     column — real 100 TB feeds always contain rows that don't parse,

@@ -77,6 +77,131 @@ HEADLINE = (
 )
 
 
+# --scale-probe query set (round 15, round-14 verdict item 5): the
+# sf0.1 suite is overhead-floored — the driver's c8-vs-c32 scaling
+# block reads ≈1 everywhere because no committed-SF query is compute-
+# bound. These are the heaviest SUB-QUADRATIC queries (the rehearsal's
+# proven second-decade family — the quadratic exact baselines are
+# excluded by design: at 500k docs they are DNF), run at the
+# deterministic .scale100 tier (500k docs / 200k vectors, generated
+# from the sf0.1 vocabulary with the rehearsal's fixed seed) where
+# core count can matter. Measured on the round-15 host: c8 452.0 s vs
+# c32 432.4 s — ratios only 1.0-1.9 per query THERE, against 3.3x for
+# pure-CPU processes and 2.55x for an allocation-light Spark burn on
+# the same box: string-allocating operators hit that VM's JVM
+# allocation/GC wall at ~8-10 effective cores (full controls in
+# OPTIMIZATION_r15.md). The probe is the instrument; the ratio it
+# reports is a property of the host it runs on.
+PROBE_QUERIES = (
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "decontam_ngram_overlap",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "text_tfidf",
+    "pipeline_corpus_prep",
+    "emb_kmeans_lloyd",
+)
+
+
+def _rehearsal_module():
+    """Load scripts/scale_rehearsal.py (not a package) for its tier
+    generator, knob table and directory constants."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "scale_rehearsal.py"
+    )
+    spec = importlib.util.spec_from_file_location("scale_rehearsal", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def scale_probe() -> None:
+    """``bench.py --scale-probe``: one-line-JSON timing of the
+    PROBE_QUERIES at the .scale100 tier on local[$SPARK_GRAFT_CPUS] —
+    the scaling signal the canonical sf0.1 bench cannot produce.
+    Same methodology as the main bench (noop sink, plan construction
+    included, warms untimed); generates the tier deterministically on
+    first use (same seed and generator as the scale rehearsal, derived
+    from the canonical sf0.1 tables — NOT from query results; the
+    probe's own numbers are computed fresh from that parquet every
+    run). Knobs follow the rehearsal's documented per-decade rules
+    (KNOBS_100X — N_PLANES only; oracle verification is locked out
+    while knobs are patched, and the probe never verifies). Writes
+    bench_scale_probe_c<cpus>.json beside the repo; never touches
+    bench_full.json."""
+    import pyarrow.parquet as pq
+
+    sr = _rehearsal_module()
+    docs = os.path.join(sr.SCALE100_DIR, "documents.parquet")
+    if not (
+        os.path.exists(docs)
+        and pq.ParquetFile(docs).metadata.num_rows == sr.N_DOCS_100X
+    ):
+        print("scale-probe: generating the .scale100 tier (first use)",
+              file=sys.stderr, flush=True)
+        if not os.path.exists(os.path.join(sr.SCALE_DIR, "events.parquet")):
+            sr.gen()
+        sr.gen(
+            scale_dir=sr.SCALE100_DIR,
+            n_docs=sr.N_DOCS_100X,
+            n_vecs=sr.N_VECS_100X,
+            tail_mult=sr.TAIL_MULT_100X,
+            docs_only=True,
+        )
+    _await_quiet_window()
+    spark = get_spark(
+        "linux-logs-spark-scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s + 1, "long")
+    spark.range(1000).select(_warm(col("id"))).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    sr._set_knobs(sr.KNOBS_100X)
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sr.SCALE100_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+    total = round(sum(timings.values()), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    payload = {
+        "metric": "scale_probe_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "cpus": cpus,
+        "n_docs": sr.N_DOCS_100X,
+        "n_vecs": sr.N_VECS_100X,
+    }
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"bench_scale_probe_c{cpus}.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(payload), flush=True)
+
+
 # Loaded-window gate: a full run whose median exceeds the committed
 # artifact's by more than this ratio is rejected (see guard_full_artifact).
 GUARD_RATIO = 1.10
@@ -306,6 +431,9 @@ def _await_quiet_window(max_wait_s: int = 300, threshold: float = 8.0) -> None:
 
 
 def main() -> None:
+    if "--scale-probe" in sys.argv[1:]:
+        scale_probe()
+        return
     _await_quiet_window()
     spark = get_spark(
         "linux-logs-spark-bench",

@@ -1095,3 +1095,30 @@ def test_registered_surface_has_only_whitelisted_unpartitioned_windows(
     )
     stale = sorted(set(_UNPARTITIONED_WINDOW_OK) - set(all_queries()))
     assert not stale, f"whitelist names unknown queries: {stale}"
+
+
+# ---- round-15 additions ------------------------------------------------
+
+
+def test_spread_ingest_committed_sf_plans_unchanged(spark, sf_dir):
+    """Round-15 canary (round-14 verdict item 6): spread_ingest(df,
+    n_rows) sizes its round-robin exchange from the parquet-footer row
+    count via scaled_partitions, which must return EXACTLY
+    default_parallelism() below 250k rows/core — so every committed-SF
+    plan stays byte-identical to the fixed-core-count shape while the
+    rehearsal tiers scale up (the 50M-doc leg where a fixed 32-way
+    spread blew the partial-agg combine: scale_rehearsal.json
+    pipeline_perplexity_gate 10000x_true = 46.3 GB shuffle post-fix vs
+    the 90+ GB blow-up). Pins both the function contract and the
+    physical exchange width of the biggest spread_ingest consumer."""
+    from linux_logs_spark.session import default_parallelism, scaled_partitions
+
+    cores = default_parallelism()
+    # committed SFs: documents ≤ 5000 rows — far below the gate
+    assert scaled_partitions(5_000) == cores
+    assert scaled_partitions(250_000 * cores) == cores
+    # the scale-adaptive side the canary must NOT flatten
+    assert scaled_partitions(50_000_000) == 50_000_000 // 250_000
+    plan = plan_string(_Q["dedup_shingle_jaccard"].fn(spark, sf_dir))
+    m = re.search(r"RoundRobinPartitioning\((\d+)\)", plan)
+    assert m and int(m.group(1)) == cores, plan

@@ -303,9 +303,20 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     _ensure_loaded()
     last = _effective_last_round()
+    changed = _changed_since_signed()
+    # Changed-since-signed strictly first (round 15): a query whose
+    # code changed after its last signing needs driver re-verification
+    # MORE urgently than a never-signed one whose code is stable —
+    # with both classes present (a rewrite and an oracle promotion in
+    # the same round) the old (last, cost) key let the cheap
+    # never-signed pair tie at last=0 and sort ahead of the rewrite.
     names = sorted(
         _REGISTRY,
-        key=lambda n: (last.get(n, 0), _MEASURED_COST.get(n, _DEFAULT_COST)),
+        key=lambda n: (
+            n not in changed,
+            last.get(n, 0),
+            _MEASURED_COST.get(n, _DEFAULT_COST),
+        ),
     )
     return {n: _REGISTRY[n] for n in names}
 
